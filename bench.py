@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship + representative heavy queries
+at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of the headline set (median of
+WARM_RUNS warm runs per query, after one cold warm-up).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WARM_RUNS = 3
+
+# Representative heavy set: scan+agg, joins (broadcast/shuffle/self),
+# windows, set ops, text + vector pipeline. Kept stable across rounds
+# so BENCH_r{N}.json files are comparable.
+HEADLINE = [
+    "flagship_pricing_summary",
+    "agg_hash_basic",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_percentile",
+    "join_inner_equi",
+    "join_broadcast",
+    "join_self",
+    "join_asof",
+    "win_rank",
+    "win_frame_rows",
+    "set_union",
+    "dedup",
+    "fn_math",
+    "fn_json",
+    "text_exact_dedup",
+    "text_tokenize_stats",
+    "tfidf_keywords",
+    "vec_cosine_topk",
+]
+
+
+def main() -> None:
+    from lakehouse_automation_spark.engine import get_spark
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    spark = get_spark("bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    results: dict[str, float] = {}
+    for key in HEADLINE:
+        if key not in REGISTRY:
+            continue
+        fn = REGISTRY[key].fn
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # cold: plan+JIT
+        times = []
+        for _ in range(WARM_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        results[key] = round(statistics.median(times), 4)
+
+    print(json.dumps({
+        "metric": "headline_query_set_wallclock",
+        "value": round(sum(results.values()), 4),
+        "unit": "sec",
+        "queries": results,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,361 @@
+"""Relational core: scans, projections, filters, joins (SURVEY §2.3).
+
+The reference delegates all of this to MySQL HeatWave through its
+arbitrary-SQL passthrough (``/root/reference/lib/commondb.py:81-89``);
+here each capability is a native Catalyst plan. Scale notes inline:
+every query is a declarative plan — pushdown/pruning/join selection
+are Catalyst's job, we only add explicit ``broadcast`` where the small
+side is known-small by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .base import register, t, dec, dsum, davg
+
+# --------------------------------------------------------------- flagship
+
+
+@register(
+    "flagship_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)            AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)       AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped pricing summary: scan -> filter -> agg -> sort.
+
+    The flagship ``entry()`` query. One shuffle (partial+final hash agg
+    via Catalyst); the shipdate filter and 7-column projection reach
+    the parquet scan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(dec(disc_price, 20, 4), "sum_disc_price", 20, 4),
+            # scale 6, not 4: the 3-factor product has 6 true decimal
+            # places, so a scale-4 cast lands on round-half ties where
+            # Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree.
+            dsum(dec(charge, 24, 6), "sum_charge", 24, 6),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ------------------------------------------------------------------ scans
+
+
+@register(
+    "scan_parquet",
+    oracle="""
+    SELECT p_partkey, p_name, p_size FROM part
+    WHERE p_size BETWEEN 1 AND 15
+    """,
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with pushdown: only 3 of 6 columns read, size
+    predicate evaluated at the parquet row-group level."""
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_size").between(1, 15))
+        .select("p_partkey", "p_name", "p_size")
+    )
+
+
+# --------------------------------------------------- projection / predicates
+
+
+@register(
+    "project_rename_cast",
+    oracle="""
+    SELECT l_orderkey AS okey,
+           l_linenumber AS line_no,
+           CAST(l_quantity AS BIGINT) AS qty_int,
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date
+    FROM lineitem
+    """,
+)
+def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT/alias/cast — narrow projection pushed into the scan."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("okey"),
+        F.col("l_linenumber").alias("line_no"),
+        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("ship_date"),
+    )
+
+
+@register(
+    "filter_pred",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_totalprice > 100000 AND o_orderstatus = 'O'
+    """,
+)
+def filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comparison + boolean predicates (reference's mtime-window filter,
+    check_lakehouse.py:111, is this shape)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter((F.col("o_totalprice") > 100000) & (F.col("o_orderstatus") == "O"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    "filter_in_between_like",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+    WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING')
+      AND c_acctbal BETWEEN 0 AND 5000
+      AND c_name LIKE '%1%'
+    """,
+)
+def filter_in_between_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE predicates."""
+    c = t(spark, sf_dir, "customer")
+    return (
+        c.filter(
+            F.col("c_mktsegment").isin("AUTOMOBILE", "BUILDING")
+            & F.col("c_acctbal").between(0, 5000)
+            & F.col("c_name").like("%1%")
+        ).select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    )
+
+
+@register(
+    "case_when",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'low' END AS price_band,
+           CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final
+    FROM orders
+    """,
+)
+def case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional projection (the reference's is_apply 1/0 success flag,
+    check_lakehouse.py:114-119, re-expressed)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 200000, "high")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_final"),
+    )
+
+
+# ------------------------------------------------------------------- joins
+
+
+@register(
+    "join_inner_equi",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice, c.c_name, c.c_mktsegment
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE o.o_totalprice > 150000
+    """,
+)
+def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash equi-join; Catalyst picks broadcast (customer is small
+    relative to orders at every SF) or sort-merge at scale."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 150000)
+    c = t(spark, sf_dir, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "o_totalprice", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle="""
+    SELECT p.p_brand,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast of the dimension side: no shuffle of the fact
+    table for the join — the only shuffle is the final aggregation."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            dsum(dec(disc_price, 20, 4), "revenue", 20, 4),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(o.o_orderkey) AS n_orders
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 250000)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS as a left-semi join — no row multiplication, right side
+    reduced to its join keys before the shuffle."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 250000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (customers who never ordered)."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "join_self",
+    oracle="""
+    SELECT a.l_orderkey AS okey, COUNT(*) AS n_pairs
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    GROUP BY a.l_orderkey
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: line-pairs within an order. Equi on the order key so
+    it stays a hash join; the < predicate filters post-match."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber")),
+        )
+        .groupBy(F.col("a.l_orderkey").alias("okey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+@register(
+    "join_theta_range",
+    oracle="""
+    WITH buckets AS (
+      SELECT i AS bucket_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+      FROM range(0, 5) tbl(i)
+    )
+    SELECT b.bucket_id, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM lineitem l JOIN buckets b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
+    GROUP BY b.bucket_id
+    """,
+)
+def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join against a tiny bucket dimension. The bucket
+    side is broadcast, so the theta join is a broadcast-nested-loop
+    over 5 rows — the scalable shape for band joins with few bands.
+    (For dense band joins, pre-bucketize to an equi key instead.)"""
+    li = t(spark, sf_dir, "lineitem").select("l_quantity", "l_extendedprice")
+    buckets = spark.range(0, 5).select(
+        F.col("id").alias("bucket_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    return (
+        li.join(
+            F.broadcast(buckets),
+            (li.l_quantity >= buckets.lo) & (li.l_quantity < buckets.hi),
+        )
+        .groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "price_sum"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH errors  AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events WHERE event_type = 'error'),
+         signups AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events WHERE event_type = 'signup')
+    SELECT e.event_id, e.user_id, e.ts AS error_ts, s.ts AS last_signup_ts
+    FROM errors e ASOF LEFT JOIN signups s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each error event, the latest signup by the same
+    user at-or-before it (inclusive, matching DuckDB ASOF semantics).
+
+    Spark has no native as-of operator (SURVEY §4). Implemented with
+    the scalable union-scan pattern from operators.asof: tag both
+    sides, one shuffle on (user_id), one window pass carrying the last
+    signup ts forward — no join explosion, no per-group pandas.
+    """
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id", "ts")
+    joined = asof_join(
+        left=errors, right=signups, on="user_id",
+        left_ts="ts", right_ts="ts", right_value_as="last_signup_ts",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("ts").alias("error_ts"), "last_signup_ts"
+    )

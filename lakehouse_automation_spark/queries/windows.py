@@ -1,0 +1,178 @@
+"""Window functions + sort/limit/top-k/sample (SURVEY §2.3).
+
+Every window here is partitioned on a key with enough cardinality to
+parallelize (custkey / orderkey / user_id); none uses a global
+unpartitioned window (which would serialize at 100 TB). Tie-breaks
+always include a unique column so results are deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .base import register, t, dec, dsum
+
+
+@register(
+    "win_rank",
+    oracle="""
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER()  OVER w AS rn,
+             RANK()        OVER w AS rnk,
+             DENSE_RANK()  OVER w AS drnk,
+             NTILE(4)      OVER w AS quartile
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    ) WHERE rn <= 3
+    """,
+)
+def win_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer: ROW_NUMBER/RANK/DENSE_RANK/NTILE.
+    Catalyst's WindowGroupLimit pushes the rn<=3 limit below the sort."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey", "o_orderkey", "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "win_analytic",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ts AS TIMESTAMP) AS ts,
+           LAG(CAST(ts AS TIMESTAMP))  OVER w AS prev_ts,
+           LEAD(CAST(ts AS TIMESTAMP)) OVER w AS next_ts,
+           FIRST_VALUE(event_type)     OVER w AS first_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG/LEAD/FIRST_VALUE per user ordered by event time."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        F.first("event_type").over(w).alias("first_type"),
+    )
+
+
+@register(
+    "win_frame_rows",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+)
+def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total with an explicit ROWS frame (decimal-exact).
+    ORDER BY includes l_quantity: (l_orderkey, l_linenumber) is not
+    unique in the testdata, and a ROWS frame over ties is otherwise
+    partition-order dependent."""
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.sum(dec("l_quantity")).over(w).cast("double").alias("running_qty"),
+    )
+
+
+@register(
+    "win_frame_range",
+    oracle="""
+    SELECT event_id, user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY date_part('epoch', CAST(ts AS TIMESTAMP))
+                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+    FROM events
+    """,
+)
+def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE frame: events per user in the trailing hour,
+    ordered by epoch seconds (the moving-rate query over the survey
+    stream)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "_epoch_s", F.col("ts").cast("timestamp").cast("long")
+    )
+    w = W.partitionBy("user_id").orderBy("_epoch_s").rangeBetween(-3600, 0)
+    return ev.select(
+        "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
+    )
+
+
+# --------------------------------------------------- sort / top-k / sample
+
+
+@register(
+    "sort_multi",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus, o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_orderpriority ASC, o_totalprice DESC NULLS LAST, o_orderkey
+    """,
+)
+def sort_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key ORDER BY with nulls placement (range-partitioned
+    exchange + in-partition sort; value set is order-insensitively
+    hashed by the gate, the sort itself is exercised in tests)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderpriority", "o_orderstatus", "o_orderkey", "o_totalprice")
+        .orderBy(
+            F.asc("o_orderpriority"),
+            F.desc_nulls_last("o_totalprice"),
+            F.asc("o_orderkey"),
+        )
+    )
+
+
+@register(
+    "topk",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+)
+def topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT k -> TakeOrderedAndProject: per-partition heap
+    of k, merge on driver — never a global sort (A8's ledger lookup is
+    the k=2 instance). Unique tie-break keeps it deterministic."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "sample",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+    WHERE (l_orderkey * 2654435761) % 100 < 5
+    """,
+)
+def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic systematic sample (~5%) via multiplicative hashing
+    on the key — reproducible across engines, unlike Bernoulli
+    ``df.sample`` whose RNG is engine-specific (that path is covered in
+    tests). At scale this is a scan-side filter: no shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") * 2654435761) % 100 < 5).select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )

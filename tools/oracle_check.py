@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every key in lakehouse_automation_spark.queries.REGISTRY at
+sf0.01: the Spark callable and (when present) the DuckDB oracle SQL,
+then compares row count, column names, and an order-insensitive value
+hash. Use while iterating so the per-round CORRECTNESS file has no
+surprises.
+
+  python tools/oracle_check.py [key ...]   # default: all keys
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Sort columns by name, canonicalize cell values, sort rows."""
+    df = df[sorted(df.columns)].copy()
+
+    def canon(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "∅"
+        if isinstance(v, float):
+            if v == int(v) and abs(v) < 1e15:
+                return f"{v:.6f}"
+            # 12 significant digits: catches real accumulation drift
+            # (>=1e-11 relative) while absorbing last-ulp libm noise
+            return f"{v:.12g}"
+        if isinstance(v, pd.Timestamp):
+            return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+        if hasattr(v, "item"):  # numpy scalars
+            return canon(v.item())
+        return str(v)
+
+    for c in df.columns:
+        df[c] = df[c].map(canon)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def compare(key: str, spark_df, oracle: str | None, con) -> str:
+    spdf = spark_df.toPandas()
+    if oracle is None:
+        return f"ROWS_ONLY rows={len(spdf)}"
+    odf = con.execute(oracle).df()
+    a, b = normalize(spdf), normalize(odf)
+    if list(a.columns) != list(b.columns):
+        return f"COLS_MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"
+    if len(a) != len(b):
+        return f"ROWCOUNT_MISMATCH spark={len(a)} oracle={len(b)}"
+    neq = (a != b)
+    if neq.any().any():
+        bad_cols = [c for c in a.columns if neq[c].any()]
+        i = neq.any(axis=1).idxmax()
+        return (
+            f"VALUE_MISMATCH cols={bad_cols} example_row={i} "
+            f"spark={a.loc[i, bad_cols].to_dict()} oracle={b.loc[i, bad_cols].to_dict()}"
+        )
+    return f"OK rows={len(a)}"
+
+
+def main() -> int:
+    from lakehouse_automation_spark.engine import get_spark, load_tables
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    spark = get_spark("oracle_check")
+    load_tables(spark, SF_DIR)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    keys = sys.argv[1:] or sorted(REGISTRY)
+    failures = 0
+    for key in keys:
+        q = REGISTRY[key]
+        try:
+            res = compare(key, q.fn(spark, SF_DIR), q.oracle, con)
+        except Exception as e:  # noqa: BLE001
+            res = f"ERROR {type(e).__name__}: {str(e).splitlines()[0][:300]}"
+        status = res.split(" ")[0]
+        if status not in ("OK", "ROWS_ONLY"):
+            failures += 1
+        print(f"{key:28s} {res}")
+    print(f"\n{len(keys)} keys, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
