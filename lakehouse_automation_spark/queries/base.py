@@ -23,9 +23,24 @@ REGISTRY: dict[str, Q] = {}
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
-    """Decorator: add a (spark, sf_dir) -> DataFrame callable to REGISTRY."""
+    """Decorator: add a (spark, sf_dir) -> DataFrame callable to REGISTRY.
+
+    The registered callable tunes the session first: the driver hands
+    us ITS OWN vanilla SparkSession, and several runtime confs (ns-
+    timestamp parquet reads, UTC tz, AQE) must hold for any key that
+    touches the session outside the catalog loader.
+    """
     def wrap(fn):
-        REGISTRY[name] = Q(fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
+        from functools import wraps
+
+        from ..engine.session import tune_session
+
+        @wraps(fn)
+        def tuned(spark: SparkSession, sf_dir: str) -> DataFrame:
+            tune_session(spark)
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = Q(fn=tuned, oracle=oracle, doc=doc or (fn.__doc__ or ""))
         return fn
     return wrap
 

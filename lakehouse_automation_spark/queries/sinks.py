@@ -1,1 +1,147 @@
-"""Placeholder — filled in this round."""
+"""Sources & sinks (SURVEY §2.3 "Scans / sources / sinks").
+
+CSV/JSON scans use explicit schemas — never inference (the reference
+declares its schema in code, datagen.py:29-36). Sink keys round-trip
+through a scratch directory and return the re-read contents so the
+oracle validates the full write->read path.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .base import register, t
+
+SCRATCH = os.path.join(tempfile.gettempdir(), "lakehouse_spark_scratch")
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    return os.path.join(SCRATCH, os.path.basename(sf_dir.rstrip("/")), name)
+
+
+NATION_SCHEMA = T.StructType([
+    T.StructField("n_nationkey", T.IntegerType()),
+    T.StructField("n_name", T.StringType()),
+    T.StructField("n_regionkey", T.IntegerType()),
+])
+
+
+@register(
+    "scan_csv_schema",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def scan_csv_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV scan with declared schema + header (the survey-table shape,
+    datagen.py:71-72): write nation as headered CSV, read it back with
+    an explicit StructType — no inference pass."""
+    path = _scratch(sf_dir, "nation_csv")
+    t(spark, sf_dir, "nation").write.mode("overwrite").option("header", True).csv(path)
+    return spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)
+
+
+@register(
+    "scan_json",
+    oracle="SELECT event_id, user_id, event_type, value FROM events",
+)
+def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines scan with declared schema (HeatWave lakehouse
+    supports CSV/Parquet/JSON externals). Doubles survive the text
+    round-trip: Spark writes shortest-roundtrip decimal reprs."""
+    path = _scratch(sf_dir, "events_json")
+    ev = t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    ev.write.mode("overwrite").json(path)
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    return spark.read.schema(schema).json(path)
+
+
+@register(
+    "sink_parquet",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM part GROUP BY p_brand
+    """,
+)
+def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet sink: write an aggregate, read it back (columnar round
+    trip is exact for all types)."""
+    path = _scratch(sf_dir, "brand_agg_parquet")
+    agg = (
+        t(spark, sf_dir, "part")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("price_sum"),
+        )
+    )
+    agg.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+@register(
+    "sink_csv_header",
+    oracle="""
+    SELECT i AS row_id,
+           (i * 48271) % 129879 + 1 AS id,
+           CASE WHEN (i * 7) % 2 = 0 THEN 'First-time' ELSE 'Returning' END AS customer_type,
+           (i * 48271 + 7) % 1600 AS departure_delay
+    FROM range(1, 10001) tbl(i)
+    """,
+)
+def sink_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — the reference's CSV sink: ',' delimiter, header row, one
+    minute-stamped file per batch (datagen.py:65-82, tz Asia/Seoul).
+    Written via pipelines.datagen.write_survey_csv (single coalesced
+    file, stamped dir name), read back with the declared schema."""
+    from ..pipelines.datagen import write_survey_csv
+
+    from .tier_a import gen_rows
+
+    rows = gen_rows(spark, sf_dir).select(
+        "row_id", "id", "customer_type", "departure_delay"
+    )
+    path = write_survey_csv(rows, _scratch(sf_dir, "survey_csv"))
+    schema = T.StructType([
+        T.StructField("row_id", T.LongType()),
+        T.StructField("id", T.LongType()),
+        T.StructField("customer_type", T.StringType()),
+        T.StructField("departure_delay", T.LongType()),
+    ])
+    return spark.read.schema(schema).option("header", True).csv(path)
+
+
+@register(
+    "sink_upsert",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental upsert into the lakehouse table (A6's MERGE shape,
+    SURVEY key sink_delta_upsert; Delta jars absent so MERGE is
+    emulated — operators.upsert). Base = events older than the split
+    point; update batch = the newer tail PLUS an overlapping slice
+    (replayed rows, as object-storage re-lists produce); the upsert
+    must converge to exactly the full table."""
+    from ..operators.upsert import merge_upsert
+
+    ev = t(spark, sf_dir, "events")
+    split = ev.agg((F.min("ts") + F.expr("INTERVAL 20 DAYS")).alias("_split"))
+    overlap = ev.agg((F.min("ts") + F.expr("INTERVAL 18 DAYS")).alias("_olap"))
+    base = ev.join(F.broadcast(split)).filter(F.col("ts") < F.col("_split")).drop("_split")
+    updates = ev.join(F.broadcast(overlap)).filter(F.col("ts") >= F.col("_olap")).drop("_olap")
+    merged = merge_upsert(base, updates, key="event_id")
+    return merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+    )

@@ -1,1 +1,214 @@
-"""Placeholder — filled in this round."""
+"""Streaming operators (SURVEY §2.3 "Streaming").
+
+Window/session/dedup semantics are identical in batch and streaming
+in Spark (same functions, same plans modulo state), so each key runs
+the deterministic batch form for the oracle gate, and the true
+streaming paths (readStream/writeStream, watermarks, checkpoints,
+foreachBatch) are exercised in tests/test_streaming.py and
+streaming.ingest. ``stream_file_ingest`` and ``stream_foreach_batch``
+run REAL streaming queries (availableNow) inside the key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .base import register, t
+
+
+@register(
+    "stream_tumbling_agg",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows (the files/min rate of datagen.py:128,
+    widened): ``window()`` — identical semantics under readStream with
+    a watermark (tests cover the streaming run)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
+    )
+
+
+@register(
+    "stream_sliding_agg",
+    oracle="""
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) - i * INTERVAL 1 HOUR AS window_start,
+           COUNT(*) AS n
+    FROM events, range(0, 2) tbl(i)
+    GROUP BY 1
+    """,
+)
+def stream_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (2 h length, 1 h slide): every event lands in two
+    windows. Oracle re-derives the window-assignment arithmetic."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@register(
+    "stream_session",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_no
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) via ``session_window`` — native in
+    batch AND streaming. The oracle reconstructs sessionization with
+    the classic lag/gap/cumsum pattern; session_end = last event + gap
+    (Spark's definition)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "stream_watermark_late",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_on_time FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 3 DAY
+    GROUP BY event_type
+    """,
+)
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark semantics (late-data cutoff relative to max observed
+    event time) restated as a batch filter: rows older than
+    max(ts) - 3d would be dropped by ``withWatermark("ts", "3 days")``
+    once the watermark advanced to max(ts). True streaming drop
+    behavior is asserted in tests/test_streaming.py."""
+    ev = t(spark, sf_dir, "events")
+    wm = ev.agg((F.max("ts") - F.expr("INTERVAL 3 DAYS")).alias("_wm"))
+    return (
+        ev.join(F.broadcast(wm))
+        .filter(F.col("ts") >= F.col("_wm"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_on_time"))
+    )
+
+
+@register(
+    "stream_dedup_state",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful dedup of replayed rows (the ledger's reason to exist,
+    check_lakehouse.py:100): a doubled input deduplicated on event_id
+    must converge to the original. Streaming form is
+    ``dropDuplicatesWithinWatermark`` (tested); batch form is the
+    same ``dropDuplicates``."""
+    ev = t(spark, sf_dir, "events")
+    replayed = ev.unionByName(ev)  # every row arrives twice
+    return (
+        replayed.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "stream_file_ingest",
+    oracle="""
+    SELECT COUNT(*) AS n_rows, COUNT(DISTINCT user_id) AS n_users FROM events
+    """,
+)
+def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5/A6 live — continuous new-file discovery + exactly-once load
+    (replaces the mtime poll, check_lakehouse.py:102-123): a REAL
+    readStream over the events parquet, availableNow trigger, memory
+    sink; returns aggregates of what was ingested."""
+    import os
+    import uuid
+
+    name = f"file_ingest_{uuid.uuid4().hex[:8]}"
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    # the streaming file source wants a DIRECTORY; narrow to the one
+    # table with pathGlobFilter
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.table(name).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "stream_foreach_batch",
+    oracle="""
+    SELECT COUNT(*) AS ledger_rows,
+           (SELECT COUNT(*) FROM events) AS loaded_rows
+    FROM (SELECT 1)
+    """,
+)
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 live — per-batch side effects: foreachBatch appends each
+    micro-batch to a staging list and writes one ledger row per batch
+    (the reference's per-load audit insert). Single parquet input +
+    availableNow => exactly one batch, so the output is deterministic."""
+    import os
+
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
+    state = {"batches": 0, "rows": 0}
+
+    def sink(batch_df, batch_id):
+        state["batches"] += 1
+        state["rows"] += batch_df.count()
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sf_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(state["batches"], state["rows"])], "ledger_rows bigint, loaded_rows bigint"
+    )

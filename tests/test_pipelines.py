@@ -1,0 +1,103 @@
+"""Ingestion-pipeline tests (reference parity: datagen -> land ->
+incremental load -> ledger -> retention; README.md:17-37's two-program
+flow, deterministic)."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from lakehouse_automation_spark.pipelines.datagen import (
+    CUSTOMER_TYPES, SATISFACTION, TRAVEL_TYPES,
+    generate_survey, minute_stamp, write_survey_csv,
+)
+from lakehouse_automation_spark.pipelines.ledger import Ledger
+from lakehouse_automation_spark.pipelines.retention import retention_sweep
+from lakehouse_automation_spark.streaming.ingest import IngestPipeline
+
+
+def test_generate_survey_domains(spark):
+    """Generated values stay inside the closed domains (datagen.py:22-27)."""
+    df = generate_survey(spark, rowcount=5000, seed=7)
+    stats = df.agg(
+        F.min("id"), F.max("id"),
+        F.min("departure_delay"), F.max("departure_delay"),
+        F.min("baggage_handling"), F.max("baggage_handling"),
+    ).collect()[0]
+    assert 1 <= stats[0] and stats[1] <= 129879
+    assert 0 <= stats[2] and stats[3] <= 1599
+    assert 1 <= stats[4] and stats[5] <= 4
+    vals = {r[0] for r in df.select("customer_type").distinct().collect()}
+    assert vals <= set(CUSTOMER_TYPES)
+    assert {r[0] for r in df.select("travel_type").distinct().collect()} <= set(TRAVEL_TYPES)
+    assert {r[0] for r in df.select("satisfaction").distinct().collect()} <= set(SATISFACTION)
+
+
+def test_generate_survey_deterministic(spark):
+    a = generate_survey(spark, 1000, seed=9).collect()
+    b = generate_survey(spark, 1000, seed=9).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_minute_stamp_format():
+    import datetime as dt
+    import zoneinfo
+
+    now = dt.datetime(2024, 3, 1, 23, 59, tzinfo=zoneinfo.ZoneInfo("Asia/Seoul"))
+    assert minute_stamp(now) == "datagen_202403012359"
+    # UTC moment converts into Seoul local time (datagen.py:65 parity)
+    utc = dt.datetime(2024, 3, 1, 15, 0, tzinfo=dt.timezone.utc)  # 00:00 KST next day
+    assert minute_stamp(utc) == "datagen_202403020000"
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    df = generate_survey(spark, 500, seed=3)
+    path = write_survey_csv(df, str(tmp_path), stamp="datagen_202401010000")
+    assert os.path.basename(path) == "datagen_202401010000"
+    back = spark.read.option("header", True).csv(path)
+    assert back.count() == 500
+    assert back.columns == df.columns
+
+
+def test_ledger_roundtrip_and_topk(spark, tmp_path):
+    import datetime as dt
+
+    led = Ledger(spark, str(tmp_path / "ledger"))
+    for i, ok in enumerate([True, False, True]):
+        led.record("/root/lakehouse", ok, when=dt.datetime(2024, 1, 1, 10, i))
+    assert led.read().count() == 3
+    top2 = led.last_checks(2).collect()
+    assert [r["checktime"].minute for r in top2] == [2, 1]
+    assert [r["is_apply"] for r in top2] == [1, 0]
+
+
+def test_retention_sweep(tmp_path):
+    old = tmp_path / "datagen_202301010000"
+    new = tmp_path / "datagen_202501010000"
+    old.mkdir(), new.mkdir()
+    os.utime(old, (1_000_000, 1_000_000))  # ancient mtime
+    deleted = retention_sweep(str(tmp_path), max_age_days=1.0)
+    assert [os.path.basename(p) for p in deleted] == ["datagen_202301010000"]
+    assert new.exists() and not old.exists()
+
+
+def test_ingest_pipeline_exactly_once(spark, tmp_path):
+    """Land files -> ingest -> land more -> ingest again: each row loads
+    exactly once (the checkpoint replaces the mtime heuristic whose
+    race can skip files, SURVEY §3 EP2)."""
+    landing, table_dir = str(tmp_path / "landing"), str(tmp_path / "table")
+    ckpt, ledger = str(tmp_path / "ckpt"), str(tmp_path / "ledger")
+
+    batch1 = generate_survey(spark, 300, seed=1)
+    write_survey_csv(batch1, landing, stamp="datagen_t0")
+    pipe = IngestPipeline(spark, landing, table_dir, ckpt, ledger_path=ledger)
+    pipe.run_available()
+    assert pipe.table().count() == 300
+
+    write_survey_csv(generate_survey(spark, 200, seed=2), landing, stamp="datagen_t1")
+    pipe.run_available()
+    assert pipe.table().count() == 500  # no re-load of batch1 (exactly-once)
+
+    led = Ledger(spark, ledger)
+    assert led.read().filter(F.col("is_apply") == 1).count() >= 2
