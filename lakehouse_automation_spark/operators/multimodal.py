@@ -1,0 +1,105 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+A training-data lakehouse carries image/audio/video as ``binary``
+columns with metadata; the engine's job is schema, partitioning, and
+Arrow-batched Python decode — the actual codec is a library call. The
+container ships no image/audio libs, so the real decode is a
+clearly-marked stub (``decode_real`` raises NotImplementedError until
+PIL/soundfile are importable) while the Spark-side plumbing —
+binary column, mapInPandas signature, Arrow batch shape, deterministic
+fake decode — is real and fully tested.
+
+The fake decode derives every feature from the payload bytes alone
+(md5-based, same portable hash as operators/dedup.py), so a DuckDB
+oracle can replay it and the driver's hash-compare stays exact.
+
+Scale notes: payloads never cross the driver; mapInPandas streams
+Arrow batches executor-side, and ``spark.sql.execution.arrow
+.maxRecordsPerBatch`` bounds batch memory. Partition by a content-hash
+bucket of the payload for even sizes (payload skew, not row skew, is
+what kills multimodal jobs).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+
+FRAME_BYTES = 256          # fake codec: one "frame" per 256 payload bytes
+FRAME_STRIDE = 4           # sample every 4th frame
+
+DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, fake_width bigint, fake_height bigint, "
+    "n_frames bigint"
+)
+
+
+def media_table(docs: DataFrame) -> DataFrame:
+    """documents -> a multimodal table: (doc_id, payload: binary,
+    media_type, n_bytes). Text bytes stand in for image bytes — the
+    schema and everything downstream is payload-agnostic."""
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit("image/fake").alias("media_type"),
+        F.length(payload).cast("bigint").alias("n_bytes"),
+    )
+
+
+def _fake_decode_one(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic fake codec: features from the payload bytes only.
+    Same 60-bit md5 hash as the SQL engines compute."""
+    h = int(hashlib.md5(payload).hexdigest()[:15], 16)
+    n_bytes = len(payload)
+    return n_bytes, h % 640 + 1, h % 480 + 1, n_bytes // FRAME_BYTES + 1
+
+
+def decode_real(payload: bytes) -> dict:
+    """Real decode path — STUB. Wire PIL/soundfile/av here when the
+    runtime ships them; everything upstream (schema, batching,
+    partitioning) is codec-agnostic."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image codec not available in this runtime; "
+            "use the deterministic fake decode for plumbing tests"
+        ) from exc
+    raise NotImplementedError("real decode wiring pending codec libs")
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode via mapInPandas: bytes in, features out.
+
+    This is the genuine hot path shape for multimodal work — Python
+    only sees columnar Arrow batches, never per-row round trips."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_fake_decode_one(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats, columns=["n_bytes", "fake_width", "fake_height", "n_frames"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=DECODE_SCHEMA
+    )
+
+
+def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Sampled frame index table: every ``stride``-th frame with its
+    byte offset — the JVM-side companion to a per-frame decode (the
+    explode happens before Python ever gets involved, so the decode
+    UDF receives exactly the frames it must touch)."""
+    n_frames = F.expr(f"n_bytes div {FRAME_BYTES}") + 1
+    idx = F.explode(F.sequence(F.lit(0), n_frames - 1, F.lit(stride)))
+    return media.select(
+        "doc_id", idx.alias("frame_idx")
+    ).withColumn("byte_offset", F.col("frame_idx") * FRAME_BYTES)

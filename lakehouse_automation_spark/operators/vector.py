@@ -1,0 +1,209 @@
+"""Vector similarity-search operators over ``embeddings.embedding``
+(array<float>, 64-dim in the driver testdata).
+
+Three tiers, mirroring what a 100 TB training-data pipeline needs:
+
+- **exact**: brute-force cosine — broadcast a small query set against
+  the corpus (linear scan, embarrassingly parallel), or all-pairs for
+  near-dup verification;
+- **IVF**: coarse-quantizer cells (assign to nearest centroid), probe
+  the ``nprobe`` nearest cells per query — prunes the scan by
+  ~n_cells/nprobe; deterministic seed centroids here so the DuckDB
+  oracle can replay it (production would k-means them);
+- **RP-LSH**: random-hyperplane sign signatures, banded; candidates
+  share >=1 band bucket — sublinear candidate generation for kNN joins
+  where both sides are large.
+
+All arithmetic is JVM-side (zip_with/aggregate fold in double);
+similarities are rounded to 9 decimals before ranking so Spark and
+DuckDB order identically (absorbs last-ulp summation differences).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+SIM_DECIMALS = 9
+
+# RP-LSH plane constants: deterministic, shared with any oracle/replay.
+_rng = random.Random(123)  # fixed seed: planes are part of the contract
+N_PLANES = 32        # 8 bands x 4 bits
+N_LSH_BANDS = 8
+BITS_PER_BAND = N_PLANES // N_LSH_BANDS
+LSH_DIM = 64
+# Uniform in [-1, 1): direction-uniform enough for sign-LSH, and exactly
+# representable constants keep the dot products reproducible.
+LSH_PLANES = [
+    [_rng.uniform(-1.0, 1.0) for _ in range(LSH_DIM)] for _ in range(N_PLANES)
+]
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product in double (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(vec: Column) -> Column:
+    return F.sqrt(dot(vec, vec))
+
+
+def with_vnorm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Project (vec_id, v: array<double>, nrm) — narrow, no shuffle."""
+    v = as_double(F.col(vec_col))
+    return emb.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
+
+
+def cosine_sim(va: Column, vb: Column, na: Column, nb: Column) -> Column:
+    """round(dot/(na*nb), 9) — one division, then rounding for
+    cross-engine rank stability."""
+    return F.round(dot(va, vb) / (na * nb), SIM_DECIMALS)
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Exact brute-force top-k: the first ``n_queries`` vec_ids against
+    every other vector. The query side is broadcast (tiny), the corpus
+    side is a linear partition-parallel scan — the right plan at any
+    corpus size when the query set is small."""
+    n = with_vnorm(emb)
+    q = F.broadcast(
+        n.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"))
+    )
+    pairs = q.join(n, F.col("q_id") != F.col("vec_id"))
+    sim = cosine_sim(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (
+        pairs.select("q_id", "vec_id", sim.alias("sim_r"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """All-pairs cosine near-duplicate detection (exact tier).
+
+    O(n^2) by construction — correct as the verification stage after a
+    candidate generator. At corpus scale run :func:`knn_join_lsh` first
+    and verify only its candidates; this exact form is the oracle-able
+    ground truth the approximate tiers are measured against."""
+    n = with_vnorm(emb)
+    a = n.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                 F.col("nrm").alias("na"))
+    b = n.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                 F.col("nrm").alias("nb"))
+    sim = cosine_sim(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim_r"))
+        .filter(F.col("sim_r") >= threshold)
+    )
+
+
+# ------------------------------------------------------------------- IVF
+
+def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
+             n_queries: int = 5, k: int = 10) -> DataFrame:
+    """IVF-flat approximate top-k.
+
+    Cells = nearest of ``n_centroids`` seed centroids (vec_id 0..C-1;
+    deterministic so DuckDB can replay — production would k-means).
+    Each query probes its ``nprobe`` nearest cells and reranks exactly
+    within them: the scan shrinks by ~nprobe/n_centroids, and at scale
+    the cell assignment is a broadcast join + one shuffle on cell_id.
+    """
+    n = with_vnorm(emb)
+    cents = F.broadcast(
+        n.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"))
+    )
+    sim = cosine_sim(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn"))
+    scored = n.crossJoin(cents).select(
+        "vec_id", "v", "nrm", "cent_id", sim.alias("csim"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell_id"))
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < n_queries)
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") <= nprobe)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"), F.col("cent_id").alias("cell_id"))
+    )
+    cand = probes.join(assigned, "cell_id").filter(F.col("q_id") != F.col("vec_id"))
+    qsim = cosine_sim(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", qsim.alias("sim_r"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+# ------------------------------------------------------------------ RP-LSH
+
+def lsh_bucket_table(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_id, bucket): sign-bit signatures over N_PLANES
+    fixed hyperplanes, packed per band. Narrow per-row computation —
+    the planes are literals folded into the plan, no shuffle."""
+    n = with_vnorm(emb)
+    bits = [
+        F.when(dot(F.col("v"), F.array(*[F.lit(c) for c in plane])) >= 0, 1)
+        .otherwise(0)
+        for plane in LSH_PLANES
+    ]
+    bands = F.array(*[
+        F.struct(
+            F.lit(band).alias("band_id"),
+            sum(
+                bits[band * BITS_PER_BAND + j] * F.lit(1 << j)
+                for j in range(BITS_PER_BAND)
+            ).alias("bucket"),
+        )
+        for band in range(N_LSH_BANDS)
+    ])
+    return (
+        n.select("vec_id", "v", "nrm", F.explode(bands).alias("b"))
+        .select("vec_id", "v", "nrm",
+                F.col("b.band_id").alias("band_id"),
+                F.col("b.bucket").alias("bucket"))
+    )
+
+
+def knn_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
+    """Approximate all-to-all kNN join: candidates share >=1 LSH band
+    bucket, exact cosine rerank within candidates, top-k per query.
+
+    The bucket join shuffles on (band_id, bucket) — bounded fanout,
+    never all-pairs. Recall is tunable via N_LSH_BANDS/BITS_PER_BAND
+    (tests assert recall vs the exact scan)."""
+    b = lsh_bucket_table(emb)
+    q = b.select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                 F.col("nrm").alias("qn"), "band_id", "bucket")
+    c = b.select("vec_id", "v", "nrm", "band_id", "bucket")
+    cand = (
+        q.join(c, ["band_id", "bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .dropDuplicates(["q_id", "vec_id"])
+        .select("q_id", "qv", "qn", "vec_id", "v", "nrm")
+    )
+    sim = cosine_sim(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", sim.alias("sim_r"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -31,6 +31,7 @@ from . import tier_a          # noqa: E402,F401
 from . import streaming_batch # noqa: E402,F401
 from . import text_pipeline   # noqa: E402,F401
 from . import vector_pipeline # noqa: E402,F401
+from . import multimodal      # noqa: E402,F401
 from . import sinks           # noqa: E402,F401
 
 __all__ = ["Q", "REGISTRY"]

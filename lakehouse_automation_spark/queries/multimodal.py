@@ -1,0 +1,56 @@
+"""Multimodal-column keys (SURVEY §2.3 extensions; operators/multimodal.py).
+
+``mm_decode_features`` exercises the REAL Arrow/mapInPandas decode
+path — Python receives columnar batches of binary payloads — with a
+deterministic fake codec, so the DuckDB oracle replays it exactly and
+the driver's hash-compare applies to a Pandas-UDF pipeline too.
+``mm_frame_sample`` is the JVM-side frame-index explode that feeds a
+per-frame decoder. The real codec is stubbed
+(operators/multimodal.py::decode_real) pending image/audio libs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.dedup import portable_hash_sql
+from ..operators.multimodal import decode_features, frame_sample, media_table
+from .base import register, t
+
+_H = portable_hash_sql("text")
+
+
+@register(
+    "mm_decode_features",
+    oracle=f"""
+    SELECT doc_id,
+           octet_length(encode(text))            AS n_bytes,
+           h % 640 + 1                           AS fake_width,
+           h % 480 + 1                           AS fake_height,
+           octet_length(encode(text)) // 256 + 1 AS n_frames
+    FROM (SELECT doc_id, text, {_H} AS h FROM documents)
+    """,
+)
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload -> features through mapInPandas (Arrow batches,
+    no per-row Python). The fake codec derives features from payload
+    bytes via the portable md5 hash, so this Pandas-UDF pipeline is
+    hash-checked against SQL like every JVM-side key."""
+    return decode_features(media_table(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "mm_frame_sample",
+    oracle="""
+    SELECT doc_id, frame_idx, frame_idx * 256 AS byte_offset
+    FROM (SELECT doc_id,
+                 unnest(range(0, octet_length(encode(text)) // 256 + 1, 4))
+                   AS frame_idx
+          FROM documents)
+    """,
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-4th-frame sampling: JVM-side sequence+explode produces
+    (doc_id, frame_idx, byte_offset) so a frame decoder touches only
+    sampled offsets — the explode stays ahead of Python at any scale."""
+    return frame_sample(media_table(t(spark, sf_dir, "documents")))

@@ -1,1 +1,423 @@
-"""Placeholder — filled in this round."""
+"""Text-analysis + deduplication keys over ``documents`` (SURVEY §2.3
+"LLM-data-pipeline extensions").
+
+The reference feeds a lakehouse whose downstream is analytic SQL
+(lib/commondb.py:81-108); a training-data lakehouse additionally needs
+text hygiene: token stats, language ID, quality scoring, fingerprinting,
+and exact/fuzzy dedup. All implementations are pure DataFrame
+composition (operators/dedup.py) — JVM-side, no Python row path — and
+every key here has an exact DuckDB oracle: the hashes are md5-derived
+(specification-fixed), the minhash/simhash constants are shared between
+the Spark code and the generated oracle SQL, and every float is either
+a single integer-exact division or explicitly rounded.
+
+The sf0.01 corpus contains ~25 planted near-duplicate pairs (3-word-
+shingle Jaccard >= 0.5); the fuzzy-dedup keys surface exactly those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..operators.dedup import (
+    MERSENNE31,
+    MINHASH_A,
+    MINHASH_B,
+    N_BANDS,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    SIMHASH_CHUNKS,
+    exact_dedup_groups,
+    minhash_buckets,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    portable_hash_sql,
+    shingles_sql,
+    simhash_df,
+    tokens_col,
+)
+from .base import register, t
+
+P = MERSENNE31
+
+# Shared oracle CTEs -------------------------------------------------------
+# Tokens in scope as list<varchar> column `t`; shingle hashes mod 2^31-1
+# mirror operators/dedup.py::shingle_hashes_col exactly.
+
+_TOKS = "SELECT doc_id, text, string_split(text, ' ') AS t FROM documents"
+
+
+def _hashes_cte(k: int) -> str:
+    return (
+        f"SELECT doc_id, list_distinct(list_transform({shingles_sql(k)}, "
+        f"s -> {portable_hash_sql('s')} % {P})) AS hs FROM ({_TOKS})"
+    )
+
+
+# ------------------------------------------------------------- token stats
+
+@register(
+    "text_tokenize_stats",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)                                  AS n_chars_calc,
+           len(t)                                        AS n_tokens,
+           len(list_distinct(t))                         AS n_distinct,
+           CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS ttr,
+           CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) AS avg_token_len,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens
+    FROM ({_TOKS})
+    """,
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token counting: whitespace tokens, distinct tokens,
+    type-token ratio, mean token length, and a BPE-ish regex token
+    count (letter runs / digit runs / single symbols). All JVM-side;
+    divisions are single IEEE ops so the oracle matches bit-exact."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    return d.select(
+        "doc_id",
+        n_chars.cast("bigint").alias("n_chars_calc"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        (F.size(F.array_distinct(toks)).cast("double") / n_tok).alias("ttr"),
+        ((n_chars - (n_tok - 1)).cast("double") / n_tok).alias("avg_token_len"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+        .cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+# ------------------------------------------------------------- language ID
+
+_MARKERS = {
+    "en": ("the", "a"),
+    "de": ("und", "der", "die"),
+    "fr": ("le", "la", "les"),
+    "es": ("el", "los", "las"),
+    "zh": ("的", "是"),
+}
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+           CASE WHEN s_en = g THEN 'en' WHEN s_de = g THEN 'de'
+                WHEN s_fr = g THEN 'fr' WHEN s_es = g THEN 'es'
+                ELSE 'zh' END AS pred_lang,
+           CASE WHEN (CASE WHEN s_en = g THEN 'en' WHEN s_de = g THEN 'de'
+                WHEN s_fr = g THEN 'fr' WHEN s_es = g THEN 'es'
+                ELSE 'zh' END) = lang THEN 1 ELSE 0 END AS is_match
+    FROM (
+      SELECT doc_id, lang, s_en, s_de, s_fr, s_es, s_zh,
+             greatest(s_en, s_de, s_fr, s_es, s_zh) AS g
+      FROM (
+        SELECT doc_id, lang,
+    """
+    + ",\n".join(
+        f"           len(list_filter(t, x -> x IN "
+        f"({', '.join(repr(m) for m in ms)}))) AS s_{lang}"
+        for lang, ms in _MARKERS.items()
+    )
+    + """
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents)
+      )
+    )
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: per-language stopword-marker counts,
+    argmax with a fixed tiebreak order (en>de>fr>es>zh). The n-gram
+    profile degenerates to marker counting on this synthetic corpus;
+    with a real corpus the marker lists are per-language char n-grams."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    def marker_count(ms):
+        return F.size(F.filter(toks, lambda x: x.isin(*ms))).cast("bigint")
+
+    scores = {
+        lang: marker_count(ms).alias(f"s_{lang}") for lang, ms in _MARKERS.items()
+    }
+    scored = d.select("doc_id", "lang", *scores.values())
+    g = F.greatest(*[F.col(f"s_{lang}") for lang in _MARKERS])
+    pred = F.when(F.col("s_en") == g, "en")
+    for lang in ("de", "fr", "es"):
+        pred = pred.when(F.col(f"s_{lang}") == g, lang)
+    pred = pred.otherwise("zh")
+    return scored.select(
+        "*",
+        pred.alias("pred_lang"),
+        F.when(pred == F.col("lang"), 1).otherwise(0).alias("is_match"),
+    )
+
+
+# ----------------------------------------------------------- quality score
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    SELECT doc_id, n_tokens, stop_cnt, stop_ratio, mean_tok_len, n_short,
+           CASE WHEN n_tokens >= 20 AND stop_ratio >= 0.02 AND stop_ratio <= 0.5
+                THEN 'good'
+                WHEN n_tokens >= 10 THEN 'fair' ELSE 'low' END AS quality
+    FROM (
+      SELECT doc_id,
+             len(t) AS n_tokens,
+             len(list_filter(t, x -> x IN ('the', 'a'))) AS stop_cnt,
+             CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+               / len(t) AS stop_ratio,
+             CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t) AS mean_tok_len,
+             len(list_filter(t, x -> length(x) <= 2)) AS n_short
+      FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+    )
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: stopword ratio, mean token length,
+    short-token count, bucketed verdict — the standard cheap pre-filter
+    before expensive dedup/classification passes at corpus scale."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+    stop_ratio = stop_cnt.cast("double") / n_tok
+    base = d.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        stop_cnt.cast("bigint").alias("stop_cnt"),
+        stop_ratio.alias("stop_ratio"),
+        ((F.length("text") - (n_tok - 1)).cast("double") / n_tok).alias("mean_tok_len"),
+        F.size(F.filter(toks, lambda x: F.length(x) <= 2))
+        .cast("bigint").alias("n_short"),
+    )
+    return base.select(
+        "*",
+        F.when(
+            (F.col("n_tokens") >= 20)
+            & (F.col("stop_ratio") >= 0.02) & (F.col("stop_ratio") <= 0.5),
+            "good",
+        ).when(F.col("n_tokens") >= 10, "fair").otherwise("low").alias("quality"),
+    )
+
+
+# ------------------------------------------------------------- fingerprint
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           len(hs)            AS n_shingles,
+           list_min(hs)       AS fingerprint,
+           list_min(hs) % 1024 AS fp_bucket
+    FROM ({_hashes_cte(3)})
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint: min over 3-word-shingle
+    hashes (a 1-perm minhash — the winnowing degenerate case), plus a
+    1024-way bucket for fingerprint-based clustering/partitioning."""
+    from ..operators.dedup import shingle_hashes_col
+
+    d = t(spark, sf_dir, "documents")
+    hs = shingle_hashes_col(F.col("text"), 3)
+    return d.select(
+        "doc_id",
+        F.size(hs).cast("bigint").alias("n_shingles"),
+        F.array_min(hs).alias("fingerprint"),
+        (F.array_min(hs) % 1024).alias("fp_bucket"),
+    )
+
+
+# ------------------------------------------------------------- exact dedup
+
+@register(
+    "text_exact_dedup",
+    oracle="""
+    SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS content_md5,
+           count(*)    AS n_docs,
+           min(doc_id) AS keeper_id
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: md5 over normalized text, keeper = min id.
+    One hash-shuffle on a 16-byte key; the cheapest dedup tier."""
+    return exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------- n-gram Jaccard
+
+@register(
+    "text_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (SELECT doc_id, unnest(hs) AS sh FROM ({_hashes_cte(3)})),
+    rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
+    shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
+    sz AS (SELECT doc_id, count(*) AS sz FROM shr GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM shr a JOIN shr b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_shared, sa.sz AS sz_a, sb.sz AS sz_b,
+           CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) AS jaccard
+    FROM inter
+    JOIN sz sa ON id_a = sa.doc_id
+    JOIN sz sb ON id_b = sb.doc_id
+    WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.2
+    """,
+)
+def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by exact 3-word-shingle Jaccard via an inverted-
+    index join (no cross join; hot shingles capped at df<=100). Finds
+    the corpus's planted near-duplicates (~25 pairs at sf0.01)."""
+    return ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), k=3, threshold=0.2, max_shingle_df=100
+    )
+
+
+# ----------------------------------------------------------------- minhash
+
+def _minhash_sig_sql() -> str:
+    mins = ",\n".join(
+        f"           list_min(list_transform(hs, x -> ({a} * x + {b}) % {P}))"
+        f" AS mh_{i}"
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    return f"SELECT doc_id,\n{mins}\n    FROM ({_hashes_cte(3)})"
+
+
+def _minhash_buckets_sql() -> str:
+    bands = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {band} AS band_id, "
+        + portable_hash_sql(
+            "concat_ws('_', "
+            + ", ".join(
+                f"mh_{band * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            )
+            + ")"
+        )
+        + " AS band_hash FROM sig"
+        for band in range(N_BANDS)
+    )
+    return f"WITH sig AS ({_minhash_sig_sql()})\n{bands}"
+
+
+@register("text_minhash_dedup", oracle=_minhash_buckets_sql())
+def text_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH bucket table: 16 universal-hash minima over 3-word
+    shingles, banded 4x4 (Jaccard s-curve threshold ~0.71). One row per
+    (doc, band); docs sharing a bucket are near-dup candidates. At
+    corpus scale this shuffles on band_hash only — never all-pairs."""
+    return minhash_buckets(t(spark, sf_dir, "documents"), k=3)
+
+
+@register(
+    "text_minhash_pairs",
+    oracle=f"""
+    WITH buckets AS ({_minhash_buckets_sql()})
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM buckets l
+    JOIN buckets r ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+                   AND l.doc_id < r.doc_id
+    """,
+)
+def text_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct candidate near-dup pairs from MinHash-LSH bucket
+    collisions — the planted ~0.98-Jaccard pairs all collide in >=1
+    band; random pairs (J~0.02) essentially never do."""
+    return minhash_candidate_pairs(t(spark, sf_dir, "documents"), k=3)
+
+
+# ----------------------------------------------------------------- simhash
+
+def _simhash_sql() -> str:
+    chunk_w = SIMHASH_BITS // SIMHASH_CHUNKS
+    sums = ",\n".join(
+        f"             CAST(sum(tf * (2 * ((h >> {j}) & 1) - 1)) AS BIGINT)"
+        f" AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    chunks = ",\n".join(
+        f"           (simhash >> {c * chunk_w}) & {(1 << chunk_w) - 1}"
+        f" AS chunk_{c}"
+        for c in range(SIMHASH_CHUNKS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, tok, count(*) AS tf, {portable_hash_sql('tok')} AS h
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY doc_id, tok
+    ),
+    sums AS (
+      SELECT doc_id,
+{sums}
+      FROM tok GROUP BY doc_id
+    )
+    SELECT doc_id, simhash,
+{chunks}
+    FROM (SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums)
+    """
+
+
+@register("text_simhash", oracle=_simhash_sql())
+def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signatures + 8-bit chunks for banded near-dup
+    search (equal chunk => hamming<=3 candidates, pigeonhole). One
+    explode + one grouped aggregation with 32 conditional sums —
+    map-side partials, a single shuffle on doc_id."""
+    return simhash_df(t(spark, sf_dir, "documents"))
+
+
+# ------------------------------------------------------------------- tfidf
+
+@register(
+    "tfidf_keywords",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, tf, df, score, rk
+    FROM (
+      SELECT t.doc_id, t.term, t.tf, d.df,
+             CAST(t.tf * n.n AS DOUBLE) / d.df AS score,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY CAST(t.tf * n.n AS DOUBLE) / d.df DESC, t.term
+             ) AS rk
+      FROM tf t JOIN df d USING (term) CROSS JOIN n
+    )
+    WHERE rk <= 5
+    """,
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 keywords per doc by tf * (N/df) — a linear idf variant
+    chosen because tf*N is integer-exact and one double division
+    matches the oracle bit-for-bit (ln-based idf differs in last-ulp
+    between libm builds). term-asc tiebreak makes ranks deterministic."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    n = d.count()  # scalar: one job over parquet footers; fine at any scale
+    scored = (
+        tf.join(df, "term")
+        .withColumn("score", (F.col("tf") * F.lit(n)).cast("double") / F.col("df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )

@@ -20,6 +20,11 @@ def spark():
 
 
 @pytest.fixture(scope="session")
+def sf_dir():
+    return SF_SMOKE
+
+
+@pytest.fixture(scope="session")
 def tables(spark):
     from lakehouse_automation_spark.engine import load_tables
 

@@ -1,0 +1,103 @@
+"""Operator-level tests for operators/dedup.py: constructed near-dups,
+short-doc edge cases, and cross-engine hash parity (SURVEY §5.4)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_automation_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    portable_hash,
+    portable_hash_sql,
+    shingles_col,
+    simhash_df,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat naps "
+    "under a warm sun near the old stone wall by the river bend today"
+)
+NEAR = BASE.replace("lazy", "sleepy")          # 1-token edit: near-dup
+FAR = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized operators plus adaptive shuffle planning "
+    "for large scale distributed analytical workloads in the lakehouse"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(0, BASE), (1, NEAR), (2, FAR), (3, BASE)]  # 3 = exact dup of 0
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_portable_hash_matches_duckdb(spark):
+    vals = ["", "a", "hello world", "ünïcode ok"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    got = {r.s: r.h for r in df.select("s", portable_hash(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for v in vals:
+        want = con.execute(
+            f"SELECT {portable_hash_sql('?')}", [v]).fetchone()[0]
+        assert got[v] == want, v
+
+
+def test_shingles_short_doc_empty(spark):
+    df = spark.createDataFrame([(1, "one two"), (2, "one")], "doc_id long, text string")
+    out = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", shingles_col(F.col("text"), 3).alias("sh")).collect()
+    }
+    assert out[1] == [] and out[2] == []
+
+
+def test_exact_dedup_groups(spark, docs):
+    groups = {r.content_md5: r for r in exact_dedup_groups(docs).collect()}
+    assert len(groups) == 3  # 0 & 3 collapse
+    dup = [g for g in groups.values() if g.n_docs == 2]
+    assert len(dup) == 1 and dup[0].keeper_id == 0
+
+
+def test_ngram_jaccard_finds_planted_pair(spark, docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard
+             for r in ngram_jaccard_pairs(docs, k=3, threshold=0.2).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] > 0.5   # near-dup found
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0  # exact dup
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_minhash_pairs_near_vs_far(spark, docs):
+    pairs = {(r.id_a, r.id_b)
+             for r in minhash_candidate_pairs(docs, k=3).collect()}
+    assert (0, 3) in pairs                  # identical docs always collide
+    assert (0, 1) in pairs                  # J~0.9 near-dup collides
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_simhash_near_dup_distance(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash_df(docs).collect()}
+    assert sh[0] == sh[3]
+    ham_near = bin(sh[0] ^ sh[1]).count("1")
+    ham_far = bin(sh[0] ^ sh[2]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in simhash_pairs(docs, max_hamming=3).collect()}
+    assert pairs[(0, 3)] == 0
+    assert (0, 1) in pairs  # 1-token edit stays within hamming 3
+
+
+def test_minhash_no_false_positives_on_corpus(spark, sf_dir):
+    """On the real sf0.001 corpus, LSH candidates must all be genuinely
+    similar (verified against exact 3-shingle Jaccard >= 0.2)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cand = set(map(tuple, minhash_candidate_pairs(docs, k=3)
+                   .select("id_a", "id_b").collect()))
+    truth = set(map(tuple, ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+                    .select("id_a", "id_b").collect()))
+    assert cand, "corpus should contain planted near-dups"
+    assert cand <= truth, f"false positives: {cand - truth}"

@@ -1,0 +1,66 @@
+"""Multimodal plumbing tests: binary schema, Arrow batch shape through
+mapInPandas, the deterministic fake codec, and the real-codec stub."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_automation_spark.operators.multimodal import (
+    FRAME_BYTES,
+    _fake_decode_one,
+    decode_features,
+    decode_real,
+    frame_sample,
+    media_table,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return media_table(docs).cache()
+
+
+def test_media_schema_binary(media):
+    dt = dict(media.dtypes)
+    assert dt["payload"] == "binary"
+    assert dt["n_bytes"] == "bigint"
+
+
+def test_decode_matches_reference_impl(media):
+    sample = media.orderBy("doc_id").limit(5).collect()
+    decoded = {r.doc_id: r for r in decode_features(media).collect()}
+    for row in sample:
+        want = _fake_decode_one(bytes(row.payload))
+        got = decoded[row.doc_id]
+        assert (got.n_bytes, got.fake_width, got.fake_height, got.n_frames) == want
+
+
+def test_decode_runs_in_batches_not_rows(spark, media):
+    """mapInPandas must see a handful of Arrow batches, not 500
+    single-row calls: count batches via an accumulator."""
+    acc = spark.sparkContext.accumulator(0)
+
+    def counting(batches):
+        for pdf in batches:
+            acc.add(1)
+            yield pdf[["doc_id"]]
+
+    media.select("doc_id", "payload").repartition(2).mapInPandas(
+        counting, "doc_id bigint"
+    ).count()
+    assert 0 < acc.value <= 10
+
+
+def test_frame_sample_offsets(media):
+    rows = frame_sample(media).filter(F.col("doc_id") == 0).collect()
+    n_bytes = media.filter(F.col("doc_id") == 0).head().n_bytes
+    n_frames = n_bytes // FRAME_BYTES + 1
+    assert [r.frame_idx for r in rows] == list(range(0, n_frames, 4))
+    assert all(r.byte_offset == r.frame_idx * FRAME_BYTES for r in rows)
+
+
+def test_real_decode_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_real(b"\x89PNG...")

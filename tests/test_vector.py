@@ -1,0 +1,96 @@
+"""Operator-level tests for operators/vector.py: exactness of the
+brute-force tier and recall gates for the approximate tiers
+(SURVEY §5.4 — recall >= bound, not exact sets, for LSH)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_automation_spark.operators.vector import (
+    cosine_topk,
+    dot,
+    ivf_topk,
+    knn_join_lsh,
+    norm,
+    with_vnorm,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_dot_and_norm_exact(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in df.select(
+        "vec_id",
+        dot(F.col("embedding"), F.col("embedding")).alias("d"),
+        norm(F.col("embedding")).alias("n"),
+    ).collect()}
+    assert rows[1].d == 14.0 and rows[1].n == math.sqrt(14.0)
+    assert rows[2].d == 0.0
+
+
+def _exact_topk_sets(emb, n_queries, k):
+    out = {}
+    for r in cosine_topk(emb, n_queries=n_queries, k=k).collect():
+        out.setdefault(r.q_id, set()).add(r.vec_id)
+    return out
+
+
+def test_cosine_topk_shape_and_selfexclusion(emb):
+    res = cosine_topk(emb, n_queries=3, k=5).collect()
+    assert len(res) == 15
+    assert all(r.q_id != r.vec_id for r in res)
+    assert all(-1.0 <= r.sim_r <= 1.0 for r in res)
+
+
+def test_ivf_recall_vs_exact(emb):
+    """IVF probing 3/8 cells must beat the ~3/8 random-candidate
+    baseline by a wide margin on the neighbors that matter."""
+    k = 10
+    exact = _exact_topk_sets(emb, 5, k)
+    approx = {}
+    for r in ivf_topk(emb, n_centroids=8, nprobe=3, n_queries=5, k=k).collect():
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+    recall = sum(len(exact[q] & approx.get(q, set())) for q in exact) / (len(exact) * k)
+    assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_lsh_knn_recall_vs_exact(emb):
+    """RP-LSH (8 bands x 4 bits) recall on top-5 neighbors: candidates
+    are ~a third of the corpus, but sign-LSH concentrates them on the
+    high-cosine pairs, so recall must clear 0.6."""
+    k = 5
+    n_eval = 20
+    exact = {}
+    for r in cosine_topk(emb, n_queries=n_eval, k=k).collect():
+        exact.setdefault(r.q_id, set()).add(r.vec_id)
+    approx = {}
+    for r in knn_join_lsh(emb, k=k).filter(F.col("q_id") < n_eval).collect():
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+    recall = sum(len(exact[q] & approx.get(q, set())) for q in exact) / (n_eval * k)
+    assert recall >= 0.6, f"LSH recall {recall:.2f}"
+
+
+def test_lsh_reranks_exactly_within_candidates(emb):
+    """Within its candidate set the LSH join is exact: sim_r values must
+    match the brute-force sims for the same (q, v) pairs."""
+    brute = {(r.q_id, r.vec_id): r.sim_r
+             for r in cosine_topk(emb, n_queries=3, k=50).collect()}
+    for r in knn_join_lsh(emb, k=5).filter(F.col("q_id") < 3).collect():
+        if (r.q_id, r.vec_id) in brute:
+            assert r.sim_r == brute[(r.q_id, r.vec_id)]
+
+
+def test_with_vnorm_no_shuffle(emb):
+    """The norm projection must stay narrow — no exchange in the plan."""
+    plan = with_vnorm(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
