@@ -44,7 +44,13 @@ HEADLINE = [
     "text_exact_dedup",
     "text_tokenize_stats",
     "tfidf_keywords",
+    "text_ngram_jaccard",
+    "text_minhash_dedup",
+    "text_simhash",
     "vec_cosine_topk",
+    "vec_neardup_cosine",
+    "vec_knn_join",
+    "mm_decode_features",
 ]
 
 

@@ -66,6 +66,13 @@ def get_spark(app_name: str = "lakehouse_automation_spark",
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Wide unrolled expressions (64-dim dot products, operators/
+        # vector.py) codegen into single methods past HotSpot's 8 KB
+        # JIT cutoff; without this flag they execute as interpreted
+        # bytecode (~20x slower). JVM-launch-time only, so it applies
+        # to sessions WE build (bench, tests); driver-owned sessions
+        # still run correctly, just slower on those keys.
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

@@ -150,7 +150,10 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1,
         .filter(F.col("df") <= max_shingle_df)
         .select("sh")
     )
-    sh = sh.join(rare, "sh")
+    # The capped shingle table feeds three consumers (sizes + both join
+    # sides); persist it so the shingling pipeline runs once per action
+    # instead of 4x. At corpus scale this is a checkpoint to storage.
+    sh = sh.join(rare, "sh").persist()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -203,10 +206,21 @@ def minhash_buckets(docs: DataFrame, k: int = 2, text: str = "text",
     At scale the bucket table shuffles on band_hash — bounded fanout,
     no cross join; candidates then verify with exact Jaccard.
     """
-    sig = docs.select(
+    # Explode the shingle hashes once, then take the 16 permutation
+    # minima as grouped MIN aggregates: hash-agg with map-side partials,
+    # all 16 expressions whole-stage-codegen'd. The array form
+    # (16x array_min(transform(...))) evaluates interpreted lambdas —
+    # ~10x slower. Docs with zero shingles drop out (explode of empty),
+    # mirrored by the oracle's len(hs) >= 1 guard.
+    ex = docs.select(
         F.col(id_col),
-        *minhash_signature_cols(shingle_hashes_col(F.col(text), k)),
+        F.explode(shingle_hashes_col(F.col(text), k)).alias("h"),
     )
+    sig = ex.groupBy(id_col).agg(*[
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31))
+        .alias(f"mh_{i}")
+        for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ])
     bands = F.array(*[
         F.struct(
             F.lit(band).alias("band_id"),
@@ -227,7 +241,7 @@ def minhash_buckets(docs: DataFrame, k: int = 2, text: str = "text",
 def minhash_candidate_pairs(docs: DataFrame, k: int = 2, text: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
     """Distinct candidate near-dup pairs from LSH bucket collisions."""
-    b = minhash_buckets(docs, k=k, text=text, id_col=id_col)
+    b = minhash_buckets(docs, k=k, text=text, id_col=id_col).persist()
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
@@ -284,7 +298,7 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by banded SimHash: candidates share >=1 chunk,
     then exact hamming distance (bit_count of XOR) filters."""
-    sh = simhash_df(docs, text=text, id_col=id_col)
+    sh = simhash_df(docs, text=text, id_col=id_col).persist()
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk_id"), F.col(f"chunk_{c}").alias("chunk_val"))
         for c in range(SIMHASH_CHUNKS)

@@ -288,7 +288,12 @@ def _minhash_sig_sql() -> str:
         f" AS mh_{i}"
         for i, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     )
-    return f"SELECT doc_id,\n{mins}\n    FROM ({_hashes_cte(3)})"
+    # len(hs) >= 1 mirrors the Spark side's explode (zero-shingle docs
+    # have no signature).
+    return (
+        f"SELECT doc_id,\n{mins}\n    FROM ({_hashes_cte(3)})"
+        f" WHERE len(hs) >= 1"
+    )
 
 
 def _minhash_buckets_sql() -> str:
