@@ -48,7 +48,7 @@ HEADLINE = [
     "text_minhash_dedup",
     "text_simhash",
     "vec_cosine_topk",
-    "vec_neardup_cosine",
+    "vec_neardup_lsh",
     "vec_knn_join",
     "mm_decode_features",
 ]

@@ -56,7 +56,7 @@ def get_spark(app_name: str = "lakehouse_automation_spark",
     memory knob.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or "*"
-    n = os.cpu_count() or 8 if cpus == "*" else int(cpus)
+    n = (os.cpu_count() or 8) if cpus == "*" else int(cpus)
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)

@@ -151,9 +151,12 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1,
         .select("sh")
     )
     # The capped shingle table feeds three consumers (sizes + both join
-    # sides); persist it so the shingling pipeline runs once per action
-    # instead of 4x. At corpus scale this is a checkpoint to storage.
-    sh = sh.join(rare, "sh").persist()
+    # sides). No persist(): the self-join's two exchanges canonicalize
+    # identically and Spark's ReuseExchange computes them once, and a
+    # persist here would outlive the query (no unpersist hook) and
+    # churn executor storage across a many-key sweep. At corpus scale
+    # an explicit checkpoint to storage replaces this.
+    sh = sh.join(rare, "sh")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -241,7 +244,10 @@ def minhash_buckets(docs: DataFrame, k: int = 2, text: str = "text",
 def minhash_candidate_pairs(docs: DataFrame, k: int = 2, text: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
     """Distinct candidate near-dup pairs from LSH bucket collisions."""
-    b = minhash_buckets(docs, k=k, text=text, id_col=id_col).persist()
+    # no persist: both self-join sides shuffle on (band_id, band_hash)
+    # with identical subtrees — ReuseExchange runs the signature
+    # pipeline once, with nothing left cached after the query.
+    b = minhash_buckets(docs, k=k, text=text, id_col=id_col)
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
@@ -298,7 +304,9 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by banded SimHash: candidates share >=1 chunk,
     then exact hamming distance (bit_count of XOR) filters."""
-    sh = simhash_df(docs, text=text, id_col=id_col).persist()
+    # no persist: self-join sides reuse one exchange (see simhash_pairs'
+    # minhash sibling) — no cache left behind after the query.
+    sh = simhash_df(docs, text=text, id_col=id_col)
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk_id"), F.col(f"chunk_{c}").alias("chunk_val"))
         for c in range(SIMHASH_CHUNKS)

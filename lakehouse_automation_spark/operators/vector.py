@@ -213,8 +213,40 @@ def lsh_bucket_table(emb: DataFrame) -> DataFrame:
         n.select("vec_id", "v").crossJoin(planes)
         .select("vec_id", "band_id", "bit_pos", bit.alias("bit"))
         .groupBy("vec_id", "band_id")
-        .agg(F.sum(F.shiftleft(F.col("bit"), F.col("bit_pos")))
+        # F.shiftleft() only accepts a Python int for numBits; the SQL
+        # form takes a column expression for the shift amount.
+        .agg(F.sum(F.expr("shiftleft(bit, bit_pos)"))
              .cast("int").alias("bucket"))
+    )
+
+
+def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """Embedding near-duplicate pairs, the 100-TB shape: LSH band-bucket
+    candidate generation (sublinear — pairs only materialize for
+    vectors sharing >=1 band bucket), then EXACT cosine verification of
+    candidates only. Same output contract as
+    :func:`cosine_neardup_pairs` (id_a < id_b, sim_r >= threshold)
+    restricted to LSH candidates; recall vs the exact all-pairs tier is
+    asserted in tests. Vectors re-attach via shuffle equi-joins — both
+    sides are corpus-sized, nothing is broadcast."""
+    b = lsh_bucket_table(emb).select("vec_id", "band_id", "bucket")
+    cand = (
+        b.select(F.col("vec_id").alias("id_a"), "band_id", "bucket")
+        .join(b, ["band_id", "bucket"])
+        .filter(F.col("id_a") < F.col("vec_id"))
+        .dropDuplicates(["id_a", "vec_id"])
+        .select("id_a", F.col("vec_id").alias("id_b"))
+    )
+    n = with_vnorm(emb)
+    a = n.select(F.col("vec_id").alias("id_a"),
+                 F.col("v").alias("va"), F.col("nrm").alias("na"))
+    c = n.select(F.col("vec_id").alias("id_b"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sim = cosine_sim(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    return (
+        cand.join(a, "id_a").join(c, "id_b")
+        .select("id_a", "id_b", sim.alias("sim_r"))
+        .filter(F.col("sim_r") >= threshold)
     )
 
 
@@ -224,13 +256,16 @@ def knn_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
 
     The bucket join shuffles on (band_id, bucket) — bounded fanout,
     never all-pairs. Recall is tunable via N_LSH_BANDS/BITS_PER_BAND
-    (tests assert recall vs the exact scan)."""
-    # Bucket table carries IDS ONLY through the join + dedup shuffles
-    # (shuffling the 64-double arrays through dropDuplicates costs GBs
-    # for nothing); vectors re-attach via broadcast equi-joins after.
-    # persist(): both self-join sides read it, and the 32-plane
-    # signature projection is the expensive part — compute it once.
-    b = lsh_bucket_table(emb).select("vec_id", "band_id", "bucket").persist()
+    (tests assert recall vs the exact scan).
+
+    Scale shape: candidate generation carries IDS ONLY; vectors
+    re-attach via SHUFFLE equi-joins on the id (both sides of an
+    all-to-all kNN are corpus-sized, so nothing here is broadcastable
+    — a broadcast re-attach would OOM at 100 TB). The self-join's two
+    scans of the bucket table share one physical exchange via Spark's
+    ReuseExchange rule, so the 32-plane signature projection computes
+    once without any persist()/cache churn."""
+    b = lsh_bucket_table(emb).select("vec_id", "band_id", "bucket")
     cand = (
         b.select(F.col("vec_id").alias("q_id"), "band_id", "bucket")
         .join(b, ["band_id", "bucket"])
@@ -239,9 +274,9 @@ def knn_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
         .select("q_id", "vec_id")
     )
     n = with_vnorm(emb)
-    q = F.broadcast(n.select(F.col("vec_id").alias("q_id"),
-                             F.col("v").alias("qv"), F.col("nrm").alias("qn")))
-    c = F.broadcast(n.select("vec_id", "v", "nrm"))
+    q = n.select(F.col("vec_id").alias("q_id"),
+                 F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    c = n.select("vec_id", "v", "nrm")
     cand = cand.join(q, "q_id").join(c, "vec_id")
     sim = cosine_sim(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))

@@ -130,41 +130,19 @@ def incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6 — incremental external-table load (sys.heatwave_load with
     refresh_external_tables, check_lakehouse.py:146-150) as a real
     Structured Streaming file-source ingest: readStream over the
-    events parquet, availableNow trigger, append into an in-memory
-    staging view; the returned aggregate proves the loaded contents.
-    The checkpoint (here: in-memory sink state) is what replaces the
-    reference's mtime+ledger heuristic for exactly-once."""
-    import os
-    import uuid
+    events parquet, availableNow trigger, foreachBatch into a parquet
+    scratch dir (idempotent per-batch subdirs), BOUNDED await; the
+    returned aggregate proves the loaded contents. The checkpoint's
+    seen-files tracking replaces the reference's mtime+ledger
+    heuristic."""
+    from .base import bounded_file_ingest
 
-    from ..engine.catalog import table
-
-    batch_df = table(spark, sf_dir, "events")
-    name = f"inc_load_{uuid.uuid4().hex[:8]}"
-    # the streaming file source wants a DIRECTORY; narrow to the one
-    # table with pathGlobFilter
-    stream = (
-        spark.readStream.schema(
-            spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    q = (
-        stream.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    loaded = spark.table(name)
+    loaded = bounded_file_ingest(spark, sf_dir, "events.parquet")
     # normalize the ns-long ts exactly like the batch catalog does
     if dict(loaded.dtypes).get("ts") == "bigint":
         loaded = loaded.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
         )
-    _ = batch_df  # documented parity: stream result == batch read
     return loaded.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),

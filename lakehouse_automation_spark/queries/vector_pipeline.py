@@ -21,6 +21,7 @@ from ..operators.vector import (
     cosine_topk,
     ivf_topk,
     knn_join_lsh,
+    lsh_neardup_pairs,
 )
 from .base import register, t
 
@@ -128,6 +129,16 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests (production swaps in k-means centroids, same plan shape)."""
     return ivf_topk(t(spark, sf_dir, "embeddings"),
                     n_centroids=8, nprobe=3, n_queries=5, k=10)
+
+
+@register("vec_neardup_lsh", oracle=None)
+def vec_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at scale: LSH band-bucket candidates +
+    exact cosine verification of candidates only — the benched 100-TB
+    path (the exact all-pairs tier, vec_neardup_cosine, stays as the
+    oracle ground truth). Approximate by design (recall tracks the LSH
+    s-curve): rows-only driver check + pytest recall gate."""
+    return lsh_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @register("vec_knn_join", oracle=None)

@@ -7,7 +7,12 @@ mount, take the newest file, and if its mtime is within 600 s call
 attempt in a SQLite ledger. That mtime-vs-now heuristic can MISS files
 that land during a long load (SURVEY §3 EP2); the Structured Streaming
 file source tracks seen-files in the checkpoint, making that bug
-structurally impossible while keeping exactly-once.
+structurally impossible. Delivery is the file-source's seen-files
+tracking (each file read once) plus an IDEMPOTENT sink: every batch
+overwrites its own ``b{batch_id}`` subdir, so a batch retried from the
+checkpoint after a partial write replaces its output instead of
+duplicating rows — effectively-once without a transactional table
+format (Delta MERGE slots in here when jars are present).
 
 Scale posture: ``maxFilesPerTrigger`` backpressure; the sink is an
 append to a date-partitioned parquet table (Delta MERGE when jars are
@@ -66,10 +71,16 @@ class IngestPipeline:
         )
 
     def _write_batch(self, batch_df, batch_id: int) -> None:
-        """foreachBatch body (A6+A7): append the micro-batch, then the
-        audit row — success flag mirrors check_lakehouse.py:114-119."""
+        """foreachBatch body (A6+A7): write the micro-batch, then the
+        audit row — success flag mirrors check_lakehouse.py:114-119.
+
+        Each batch OVERWRITES its own subdir keyed by batch_id: a batch
+        replayed from the checkpoint after a mid-write failure replaces
+        its partial output rather than appending a duplicate (the
+        failure mode the reference's ledger exists to audit)."""
         try:
-            batch_df.write.mode("append").parquet(self.table_dir)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(self.table_dir, f"b{batch_id}"))
             ok = True
         except Exception:  # noqa: BLE001
             ok = False
@@ -91,8 +102,10 @@ class IngestPipeline:
             .start()
         )
 
-    def run_available(self) -> None:
-        """Process all currently-landed files exactly once, then stop."""
+    def run_available(self, timeout_s: int = 120) -> None:
+        """Process all currently-landed files once, then stop. Bounded:
+        if the query hasn't drained within ``timeout_s`` it is stopped
+        rather than blocking the caller forever."""
         q = (
             self._stream().writeStream
             .foreachBatch(self._write_batch)
@@ -100,9 +113,10 @@ class IngestPipeline:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination()
+        if not q.awaitTermination(timeout=timeout_s):
+            q.stop()
 
     def table(self):
         return self.spark.read.schema(
             T.StructType(self.schema.fields + [T.StructField("ingest_ts", T.TimestampType())])
-        ).parquet(self.table_dir)
+        ).option("recursiveFileLookup", "true").parquet(self.table_dir)

@@ -10,10 +10,12 @@ import pytest
 from pyspark.sql import functions as F
 
 from lakehouse_automation_spark.operators.vector import (
+    cosine_neardup_pairs,
     cosine_topk,
     dot,
     ivf_topk,
     knn_join_lsh,
+    lsh_neardup_pairs,
     norm,
     with_vnorm,
 )
@@ -88,6 +90,46 @@ def test_lsh_reranks_exactly_within_candidates(emb):
     for r in knn_join_lsh(emb, k=5).filter(F.col("q_id") < 3).collect():
         if (r.q_id, r.vec_id) in brute:
             assert r.sim_r == brute[(r.q_id, r.vec_id)]
+
+
+def test_lsh_neardup_recall_and_precision(emb):
+    """The benched scale path (LSH candidates + exact verify) against
+    the exact all-pairs tier: every emitted pair must be a TRUE near-dup
+    with the exact sim (precision 1.0 by construction — the verify step
+    recomputes exact cosine), and recall over the exact pair set must
+    clear the LSH s-curve floor."""
+    exact = {(r.id_a, r.id_b): r.sim_r
+             for r in cosine_neardup_pairs(emb, threshold=0.4).collect()}
+    approx = {(r.id_a, r.id_b): r.sim_r
+              for r in lsh_neardup_pairs(emb, threshold=0.4).collect()}
+    assert approx, "LSH near-dup returned no pairs"
+    for p, s in approx.items():
+        assert p in exact and exact[p] == s  # exact-verified subset
+    recall = len(approx) / len(exact)
+    assert recall >= 0.5, f"LSH near-dup recall {recall:.2f}"
+
+
+def test_neardup_plans_have_no_forced_corpus_broadcast(emb):
+    """100-TB guard: the corpus re-attach joins must not FORCE a
+    broadcast (a hint survives any data size and would OOM at scale;
+    planner-chosen broadcasts at small scale are fine — they flip to
+    shuffle joins automatically as stats grow). With auto-broadcast
+    disabled, the only hinted broadcast left is the 32-row plane
+    table inside lsh_bucket_table."""
+    import re
+
+    spark = emb.sparkSession
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for df in (lsh_neardup_pairs(emb), knn_join_lsh(emb, k=5)):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            n_bc = len(re.findall(r"BroadcastExchange", plan))
+            # <=2: the plane-table hint appears once per self-join side
+            # before ReuseExchange collapses them
+            assert n_bc <= 2, f"forced corpus broadcast in plan:\n{plan}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_with_vnorm_no_shuffle(emb):

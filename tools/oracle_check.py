@@ -13,10 +13,15 @@ surprises.
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
 import pandas as pd
+
+# Run as `python tools/oracle_check.py` from anywhere: put the repo
+# root (not tools/) on sys.path so the package imports resolve.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = (
@@ -81,7 +86,9 @@ def main() -> int:
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
 
-    keys = sys.argv[1:] or sorted(REGISTRY)
+    # registration order — the same order the driver's sweep uses, so a
+    # key that wedges shows up at the same position it would there
+    keys = sys.argv[1:] or list(REGISTRY)
     failures = 0
     for key in keys:
         q = REGISTRY[key]
