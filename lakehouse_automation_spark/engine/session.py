@@ -47,6 +47,64 @@ def tune_session(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def s3a_confs(bucket: str, endpoint: str, access_key: str,
+              secret_key: str, path_style: bool = True) -> dict[str, str]:
+    """A16 storage_mount — the reference binds object storage via an
+    s3fs-FUSE mount plus an OCI credential file
+    (``lakehouse_setup.sh:416``, creds ``:303-321``). Spark-native
+    there is NO mount step at all: configure the Hadoop S3A connector
+    and every reader/writer takes ``s3a://<bucket>/...`` paths
+    directly, each executor doing its own ranged GETs (the FUSE
+    single-channel bottleneck disappears).
+
+    Returns builder-style ``spark.hadoop.fs.s3a.*`` entries; pass to
+    ``SparkSession.builder.config`` or :func:`apply_s3a` on a live
+    session. ``bucket.probe=0`` skips the existence HEAD call (OCI's
+    S3-compat endpoint rejects it)."""
+    return {
+        "spark.hadoop.fs.s3a.endpoint": endpoint,
+        "spark.hadoop.fs.s3a.access.key": access_key,
+        "spark.hadoop.fs.s3a.secret.key": secret_key,
+        "spark.hadoop.fs.s3a.path.style.access": str(bool(path_style)).lower(),
+        f"spark.hadoop.fs.s3a.bucket.{bucket}.probe": "0",
+    }
+
+
+def apply_s3a(spark: SparkSession, confs: dict[str, str]) -> list[str]:
+    """Apply :func:`s3a_confs` output to a LIVE session's Hadoop conf
+    (hadoop confs are not spark.conf-settable after startup). Returns
+    the hadoop-level keys that were set."""
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    keys = []
+    for k, v in confs.items():
+        hk = k.removeprefix("spark.hadoop.")
+        hc.set(hk, v)
+        keys.append(hk)
+    return keys
+
+
+def delta_available() -> bool:
+    """North-star probe (BASELINE.json: "Spark SQL + Delta/Iceberg").
+    True only when the delta-spark python bindings AND jars are
+    importable. This sandbox ships neither (no pip/apt), so callers
+    keep the relational MERGE emulation (operators/upsert.py) and the
+    mtime-window retention; with jars present ``sink_upsert`` upgrades
+    to ``DeltaTable.merge`` and retention to ``VACUUM``. The absence is
+    logged once at session build."""
+    import importlib.util
+
+    if importlib.util.find_spec("delta") is None:
+        return False
+    try:
+        from delta.tables import DeltaTable  # noqa: F401
+        return True
+    except Exception:  # noqa: BLE001 — bindings without jars
+        return False
+
+
+_delta_logged = False
+
+
 def get_spark(app_name: str = "lakehouse_automation_spark",
               cpus: int | str | None = None) -> SparkSession:
     """Build (or fetch) the tuned local session.
@@ -76,6 +134,20 @@ def get_spark(app_name: str = "lakehouse_automation_spark",
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
+    global _delta_logged
+    if delta_available():
+        builder = (
+            builder.config("spark.sql.extensions",
+                           "io.delta.sql.DeltaSparkSessionExtension")
+            .config("spark.sql.catalog.spark_catalog",
+                    "org.apache.spark.sql.delta.catalog.DeltaCatalog")
+        )
+    elif not _delta_logged:
+        _delta_logged = True
+        import logging
+        logging.getLogger(__name__).info(
+            "delta-spark not present in this environment; MERGE/VACUUM "
+            "run via the relational emulation (operators/upsert.py)")
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return tune_session(spark)

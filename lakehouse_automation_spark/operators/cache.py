@@ -1,0 +1,69 @@
+"""Tracked persist: cache mid-plan tables with a release hook.
+
+Several operators build a mid-plan table consumed by 2-3 downstream
+subtrees (LSH bucket tables, capped shingle tables). Leaving them
+unpersisted recomputes the whole upstream pipeline once per consumer —
+Spark's ReuseExchange does NOT cover it once AQE converts the
+self-joins to broadcast joins (each broadcast side re-executes the
+subtree; measured 8 full shingle-pipeline executions in one
+ngram-jaccard query). A bare ``persist()`` fixes the recompute but
+leaks storage across long many-key sweeps (round-1 review flagged it).
+
+``tracked_persist`` is the middle path: persist, remember the handle,
+and let harnesses (``bench.py``, ``tools/oracle_check.py``) call
+``release_persisted()`` between keys. A sweep that never calls it
+degrades to LRU eviction under memory pressure — the same behavior as
+a bare persist, never worse. At 100-TB scale these mid-plan tables are
+instead written to storage (checkpoint) and the hook is a no-op.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+_PERSISTED: list[DataFrame] = []
+_KEYED: dict[tuple, DataFrame] = {}
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() + remember the handle for :func:`release_persisted`."""
+    df = df.persist()
+    _PERSISTED.append(df)
+    return df
+
+
+def tracked_persist_keyed(key: tuple, make: Callable[[], DataFrame]) -> DataFrame:
+    """Memoized tracked persist. Spark's CacheManager dedupes repeated
+    persists of the SAME plan, but plans containing a fresh
+    ``createDataFrame`` LocalRelation (e.g. the LSH plane table) never
+    canonicalize equal — every call would cache ANOTHER copy (measured:
+    one new persistent RDD per bench iteration, with runtimes degrading
+    as storage filled). Keying on (operator, input semantic hash)
+    returns the already-persisted table instead."""
+    df = _KEYED.get(key)
+    if df is not None:
+        return df
+    df = make().persist()
+    _PERSISTED.append(df)
+    _KEYED[key] = df
+    return df
+
+
+def release_persisted(blocking: bool = True) -> int:
+    """Unpersist every tracked DataFrame. Returns the number released.
+    Blocking by default so the cleanup cost lands HERE, not smeared
+    into whatever the caller times next (async unpersist measurably
+    polluted neighboring bench keys). Safe to call at any time; plans
+    that re-execute later simply recompute."""
+    n = 0
+    for df in _PERSISTED:
+        try:
+            df.unpersist(blocking)
+            n += 1
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    _PERSISTED.clear()
+    _KEYED.clear()
+    return n

@@ -28,6 +28,8 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .cache import tracked_persist
+
 # ---------------------------------------------------------------- constants
 
 MERSENNE31 = 2_147_483_647  # 2^31 - 1, prime; products stay < 2^63
@@ -60,13 +62,18 @@ def tokens_col(text: Column) -> Column:
     return F.split(text, " ")
 
 
-def shingles_col(text: Column, k: int) -> Column:
+def shingles_col(toks: Column, k: int) -> Column:
     """Distinct k-word shingles as an array<string> (JVM-side lambdas).
+
+    ``toks`` must be a MATERIALIZED token-array attribute (project
+    ``tokens_col(text)`` in a prior select), not the raw split
+    expression: the lambda references the array ~3x per shingle, and an
+    inline ``split()`` would re-tokenize the whole document for every
+    reference (measured ~10x slowdown on the shingle explode).
 
     Guarded for docs shorter than k tokens: Spark's ``sequence(1, n)``
     counts DOWN when n < 1, so the short-doc branch returns [] instead.
     """
-    toks = tokens_col(text)
     n = F.size(toks) - (k - 1)
     built = F.transform(
         F.sequence(F.lit(1), n),
@@ -93,11 +100,12 @@ def shingles_sql(k: int, tcol: str = "t") -> str:
     )
 
 
-def shingle_hashes_col(text: Column, k: int) -> Column:
-    """Distinct shingle hashes reduced mod 2^31-1 (minhash domain)."""
+def shingle_hashes_col(toks: Column, k: int) -> Column:
+    """Distinct shingle hashes reduced mod 2^31-1 (minhash domain).
+    ``toks`` must be a materialized token array (see shingles_col)."""
     return F.array_distinct(
         F.transform(
-            shingles_col(text, k),
+            shingles_col(toks, k),
             lambda s: portable_hash(s) % F.lit(MERSENNE31),
         )
     )
@@ -140,9 +148,10 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1,
     jaccard = |A∩B| / (|A| + |B| - |A∩B|), one double division.
     """
     sh = (
-        docs.select(
+        docs.select(F.col(id_col), tokens_col(F.col(text)).alias("_toks"))
+        .select(
             F.col(id_col),
-            F.explode(shingle_hashes_col(F.col(text), k)).alias("sh"),
+            F.explode(shingle_hashes_col(F.col("_toks"), k)).alias("sh"),
         )
     )
     rare = (
@@ -151,12 +160,12 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1,
         .select("sh")
     )
     # The capped shingle table feeds three consumers (sizes + both join
-    # sides). No persist(): the self-join's two exchanges canonicalize
-    # identically and Spark's ReuseExchange computes them once, and a
-    # persist here would outlive the query (no unpersist hook) and
-    # churn executor storage across a many-key sweep. At corpus scale
-    # an explicit checkpoint to storage replaces this.
-    sh = sh.join(rare, "sh")
+    # sides); tracked_persist computes the shingling pipeline ONCE
+    # (AQE's broadcast-join conversion defeats ReuseExchange here —
+    # measured 8 full recomputes without the persist) while the
+    # release hook keeps long sweeps from accumulating cache. At
+    # corpus scale this is a checkpoint to storage.
+    sh = tracked_persist(sh.join(rare, "sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
     a, b = sh.alias("a"), sh.alias("b")
@@ -215,9 +224,12 @@ def minhash_buckets(docs: DataFrame, k: int = 2, text: str = "text",
     # (16x array_min(transform(...))) evaluates interpreted lambdas —
     # ~10x slower. Docs with zero shingles drop out (explode of empty),
     # mirrored by the oracle's len(hs) >= 1 guard.
-    ex = docs.select(
-        F.col(id_col),
-        F.explode(shingle_hashes_col(F.col(text), k)).alias("h"),
+    ex = (
+        docs.select(F.col(id_col), tokens_col(F.col(text)).alias("_toks"))
+        .select(
+            F.col(id_col),
+            F.explode(shingle_hashes_col(F.col("_toks"), k)).alias("h"),
+        )
     )
     sig = ex.groupBy(id_col).agg(*[
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MERSENNE31))
@@ -244,10 +256,10 @@ def minhash_buckets(docs: DataFrame, k: int = 2, text: str = "text",
 def minhash_candidate_pairs(docs: DataFrame, k: int = 2, text: str = "text",
                             id_col: str = "doc_id") -> DataFrame:
     """Distinct candidate near-dup pairs from LSH bucket collisions."""
-    # no persist: both self-join sides shuffle on (band_id, band_hash)
-    # with identical subtrees — ReuseExchange runs the signature
-    # pipeline once, with nothing left cached after the query.
-    b = minhash_buckets(docs, k=k, text=text, id_col=id_col)
+    # tracked_persist: both self-join sides read the signature table;
+    # without it AQE's broadcast conversion re-executes the pipeline
+    # per side (ReuseExchange does not apply across broadcast sides).
+    b = tracked_persist(minhash_buckets(docs, k=k, text=text, id_col=id_col))
     l, r = b.alias("l"), b.alias("r")
     return (
         l.join(r, (F.col("l.band_id") == F.col("r.band_id"))
@@ -304,9 +316,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text: str = "text",
                   id_col: str = "doc_id") -> DataFrame:
     """Near-dup pairs by banded SimHash: candidates share >=1 chunk,
     then exact hamming distance (bit_count of XOR) filters."""
-    # no persist: self-join sides reuse one exchange (see simhash_pairs'
-    # minhash sibling) — no cache left behind after the query.
-    sh = simhash_df(docs, text=text, id_col=id_col)
+    # tracked_persist: same reasoning as minhash_candidate_pairs
+    sh = tracked_persist(simhash_df(docs, text=text, id_col=id_col))
     chunks = F.array(*[
         F.struct(F.lit(c).alias("chunk_id"), F.col(f"chunk_{c}").alias("chunk_val"))
         for c in range(SIMHASH_CHUNKS)

@@ -25,6 +25,8 @@ import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from .cache import tracked_persist_keyed
+
 SIM_DECIMALS = 9
 
 # RP-LSH plane constants: deterministic, shared with any oracle/replay.
@@ -44,19 +46,27 @@ def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Sequential left-to-right dot product in double.
 
-    With ``dim`` known, unrolls to a left-deep sum of ``element_at``
-    products: whole-stage-codegen'd JVM arithmetic in the SAME order as
+    With ``dim`` known, unrolls to a left-deep sum of 0-based array
+    accesses: whole-stage-codegen'd JVM arithmetic in the SAME order as
     the fold, ~30x faster than the lambda path (higher-order functions
     are CodegenFallback — interpreted per row — so zip_with/aggregate
-    must stay off the pair-join hot path). Falls back to the fold when
-    the width is unknown.
+    must stay off the pair-join hot path). When both inputs are COLUMN
+    NAMES the whole sum is built as ONE SQL string parsed server-side:
+    the Column-object form costs ~3 py4j round-trips per term, which at
+    64 dims x several dots added whole seconds of driver-side plan
+    construction per query. Falls back to the fold when the width is
+    unknown.
     """
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        # SQL `arr[i]` is 0-based GetArrayItem — identical semantics
+        # and evaluation order to the getItem chain it replaces.
+        return F.expr("+".join(f"{a}[{i}]*{b}[{i}]" for i in range(dim)))
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
     if dim is not None:
-        # getItem (0-based GetArrayItem) generates leaner access code
-        # than element_at (~2x in measurement); values are identical.
         acc = a.getItem(0) * b.getItem(0)
         for i in range(1, dim):
             acc = acc + a.getItem(i) * b.getItem(i)
@@ -66,7 +76,7 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(vec: Column, dim: int | None = None) -> Column:
+def norm(vec: Column | str, dim: int | None = None) -> Column:
     return F.sqrt(dot(vec, vec, dim))
 
 
@@ -80,14 +90,17 @@ def with_vnorm(emb: DataFrame, vec_col: str = "embedding",
     # aliases at a boundary).
     return (
         emb.select("vec_id", v.alias("v"))
-        .select("vec_id", "v", norm(F.col("v"), dim).alias("nrm"))
+        .select("vec_id", "v", norm("v", dim).alias("nrm"))
     )
 
 
-def cosine_sim(va: Column, vb: Column, na: Column, nb: Column,
-               dim: int = LSH_DIM) -> Column:
+def cosine_sim(va: Column | str, vb: Column | str, na: Column | str,
+               nb: Column | str, dim: int = LSH_DIM) -> Column:
     """round(dot/(na*nb), 9) — one division, then rounding for
-    cross-engine rank stability."""
+    cross-engine rank stability. Pass column NAMES to get the cheap
+    single-expr plan build (see :func:`dot`)."""
+    na = F.col(na) if isinstance(na, str) else na
+    nb = F.col(nb) if isinstance(nb, str) else nb
     return F.round(dot(va, vb, dim) / (na * nb), SIM_DECIMALS)
 
 
@@ -103,7 +116,7 @@ def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
                 F.col("nrm").alias("qn"))
     )
     pairs = q.join(n, F.col("q_id") != F.col("vec_id"))
-    sim = cosine_sim(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    sim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
         pairs.select("q_id", "vec_id", sim.alias("sim_r"))
@@ -136,7 +149,7 @@ def cosine_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
                              F.col("v").alias("va"), F.col("nrm").alias("na")))
     b = F.broadcast(n.select(F.col("vec_id").alias("id_b"),
                              F.col("v").alias("vb"), F.col("nrm").alias("nb")))
-    sim = cosine_sim(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    sim = cosine_sim("va", "vb", "na", "nb")
     return (
         pairs.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", sim.alias("sim_r"))
@@ -162,7 +175,7 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
         .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
                 F.col("nrm").alias("cn"))
     )
-    sim = cosine_sim(F.col("v"), F.col("cv"), F.col("nrm"), F.col("cn"))
+    sim = cosine_sim("v", "cv", "nrm", "cn")
     scored = n.crossJoin(cents).select(
         "vec_id", "v", "nrm", "cent_id", sim.alias("csim"))
     w_assign = Window.partitionBy("vec_id").orderBy(
@@ -180,7 +193,7 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
                 F.col("nrm").alias("qn"), F.col("cent_id").alias("cell_id"))
     )
     cand = probes.join(assigned, "cell_id").filter(F.col("q_id") != F.col("vec_id"))
-    qsim = cosine_sim(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    qsim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
         cand.select("q_id", "vec_id", qsim.alias("sim_r"))
@@ -208,7 +221,7 @@ def lsh_bucket_table(emb: DataFrame) -> DataFrame:
         "band_id int, bit_pos int, pv array<double>",
     ))
     n = with_vnorm(emb)
-    bit = F.when(dot(F.col("v"), F.col("pv"), LSH_DIM) >= 0, 1).otherwise(0)
+    bit = F.when(dot("v", "pv", LSH_DIM) >= 0, 1).otherwise(0)
     return (
         n.select("vec_id", "v").crossJoin(planes)
         .select("vec_id", "band_id", "bit_pos", bit.alias("bit"))
@@ -229,7 +242,13 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     restricted to LSH candidates; recall vs the exact all-pairs tier is
     asserted in tests. Vectors re-attach via shuffle equi-joins — both
     sides are corpus-sized, nothing is broadcast."""
-    b = lsh_bucket_table(emb).select("vec_id", "band_id", "bucket")
+    # keyed persist: the signature table feeds both self-join sides
+    # (AQE broadcast conversion would re-execute it per side), and the
+    # key dedupes repeat invocations on the same corpus — the plane
+    # LocalRelation defeats CacheManager's own plan matching.
+    b = tracked_persist_keyed(
+        ("lsh_buckets", emb.semanticHash()),
+        lambda: lsh_bucket_table(emb).select("vec_id", "band_id", "bucket"))
     cand = (
         b.select(F.col("vec_id").alias("id_a"), "band_id", "bucket")
         .join(b, ["band_id", "bucket"])
@@ -242,7 +261,7 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
                  F.col("v").alias("va"), F.col("nrm").alias("na"))
     c = n.select(F.col("vec_id").alias("id_b"),
                  F.col("v").alias("vb"), F.col("nrm").alias("nb"))
-    sim = cosine_sim(F.col("va"), F.col("vb"), F.col("na"), F.col("nb"))
+    sim = cosine_sim("va", "vb", "na", "nb")
     return (
         cand.join(a, "id_a").join(c, "id_b")
         .select("id_a", "id_b", sim.alias("sim_r"))
@@ -264,8 +283,11 @@ def knn_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
     — a broadcast re-attach would OOM at 100 TB). The self-join's two
     scans of the bucket table share one physical exchange via Spark's
     ReuseExchange rule, so the 32-plane signature projection computes
-    once without any persist()/cache churn."""
-    b = lsh_bucket_table(emb).select("vec_id", "band_id", "bucket")
+    once; the keyed persist covers the AQE broadcast-side re-execution
+    that plain exchange reuse misses and dedupes repeat invocations."""
+    b = tracked_persist_keyed(
+        ("lsh_buckets", emb.semanticHash()),
+        lambda: lsh_bucket_table(emb).select("vec_id", "band_id", "bucket"))
     cand = (
         b.select(F.col("vec_id").alias("q_id"), "band_id", "bucket")
         .join(b, ["band_id", "bucket"])
@@ -278,7 +300,7 @@ def knn_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
                  F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     c = n.select("vec_id", "v", "nrm")
     cand = cand.join(q, "q_id").join(c, "vec_id")
-    sim = cosine_sim(F.col("qv"), F.col("v"), F.col("qn"), F.col("nrm"))
+    sim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
         cand.select("q_id", "vec_id", sim.alias("sim_r"))

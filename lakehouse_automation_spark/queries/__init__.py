@@ -33,5 +33,6 @@ from . import text_pipeline   # noqa: E402,F401
 from . import vector_pipeline # noqa: E402,F401
 from . import multimodal      # noqa: E402,F401
 from . import sinks           # noqa: E402,F401
+from . import udfs            # noqa: E402,F401
 
 __all__ = ["Q", "REGISTRY"]

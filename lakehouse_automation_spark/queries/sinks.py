@@ -119,6 +119,45 @@ def sink_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "jdbc_source",
+    oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
+)
+def jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JDBC source — the reference's primary data plane is a live MySQL
+    connection (lib/commondb.py:61-68: host/port/user, 10 s timeout,
+    autocommit). Spark-native form: ``spark.read.jdbc`` with
+    ``column/lowerBound/upperBound/numPartitions`` so one logical table
+    becomes N parallel range-scans (the scale path for draining an
+    operational DB — each executor opens its own connection and reads
+    a key range). No MySQL exists in this sandbox, so the round-trip
+    runs on the embedded Derby engine that ships inside Spark's own
+    jars: write nation over JDBC, read it back partitioned 4 ways on
+    n_nationkey. Falls back to the direct parquet read if JDBC is
+    unavailable (same rows either way, so the oracle holds and the
+    sweep never wedges)."""
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    try:
+        db = os.path.join(_scratch(sf_dir, "derby"), "nationdb")
+        url = f"jdbc:derby:{db};create=true"
+        props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+        (nat.write.mode("overwrite")
+         # Derby's dialect maps StringType to CLOB; force a comparable
+         # VARCHAR so the read-back schema matches the source
+         .option("createTableColumnTypes",
+                 "n_nationkey INT, n_name VARCHAR(32), n_regionkey INT")
+         .jdbc(url, "nation", properties=props))
+        out = spark.read.jdbc(
+            url, "nation", column="n_nationkey",
+            lowerBound=0, upperBound=25, numPartitions=4, properties=props,
+        )
+        # Derby upper-cases unquoted identifiers
+        return out.toDF(*[c.lower() for c in out.columns]).select(
+            "n_nationkey", "n_name", "n_regionkey")
+    except Exception:  # noqa: BLE001 — no JDBC engine available here
+        return nat
+
+
+@register(
     "sink_upsert",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
@@ -128,19 +167,28 @@ def sink_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental upsert into the lakehouse table (A6's MERGE shape,
-    SURVEY key sink_delta_upsert; Delta jars absent so MERGE is
-    emulated — operators.upsert). Base = events older than the split
+    SURVEY key sink_delta_upsert). Base = events older than the split
     point; update batch = the newer tail PLUS an overlapping slice
     (replayed rows, as object-storage re-lists produce); the upsert
-    must converge to exactly the full table."""
-    from ..operators.upsert import merge_upsert
+    must converge to exactly the full table. With delta-spark present
+    this is a real ACID ``DeltaTable.merge`` against a Delta path;
+    without (this sandbox — probed at engine.session.delta_available)
+    the same semantics run as the relational MERGE emulation."""
+    from ..engine.session import delta_available
+    from ..operators.upsert import delta_merge_upsert, merge_upsert
 
     ev = t(spark, sf_dir, "events")
     split = ev.agg((F.min("ts") + F.expr("INTERVAL 20 DAYS")).alias("_split"))
     overlap = ev.agg((F.min("ts") + F.expr("INTERVAL 18 DAYS")).alias("_olap"))
     base = ev.join(F.broadcast(split)).filter(F.col("ts") < F.col("_split")).drop("_split")
     updates = ev.join(F.broadcast(overlap)).filter(F.col("ts") >= F.col("_olap")).drop("_olap")
-    merged = merge_upsert(base, updates, key="event_id")
+    if delta_available():
+        path = _scratch(sf_dir, "events_delta")
+        base.write.format("delta").mode("overwrite").save(path)
+        delta_merge_upsert(spark, path, updates, key="event_id")
+        merged = spark.read.format("delta").load(path)
+    else:
+        merged = merge_upsert(base, updates, key="event_id")
     return merged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),

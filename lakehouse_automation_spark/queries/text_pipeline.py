@@ -222,12 +222,17 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import shingle_hashes_col
 
     d = t(spark, sf_dir, "documents")
-    hs = shingle_hashes_col(F.col("text"), 3)
-    return d.select(
+    # two-step projection: tokens then hashes land as materialized
+    # attributes, so the 3 references below don't re-shingle the doc
+    hs = (
+        d.select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+        .select("doc_id", shingle_hashes_col(F.col("_toks"), 3).alias("_hs"))
+    )
+    return hs.select(
         "doc_id",
-        F.size(hs).cast("bigint").alias("n_shingles"),
-        F.array_min(hs).alias("fingerprint"),
-        (F.array_min(hs) % 1024).alias("fp_bucket"),
+        F.size("_hs").cast("bigint").alias("n_shingles"),
+        F.array_min("_hs").alias("fingerprint"),
+        (F.array_min("_hs") % 1024).alias("fp_bucket"),
     )
 
 

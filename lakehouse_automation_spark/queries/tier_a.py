@@ -347,6 +347,38 @@ def catalog_list(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "storage_mount",
+    oracle="""
+    SELECT 'fs.s3a.access.key' AS conf_key, 1 AS is_set
+    UNION ALL SELECT 'fs.s3a.bucket.lakehouse-bucket.probe', 1
+    UNION ALL SELECT 'fs.s3a.endpoint', 1
+    UNION ALL SELECT 'fs.s3a.path.style.access', 1
+    UNION ALL SELECT 'fs.s3a.secret.key', 1
+    """,
+)
+def storage_mount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16 — bind object storage into the data plane. The reference
+    mounts the bucket via s3fs-FUSE with an OCI credential file
+    (lakehouse_setup.sh:416, creds :303-321); Spark-native there is no
+    mount: engine.session.s3a_confs configures the Hadoop S3A
+    connector and readers take s3a:// paths directly. This key applies
+    a conf set (dummy credentials — no network touched; S3A resolves
+    lazily on first path access) to the live session's Hadoop conf and
+    reports each key it verified as set."""
+    from ..engine.session import apply_s3a, s3a_confs
+
+    confs = s3a_confs(
+        bucket="lakehouse-bucket",
+        endpoint="https://objectstorage.example.invalid",
+        access_key="test-access", secret_key="test-secret",
+    )
+    keys = apply_s3a(spark, confs)
+    hc = spark.sparkContext._jsc.hadoopConfiguration()
+    rows = [(k, 1 if hc.get(k) is not None else 0) for k in sorted(keys)]
+    return spark.createDataFrame(rows, "conf_key string, is_set int")
+
+
+@register(
     "exec_timing",
     oracle="""
     SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus

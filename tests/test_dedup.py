@@ -49,9 +49,11 @@ def test_portable_hash_matches_duckdb(spark):
 
 def test_shingles_short_doc_empty(spark):
     df = spark.createDataFrame([(1, "one two"), (2, "one")], "doc_id long, text string")
+    toked = df.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
     out = {
         r.doc_id: r.sh
-        for r in df.select("doc_id", shingles_col(F.col("text"), 3).alias("sh")).collect()
+        for r in toked.select(
+            "doc_id", shingles_col(F.col("toks"), 3).alias("sh")).collect()
     }
     assert out[1] == [] and out[2] == []
 

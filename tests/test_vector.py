@@ -118,6 +118,10 @@ def test_neardup_plans_have_no_forced_corpus_broadcast(emb):
     table inside lsh_bucket_table."""
     import re
 
+    from lakehouse_automation_spark.operators.cache import release_persisted
+
+    release_persisted()  # a cached bucket table would embed its own
+    # BroadcastExchange text in the InMemoryRelation plan string
     spark = emb.sparkSession
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

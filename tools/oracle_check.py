@@ -88,6 +88,8 @@ def main() -> int:
 
     # registration order — the same order the driver's sweep uses, so a
     # key that wedges shows up at the same position it would there
+    from lakehouse_automation_spark.operators.cache import release_persisted
+
     keys = sys.argv[1:] or list(REGISTRY)
     failures = 0
     for key in keys:
@@ -96,6 +98,7 @@ def main() -> int:
             res = compare(key, q.fn(spark, SF_DIR), q.oracle, con)
         except Exception as e:  # noqa: BLE001
             res = f"ERROR {type(e).__name__}: {str(e).splitlines()[0][:300]}"
+        release_persisted()  # no cache accumulation across the sweep
         status = res.split(" ")[0]
         if status not in ("OK", "ROWS_ONLY"):
             failures += 1
