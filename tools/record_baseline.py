@@ -2,8 +2,9 @@
 """Record the self-measured performance baseline (BASELINE.md §3).
 
 Times EVERY key in the registry at $SPARK_GRAFT_SF_DIR (default sf0.1):
-median of WARM_RUNS warm runs after one cold run, plus the result row
-count, written to bench/BASELINE_results.json as
+MINIMUM of WARM_RUNS warm runs after one cold run (min because the
+host carries constant external load — see bench.py), plus the result
+row count, written to bench/BASELINE_results.json as
 {key: {sec, rows, sf, spark_conf_hash}}. Round N+1 bench runs compare
 against this file (acceptance: within 2x, driver contract).
 
@@ -15,14 +16,13 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-import statistics
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-WARM_RUNS = 3
+WARM_RUNS = 5
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "bench", "BASELINE_results.json")
 
@@ -53,7 +53,7 @@ def main() -> int:
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
             results[key] = {
-                "sec": round(statistics.median(times), 4),
+                "sec": round(min(times), 4),
                 "rows": rows,
                 "sf": sf,
                 "spark_conf_hash": conf_hash,
