@@ -202,6 +202,94 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
     )
 
 
+def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 2,
+                     dim: int = LSH_DIM) -> list[tuple[int, list[float]]]:
+    """Spherical k-means centroids via Lloyd iterations, pure DataFrame
+    ops per round: assign = broadcast-centroid crossJoin + argmax
+    cosine (row_number window), recompute = posexplode + per-(cell,
+    pos) mean + re-assemble. Deterministic: seeds are vec_id < k,
+    ties break on cent_id, no RNG anywhere.
+
+    Centroids are collected to the DRIVER between rounds (k x dim
+    doubles — every k-means implementation does this, incl. MLlib;
+    it keeps each round's plan one crossJoin deep instead of stacking
+    iters of them). The corpus is never collected. Scale shape per
+    round: one broadcast join + one narrow explode + one (cell, pos)
+    shuffle bounded by k*dim groups."""
+    n = with_vnorm(emb)
+    seed_rows = sorted(
+        n.filter(F.col("vec_id") < k).select("vec_id", "v").collect(),
+        key=lambda r: r.vec_id,
+    )
+    cents: list[list[float]] = [list(r.v) for r in seed_rows]
+    spark = emb.sparkSession
+    for _ in range(iters):
+        cdf = F.broadcast(spark.createDataFrame(
+            list(enumerate(cents)),
+            "cent_id int, cv array<double>",
+        ).select("cent_id", "cv",
+                 norm("cv", dim).alias("cn")))
+        sim = cosine_sim("v", "cv", "nrm", "cn", dim)
+        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
+        assigned = (
+            n.crossJoin(cdf)
+            .select("vec_id", "v", "nrm", "cent_id", sim.alias("csim"))
+            .withColumn("crk", F.row_number().over(w))
+            .filter(F.col("crk") == 1)
+        )
+        means = (
+            assigned.select("cent_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cent_id", "pos").agg(F.avg("val").alias("m"))
+            .groupBy("cent_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cent_id", F.col("pm.m").alias("cv"))
+        )
+        new = {int(r.cent_id): list(r.cv) for r in means.collect()}
+        # empty cells keep their previous centroid (standard Lloyd fix)
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return list(enumerate(cents))
+
+
+def ivf_kmeans_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
+                    n_queries: int = 5, k: int = 10, iters: int = 2) -> DataFrame:
+    """IVF-flat with k-means-refined cells: same probe/rerank plan as
+    :func:`ivf_topk`, but the coarse quantizer is Lloyd-trained — cells
+    follow the data distribution, so recall at fixed nprobe improves
+    over seed centroids (asserted in tests)."""
+    cents_local = kmeans_centroids(emb, k=n_centroids, iters=iters)
+    spark = emb.sparkSession
+    n = with_vnorm(emb)
+    cents = F.broadcast(spark.createDataFrame(
+        [(cid, cv) for cid, cv in cents_local],
+        "cent_id int, cv array<double>",
+    ).select("cent_id", "cv", norm("cv", LSH_DIM).alias("cn")))
+    sim = cosine_sim("v", "cv", "nrm", "cn")
+    scored = n.crossJoin(cents).select(
+        "vec_id", "v", "nrm", "cent_id", sim.alias("csim"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") == 1)
+        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell_id"))
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < n_queries)
+        .withColumn("crk", F.row_number().over(w_assign))
+        .filter(F.col("crk") <= nprobe)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"), F.col("cent_id").alias("cell_id"))
+    )
+    cand = probes.join(assigned, "cell_id").filter(F.col("q_id") != F.col("vec_id"))
+    qsim = cosine_sim("qv", "v", "qn", "nrm")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", qsim.alias("sim_r"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
 # ------------------------------------------------------------------ RP-LSH
 
 def lsh_bucket_table(emb: DataFrame) -> DataFrame:

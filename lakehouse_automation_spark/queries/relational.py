@@ -10,6 +10,8 @@ side is known-small by construction.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .base import register, t, dec, dsum, davg
@@ -323,6 +325,84 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("bucket_id")
         .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "price_sum"))
+    )
+
+
+@register(
+    "join_skew_salted",
+    oracle="""
+    SELECT s.s_nationkey, COUNT(*) AS n,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    """,
+)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant join via explicit key salting: the probe side
+    gets a deterministic salt in [0, S), the build side is replicated
+    across all S salts, and the join key becomes (key, salt) — a hot
+    key's rows now spread over S reducers instead of one. Results are
+    IDENTICAL to the plain join (the oracle is the unsalted SQL), which
+    is the whole point: salting is a physical rewrite. AQE's skew-join
+    splitting (enabled in this engine) handles moderate skew without
+    this; explicit salting is the guard for the single-pathological-key
+    case where one reducer would otherwise own the whole stage."""
+    S = 8
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice",
+        F.pmod(F.xxhash64("l_orderkey"), F.lit(S)).cast("int").alias("_salt"),
+    )
+    sup = (
+        t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+        .crossJoin(spark.range(S).select(F.col("id").cast("int").alias("_salt")))
+    )
+    return (
+        li.join(sup, (li.l_suppkey == sup.s_suppkey) & (li._salt == sup._salt))
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("l_extendedprice", "price_sum"))
+    )
+
+
+@register(
+    "join_bucketed",
+    oracle="""
+    SELECT c.c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located join via bucketing: both tables written bucketBy(8)
+    on the join key, so the sort-merge join reads pre-partitioned
+    buckets with NO exchange on either side — the 100-TB pattern for
+    repeated large-large joins (pay one layout write, then every join
+    on that key skips its shuffle). tests assert the exchange-free
+    plan; results equal the plain join (oracle)."""
+    import re
+
+    import shutil
+
+    sf_tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    ot, ct = f"b8_orders_{sf_tag}", f"b8_customer_{sf_tag}"
+    for name, src, key in ((ot, "orders", "o_custkey"), (ct, "customer", "c_custkey")):
+        if not spark.catalog.tableExists(name):
+            # a PREVIOUS session's warehouse dir may linger without a
+            # catalog entry (in-memory metastore); clear it or the
+            # managed-table create refuses the location
+            loc = os.path.join(
+                spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+                name.lower())
+            if os.path.exists(loc):
+                shutil.rmtree(loc, ignore_errors=True)
+            (t(spark, sf_dir, src).write.mode("overwrite")
+             .bucketBy(8, key).sortBy(key).saveAsTable(name))
+    o = spark.table(ot).select("o_custkey", "o_totalprice")
+    c = spark.table(ct).select("c_custkey", "c_mktsegment")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
     )
 
 

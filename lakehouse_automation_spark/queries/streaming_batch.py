@@ -170,6 +170,27 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_custom_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running totals with O(1) state per key. This gate key runs the
+    SAME per-group fold in batch via applyInPandas (identical
+    semantics, integer-cents exact); the live stateful stream — real
+    readStream, GroupState across micro-batches — is asserted in
+    tests/test_streaming_state.py."""
+    from ..streaming.stateful import user_totals_batch
+
+    return user_totals_batch(t(spark, sf_dir, "events"))
+
+
+@register(
     "stream_foreach_batch",
     oracle="""
     SELECT COUNT(*) AS ledger_rows,

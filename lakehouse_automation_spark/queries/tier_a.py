@@ -9,6 +9,8 @@ deterministic batch restatement and the live path lives in
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .base import register, t
@@ -344,6 +346,51 @@ def catalog_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     listed = {tb.name for tb in spark.catalog.listTables() if tb.isTemporary}
     ours = sorted(listed & set(TABLE_NAMES))
     return spark.createDataFrame([(n,) for n in ours], "table_name string")
+
+
+@register(
+    "lifecycle_daemon",
+    oracle="""
+    SELECT 'started' AS phase, 1 AS ok
+    UNION ALL SELECT 'active_while_running', 1
+    UNION ALL SELECT 'stopped', 1
+    """,
+)
+def lifecycle_daemon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17 — long-running daemon thread + graceful stop
+    (check_lakehouse.py:77-94 UpdateLakehouse thread, :132-136 SIGTERM
+    flag, :184-187 disconnects). Spark-native: StreamingQuery.start()
+    IS the daemon; spark.streams.active the thread registry; stop()
+    the SIGTERM handler. This key runs one real lifecycle — start the
+    ingest stream, observe it active, stop it — and returns the phase
+    log. Bounded by construction (stop() is unconditional)."""
+    import tempfile
+
+    from ..pipelines.datagen import generate_survey, write_survey_csv
+    from ..streaming.ingest import IngestPipeline
+
+    scratch = tempfile.mkdtemp(prefix="las_lifecycle_")
+    landing = os.path.join(scratch, "landing")
+    write_survey_csv(generate_survey(spark, 100, seed=5), landing,
+                     stamp="datagen_t0")
+    pipe = IngestPipeline(
+        spark, landing, os.path.join(scratch, "table"),
+        os.path.join(scratch, "ckpt"))
+    started = active = stopped = 0
+    q = None
+    try:
+        q = pipe.start(processing_time="1 second")
+        started = 1
+        active = int(any(s.id == q.id for s in spark.streams.active))
+    finally:
+        if q is not None:
+            q.stop()
+            stopped = int(not q.isActive)
+    return spark.createDataFrame(
+        [("started", started), ("active_while_running", active),
+         ("stopped", stopped)],
+        "phase string, ok int",
+    )
 
 
 @register(

@@ -19,6 +19,7 @@ from ..operators.vector import (
     SIM_DECIMALS,
     cosine_neardup_pairs,
     cosine_topk,
+    ivf_kmeans_topk,
     ivf_topk,
     knn_join_lsh,
     lsh_neardup_pairs,
@@ -129,6 +130,19 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests (production swaps in k-means centroids, same plan shape)."""
     return ivf_topk(t(spark, sf_dir, "embeddings"),
                     n_centroids=8, nprobe=3, n_queries=5, k=10)
+
+
+@register("vec_ivf_kmeans_topk", oracle=None)
+def vec_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat with Lloyd-trained (spherical k-means, 2 rounds)
+    centroids — the production coarse quantizer the seed-centroid tier
+    approximates. Same probe/rerank plan as vec_ivf_topk; data-adapted
+    cells raise recall at fixed nprobe (pytest asserts >= the seed
+    tier). Driver holds only the k x 64 centroid matrix between
+    rounds; the corpus is never collected. Rows-only check (the
+    trained centroids aren't practical to replay in SQL)."""
+    return ivf_kmeans_topk(t(spark, sf_dir, "embeddings"),
+                           n_centroids=8, nprobe=3, n_queries=5, k=10, iters=2)
 
 
 @register("vec_neardup_lsh", oracle=None)

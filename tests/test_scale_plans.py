@@ -1,0 +1,65 @@
+"""Plan-shape guards for the scale patterns: bucketed co-located join
+(no exchange), parquet pushdown/pruning on the flagship scan, and the
+salted join's reducer spread."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from lakehouse_automation_spark.queries import REGISTRY
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Both sides bucketed on the join key => sort-merge join with NO
+    exchange (broadcast disabled so the planner can't sidestep the
+    check at this tiny scale)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = REGISTRY["join_bucketed"].fn(spark, sf_dir)
+        plan = _plan(df)
+        join_part = plan.split("SortMergeJoin", 1)
+        assert len(join_part) == 2, f"expected SortMergeJoin:\n{plan}"
+        # below the join: scans only, no hashpartitioning exchange
+        below = join_part[1].split("HashAggregate")[0]
+        assert "Exchange hashpartitioning" not in below, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_flagship_scan_pushdown_and_pruning(spark, sf_dir):
+    """The pricing-summary scan must push the date filter to parquet
+    and read only the referenced columns."""
+    df = REGISTRY["flagship_pricing_summary"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_comment" not in m.group(1), "scan reads unneeded columns"
+
+
+def test_salted_join_matches_plain(spark, sf_dir):
+    """Salting is a physical rewrite only — row-identical results."""
+    salted = {
+        r.s_nationkey: (r.n, round(r.price_sum, 2))
+        for r in REGISTRY["join_skew_salted"].fn(spark, sf_dir).collect()
+    }
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    plain = {
+        r.s_nationkey: (r.n, round(r.price_sum, 2))
+        for r in li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("price_sum"),
+        ).collect()
+    }
+    assert salted == plain

@@ -1,0 +1,80 @@
+"""Live applyInPandasWithState test: the stateful per-user totals over
+a REAL stream must carry state ACROSS micro-batches and converge to the
+batch fold (streaming/stateful.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_automation_spark.streaming.stateful import (
+    user_totals_batch,
+    user_totals_stream,
+)
+
+
+def test_stateful_stream_matches_batch(spark, tmp_path):
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "value")
+    )
+    # land as TWO files so availableNow=..., maxFilesPerTrigger=1 forces
+    # >=2 micro-batches — state must survive between them
+    src = str(tmp_path / "src")
+    half = events.filter(F.col("user_id") % 2 == 0)
+    rest = events.filter(F.col("user_id") % 2 == 1)
+    half.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "a"))
+    rest.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b"))
+
+    stream = (
+        spark.readStream.schema(events.schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        user_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: bdf.write.mode("overwrite")
+                      .parquet(os.path.join(out_dir, f"b{bid}")))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=120), "stateful stream did not drain"
+
+    # last update per user wins (update mode re-emits running totals)
+    got_df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("basePath", out_dir).parquet(out_dir)
+        .withColumn("_f", F.input_file_name())
+    )
+    rows = got_df.collect()
+    latest: dict[int, tuple[int, int]] = {}
+    for r in sorted(rows, key=lambda r: r._f):
+        latest[r.user_id] = (r.n_events, r.cents_sum)
+    want = {
+        r.user_id: (r.n_events, r.cents_sum)
+        for r in user_totals_batch(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ).collect()
+    }
+    assert latest == want
+
+
+def test_stateful_batch_restatement_is_exact(spark):
+    """The gate key's applyInPandas fold equals plain SQL aggregation."""
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = {r.user_id: (r.n_events, r.cents_sum)
+           for r in user_totals_batch(events).collect()}
+    want = {
+        r.user_id: (r.n, r.c)
+        for r in events.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"),
+        ).collect()
+    }
+    assert got == want

@@ -13,7 +13,9 @@ from lakehouse_automation_spark.operators.vector import (
     cosine_neardup_pairs,
     cosine_topk,
     dot,
+    ivf_kmeans_topk,
     ivf_topk,
+    kmeans_centroids,
     knn_join_lsh,
     lsh_neardup_pairs,
     norm,
@@ -64,6 +66,33 @@ def test_ivf_recall_vs_exact(emb):
         approx.setdefault(r.q_id, set()).add(r.vec_id)
     recall = sum(len(exact[q] & approx.get(q, set())) for q in exact) / (len(exact) * k)
     assert recall >= 0.5, f"IVF recall {recall:.2f}"
+
+
+def test_kmeans_centroids_move_and_stay_finite(emb):
+    k = 8
+    seeds = {cid: cv for cid, cv in kmeans_centroids(emb, k=k, iters=0)}
+    trained = {cid: cv for cid, cv in kmeans_centroids(emb, k=k, iters=2)}
+    assert set(trained) == set(range(k))
+    assert any(seeds[c] != trained[c] for c in trained), "Lloyd did not move"
+    assert all(all(math.isfinite(x) for x in cv) for cv in trained.values())
+
+
+def test_ivf_kmeans_recall_not_worse_than_seed(emb):
+    """Data-adapted cells must not lose recall vs seed centroids at the
+    same nprobe (usually they gain; equality allowed — tiny corpus)."""
+    k = 10
+    exact = _exact_topk_sets(emb, 5, k)
+
+    def recall(df):
+        approx = {}
+        for r in df.collect():
+            approx.setdefault(r.q_id, set()).add(r.vec_id)
+        return sum(len(exact[q] & approx.get(q, set())) for q in exact) / (len(exact) * k)
+
+    r_seed = recall(ivf_topk(emb, n_centroids=8, nprobe=3, n_queries=5, k=k))
+    r_km = recall(ivf_kmeans_topk(emb, n_centroids=8, nprobe=3, n_queries=5,
+                                  k=k, iters=2))
+    assert r_km >= r_seed - 0.05, f"kmeans {r_km:.2f} < seed {r_seed:.2f}"
 
 
 def test_lsh_knn_recall_vs_exact(emb):
