@@ -29,6 +29,7 @@ WARM_RUNS = 5
 # so BENCH_r{N}.json files are comparable.
 HEADLINE = [
     "flagship_pricing_summary",
+    "flagship_regional_revenue",
     "agg_hash_basic",
     "agg_distinct",
     "agg_rollup",

@@ -93,6 +93,59 @@ def decode_features(media: DataFrame) -> DataFrame:
     )
 
 
+RESIZE_SCHEMA = (
+    "doc_id bigint, out_width int, out_height int, out_bytes bigint, "
+    "payload_out binary"
+)
+PCM_BYTES_PER_SAMPLE = 2
+
+
+def resize_payloads(media: DataFrame, width: int = 128,
+                    height: int = 96) -> DataFrame:
+    """Image-resize plumbing via mapInPandas: binary in -> binary out
+    plus the new dimensions. The fake "resample" keeps a deterministic
+    byte slice sized to the target (out = min(n_bytes, width*height)),
+    so output metadata is pure arithmetic a SQL oracle replays; swap
+    ``_fake_resize_one`` for a PIL call when the runtime ships it.
+    Binary payloads stream executor-side in Arrow batches — the shape
+    that survives 100 TB of images."""
+
+    def _fake_resize_one(payload: bytes) -> bytes:
+        return payload[: width * height]
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [_fake_resize_one(p) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "out_width": width, "out_height": height,
+                "out_bytes": [len(o) for o in out],
+                "payload_out": out,
+            })
+
+    return media.select("doc_id", "payload").mapInPandas(
+        resize_batches, schema=RESIZE_SCHEMA)
+
+
+def audio_resample_meta(media: DataFrame, src_hz: int = 44_100,
+                        dst_hz: int = 16_000) -> DataFrame:
+    """Audio-resample metadata, JVM-side: treat the payload as 16-bit
+    PCM at ``src_hz`` and compute the sample counts a real resampler
+    (soundfile/torchaudio — not in this runtime) would produce. The
+    arithmetic is exact integers, so the oracle replays it; the heavy
+    branch plugs into the same mapInPandas shape as resize_payloads."""
+    n_samples = F.expr(f"n_bytes div {PCM_BYTES_PER_SAMPLE}")
+    # all-integer arithmetic (div, not /): bit-identical in DuckDB
+    dst = F.expr(f"(n_bytes div {PCM_BYTES_PER_SAMPLE}) * {dst_hz} div {src_hz}")
+    return media.select(
+        "doc_id",
+        n_samples.cast("bigint").alias("src_samples"),
+        dst.cast("bigint").alias("dst_samples"),
+        F.lit(src_hz).alias("src_hz"),
+        F.lit(dst_hz).alias("dst_hz"),
+    )
+
+
 def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     """Sampled frame index table: every ``stride``-th frame with its
     byte offset — the JVM-side companion to a per-frame decode (the

@@ -14,7 +14,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.dedup import portable_hash_sql
-from ..operators.multimodal import decode_features, frame_sample, media_table
+from ..operators.multimodal import (
+    audio_resample_meta,
+    decode_features,
+    frame_sample,
+    media_table,
+    resize_payloads,
+)
 from .base import register, t
 
 _H = portable_hash_sql("text")
@@ -54,3 +60,38 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc_id, frame_idx, byte_offset) so a frame decoder touches only
     sampled offsets — the explode stays ahead of Python at any scale."""
     return frame_sample(media_table(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "mm_resize",
+    oracle="""
+    SELECT doc_id, 128 AS out_width, 96 AS out_height,
+           least(octet_length(encode(text)), 128 * 96) AS out_bytes
+    FROM documents
+    """,
+)
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize plumbing: binary -> binary through mapInPandas
+    (Arrow batches). The gate checks the metadata columns (the fake
+    resampler's byte math is SQL-replayable); the payload_out column
+    itself round-trips executor-side only."""
+    out = resize_payloads(media_table(t(spark, sf_dir, "documents")),
+                          width=128, height=96)
+    return out.select("doc_id", "out_width", "out_height", "out_bytes")
+
+
+@register(
+    "mm_audio_resample",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) // 2 AS src_samples,
+           (octet_length(encode(text)) // 2) * 16000 // 44100 AS dst_samples,
+           44100 AS src_hz, 16000 AS dst_hz
+    FROM documents
+    """,
+)
+def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio resample metadata (16-bit PCM 44.1k -> 16k): exact integer
+    sample math, JVM-side; the heavy resampler drops into the same
+    mapInPandas slot as mm_resize when codec libs exist."""
+    return audio_resample_meta(media_table(t(spark, sf_dir, "documents")))

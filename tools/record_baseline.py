@@ -68,6 +68,12 @@ def main() -> int:
         release_persisted()
 
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
+    if sys.argv[1:] and os.path.exists(OUT):
+        # explicit-key run: merge into the existing baseline
+        with open(OUT) as f:
+            merged = json.load(f)
+        merged.update(results)
+        results = merged
     with open(OUT, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
     total = sum(r["sec"] for r in results.values() if r.get("sec"))
