@@ -23,6 +23,7 @@ from __future__ import annotations
 from .base import Q, REGISTRY
 
 from . import relational      # noqa: E402,F401
+from . import analytic_sql    # noqa: E402,F401
 from . import aggregates      # noqa: E402,F401
 from . import windows         # noqa: E402,F401
 from . import setops          # noqa: E402,F401

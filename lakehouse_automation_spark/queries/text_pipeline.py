@@ -387,6 +387,109 @@ def text_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_df(t(spark, sf_dir, "documents"))
 
 
+# -------------------------------------------------- repetition (Gopher-style)
+
+@register(
+    "text_repetition",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    tok_stats AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, COUNT(DISTINCT tok) AS n_distinct
+      FROM toks GROUP BY doc_id
+    ),
+    grams AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    ),
+    gram_counts AS (
+      SELECT doc_id, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, gram
+    ),
+    gram_stats AS (
+      SELECT doc_id, MAX(c) AS top_gram, SUM(c) AS n_grams
+      FROM gram_counts GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           t.n_tokens,
+           ROUND(1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens, 9) AS dup_token_frac,
+           ROUND(CAST(g.top_gram AS DOUBLE) / g.n_grams, 9) AS top_2gram_frac
+    FROM tok_stats t JOIN gram_stats g USING (doc_id)
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (the Gopher-rules family): duplicate-token
+    fraction and most-frequent-2-gram fraction per doc — the standard
+    cheap detectors for degenerate/boilerplate text before it poisons
+    a training set. Two explode+agg pipelines joined on doc_id; both
+    fractions are exact small rationals rounded at 9 dp."""
+    d = t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens_col(F.col("text")).alias("_toks"))
+    tok = toked.select("doc_id", F.explode("_toks").alias("tok"))
+    tok_stats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("tok").alias("n_distinct"),
+    )
+    grams = toked.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(_toks) - 1), "
+            "i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1)))"
+        )).alias("gram"),
+    )
+    gram_stats = (
+        grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_gram"), F.sum("c").alias("n_grams"))
+    )
+    return (
+        tok_stats.join(gram_stats, "doc_id")
+        .select(
+            "doc_id", "n_tokens",
+            F.round(F.lit(1.0) - F.col("n_distinct").cast("double")
+                    / F.col("n_tokens"), 9).alias("dup_token_frac"),
+            F.round(F.col("top_gram").cast("double") / F.col("n_grams"), 9)
+            .alias("top_2gram_frac"),
+        )
+    )
+
+
+# ------------------------------------------------------------ PII / redaction
+
+@register(
+    "text_pii_redact",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+           len(regexp_extract_all(text,
+               '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+')) AS n_emails,
+           len(regexp_extract_all(text, '[0-9]+')) AS n_number_runs,
+           md5(regexp_replace(text, '[0-9]+', '#', 'g')) AS redacted_md5
+    FROM documents
+    """,
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style scrubbing pass: count URL / email / digit-run matches
+    and hash the digit-redacted text — the scan-and-scrub shape every
+    training-data pipeline runs (real deployments swap in their own
+    pattern packs; the plumbing — JVM regex over the scan, no Python —
+    is what scales). Redaction is verified end-to-end by hashing the
+    redacted text in both engines."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"https?://[^ ]+"), 0))
+        .cast("bigint").alias("n_urls"),
+        F.size(F.regexp_extract_all(
+            "text", F.lit(r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+"), 0))
+        .cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(r"[0-9]+"), 0))
+        .cast("bigint").alias("n_number_runs"),
+        F.md5(F.regexp_replace("text", r"[0-9]+", "#")).alias("redacted_md5"),
+    )
+
+
 # ------------------------------------------------------------------- tfidf
 
 @register(
