@@ -271,6 +271,70 @@ def minhash_candidate_pairs(docs: DataFrame, k: int = 2, text: str = "text",
     )
 
 
+# -------------------------------------------------- connected components
+
+def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Connected components over a near-dup pair graph -> one cluster
+    id (the minimum member id) per document: the step that turns pair
+    lists into dedup DECISIONS (keeper = the doc whose id equals the
+    cluster id; everything else in the cluster drops).
+
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors; converges in
+    O(diameter) rounds, and near-dup clusters are tiny by construction
+    (boilerplate families, re-uploads), so the early-exit usually
+    fires after 2-3 rounds. Each round is one join + one groupBy on
+    node — the same alternating-min shape the large-star/small-star
+    algorithm scales to billions of edges; the driver only sees the
+    per-round convergence COUNT, never the graph.
+
+    ``pairs`` needs columns (id_a, id_b) with id_a < id_b.
+    """
+    # edges are read every round AND by every round's convergence
+    # count; persisting them stops the whole upstream pair pipeline
+    # (shingle explode + candidate join) re-executing per iteration
+    # (measured ~20s -> ~3s on the sf0.1 clustering key).
+    edges = tracked_persist(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"),
+                                  F.col("id_a").alias("v")))
+        .distinct()
+    )
+    labels = (
+        edges.select("u").distinct()
+        .select(F.col("u").alias("node"), F.col("u").alias("label"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u").agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("nbr_label"), F.col("label")),
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+            )
+        )
+        # truncate lineage each round (labels otherwise stack one join
+        # per iteration) and materialize once for BOTH the convergence
+        # count and the next round
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        (F.col("node") == F.col("label")).cast("int").alias("is_keeper"),
+    )
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash_df(docs: DataFrame, text: str = "text",

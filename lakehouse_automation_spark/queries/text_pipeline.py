@@ -256,9 +256,7 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------- n-gram Jaccard
 
-@register(
-    "text_ngram_jaccard",
-    oracle=f"""
+_NGRAM_PAIRS_SQL = f"""
     WITH sh AS (SELECT doc_id, unnest(hs) AS sh FROM ({_hashes_cte(3)})),
     rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100),
     shr AS (SELECT s.doc_id, s.sh FROM sh s JOIN rare USING (sh)),
@@ -274,8 +272,10 @@ def text_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sz sa ON id_a = sa.doc_id
     JOIN sz sb ON id_b = sb.doc_id
     WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.2
-    """,
-)
+"""
+
+
+@register("text_ngram_jaccard", oracle=_NGRAM_PAIRS_SQL)
 def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by exact 3-word-shingle Jaccard via an inverted-
     index join (no cross join; hot shingles capped at df<=100). Finds
@@ -283,6 +283,42 @@ def text_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(
         t(spark, sf_dir, "documents"), k=3, threshold=0.2, max_shingle_df=100
     )
+
+
+@register(
+    "text_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    )
+    SELECT node AS doc_id, MIN(r) AS cluster_id,
+           CAST(CASE WHEN MIN(r) = node THEN 1 ELSE 0 END AS INT) AS is_keeper
+    FROM reach GROUP BY node
+    """,
+)
+def text_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION step: exact-Jaccard near-dup pairs form a
+    graph; connected components (iterative min-label propagation,
+    operators/dedup.py::neardup_clusters — the large-star/small-star
+    shape) collapse each family to one cluster id, keeper = the
+    minimum member. The oracle replays the transitive closure with a
+    recursive CTE, so the clustering is hash-checked end to end — a
+    full fuzzy-dedup pipeline (shingle -> candidate -> verify ->
+    cluster -> keeper) with exact cross-engine verification."""
+    from ..operators.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        t(spark, sf_dir, "documents"), k=3, threshold=0.2, max_shingle_df=100
+    )
+    return neardup_clusters(pairs)
 
 
 # ----------------------------------------------------------------- minhash
