@@ -119,6 +119,107 @@ def sink_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sink_partitioned",
+    oracle="""
+    SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR)
+             AS event_date,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) >= (SELECT min(ts) FROM events)
+      AND CAST(ts AS TIMESTAMP) <  (SELECT min(ts) FROM events) + INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+)
+def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-partitioned lakehouse layout (SURVEY §2 scale rule: the
+    reference's minute-stamp filenames become a partition column).
+    Write events partitioned by event_date, read back with a 7-day
+    predicate — the scan touches ONLY the matching partition dirs
+    (partition pruning; plan asserted in tests), which at 100 TB is
+    the difference between reading a week and reading years."""
+    path = _scratch(sf_dir, "events_by_date")
+    ev = t(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date(F.date_trunc("day", "ts")))
+    ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
+    back = spark.read.parquet(path)
+    lo = t(spark, sf_dir, "events").agg(
+        F.date_trunc("day", F.min("ts")).alias("_lo")).collect()[0]["_lo"]
+    import datetime as dt
+
+    hi = lo + dt.timedelta(days=7)
+    return (
+        back.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        .groupBy(F.col("event_date").cast("string").alias("event_date"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "table_compact",
+    oracle="""
+    SELECT 'before' AS phase, 20 AS n_files,
+           (SELECT COUNT(*) FROM events) AS n_rows
+    UNION ALL
+    SELECT 'after', 2, (SELECT COUNT(*) FROM events)
+    """,
+)
+def table_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the OPTIMIZE analog of HeatWave's
+    re-load (check_lakehouse.py:149): streaming ingest lands many
+    small files (one per micro-batch/minute, datagen.py:66); periodic
+    compaction rewrites them into few large ones so scans stop paying
+    per-file open/footer costs. Here: land events as 20 files,
+    compact to 2, prove row counts survive and file counts drop."""
+    frag = _scratch(sf_dir, "events_fragmented")
+    comp = _scratch(sf_dir, "events_compacted")
+    ev = t(spark, sf_dir, "events")
+    ev.repartition(20).write.mode("overwrite").parquet(frag)
+    spark.read.parquet(frag).repartition(2).write.mode("overwrite").parquet(comp)
+
+    def stats(phase, path):
+        files = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        return (phase, len(files), spark.read.parquet(path).count())
+
+    return spark.createDataFrame(
+        [stats("before", frag), stats("after", comp)],
+        "phase string, n_files int, n_rows bigint",
+    )
+
+
+@register(
+    "analyze_stats",
+    oracle="""
+    SELECT 'orders' AS table_name,
+           (SELECT COUNT(*) FROM orders) AS stat_rowcount
+    """,
+)
+def analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE COMPUTE STATISTICS — feeds Catalyst's CBO (join
+    reordering, broadcast decisions; SURVEY §4 'collect stats'). The
+    key writes a managed copy, analyzes it, and reads the row count
+    back from the CATALOG stats (not from data) to prove the stats
+    pipeline works end to end."""
+    import re
+    import shutil
+
+    sf_tag = re.sub(r"[^0-9a-zA-Z]", "_", os.path.basename(sf_dir.rstrip("/")))
+    name = f"stats_orders_{sf_tag}"
+    if not spark.catalog.tableExists(name):
+        loc = os.path.join(
+            spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:"),
+            name.lower())
+        if os.path.exists(loc):
+            shutil.rmtree(loc, ignore_errors=True)
+        t(spark, sf_dir, "orders").write.mode("overwrite").saveAsTable(name)
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    desc = spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+    stats_row = next(r for r in desc if r.col_name == "Statistics")
+    n_rows = int(re.search(r"(\d+) rows", stats_row.data_type).group(1))
+    return spark.createDataFrame(
+        [("orders", n_rows)], "table_name string, stat_rowcount bigint")
+
+
+@register(
     "jdbc_source",
     oracle="SELECT n_nationkey, n_name, n_regionkey FROM nation",
 )

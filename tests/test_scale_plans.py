@@ -44,6 +44,36 @@ def test_flagship_scan_pushdown_and_pruning(spark, sf_dir):
     assert m and "l_comment" not in m.group(1), "scan reads unneeded columns"
 
 
+def test_partitioned_sink_prunes_partitions(spark, sf_dir):
+    """A date predicate over the partitioned layout must prune at the
+    directory level: the scan's partition count < the total number of
+    event-date partitions."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+          .withColumn("event_date", F.to_date(F.date_trunc("day", "ts"))))
+    path = os.path.join(tempfile.mkdtemp(prefix="las_prune_"), "t")
+    ev.write.partitionBy("event_date").parquet(path)
+    n_parts = len([d for d in os.listdir(path) if d.startswith("event_date=")])
+    lo = ev.agg(F.min("event_date")).collect()[0][0]
+    back = spark.read.parquet(path).filter(
+        F.col("event_date") < F.lit(lo + dt.timedelta(days=3)))
+    plan = _plan(back)
+    # the date predicate must land in PartitionFilters (directory-level
+    # pruning), not DataFilters (row-level after reading)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    assert n_parts > 3  # and there genuinely was something to prune
+    # pruned scan returns only the filtered days
+    days = {r[0] for r in back.select("event_date").distinct().collect()}
+    assert len(days) == 3
+
+
 def test_salted_join_matches_plain(spark, sf_dir):
     """Salting is a physical rewrite only — row-identical results."""
     salted = {
