@@ -1,0 +1,137 @@
+"""LIVE Structured Streaming tests for the semantics the batch-
+restated gate keys claim: windowed aggregation parity, watermark
+late-row dropping, and stateful dedup within a watermark. Each test
+runs a REAL readStream over landed files, forced into multiple
+micro-batches with maxFilesPerTrigger=1 so cross-batch state and
+watermark advancement genuinely engage."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import functions as F, types as T
+
+SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+T0 = dt.datetime(2024, 6, 1, 10, 0, 0)
+
+
+def _land(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(path)
+
+
+def _run_stream(spark, src, tmp_path, build, mode):
+    """readStream over src (1 file per micro-batch) -> build(df) ->
+    foreachBatch capture; returns list of (batch_id, rows)."""
+    captured = []
+
+    def sink(bdf, bid):
+        captured.append((bid, bdf.collect()))
+
+    q = (
+        build(
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        .writeStream.outputMode(mode)
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=120)
+    return captured
+
+
+def test_stream_tumbling_agg_matches_batch(spark, tmp_path):
+    rows = [(i, T0 + dt.timedelta(minutes=7 * i), float(i)) for i in range(20)]
+    src = str(tmp_path / "src")
+    _land(spark, os.path.join(src, "a"), rows[:10])
+    _land(spark, os.path.join(src, "b"), rows[10:])
+
+    def build(stream):
+        return (stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    captured = _run_stream(spark, src, tmp_path, build, "complete")
+    final = {r["w"]["start"]: r["n"] for r in captured[-1][1]}
+    want = {
+        r["w"]["start"]: r["n"]
+        for r in spark.createDataFrame(rows, SCHEMA)
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert final == want
+
+
+def test_stream_watermark_finalizes_windows_exactly_once(spark, tmp_path):
+    """Append-mode watermark semantics (what the stream_watermark_late
+    key restates): a window emits exactly when the watermark passes
+    its end, EXACTLY ONCE — a late row targeting an already-emitted
+    window is dropped (it can never re-open the window or change the
+    emitted count), and open windows are withheld."""
+    import time
+
+    src = str(tmp_path / "src")
+    # batch 0: rows 10:00..12:00
+    _land(spark, os.path.join(src, "a"),
+          [(i, T0 + dt.timedelta(minutes=30 * i), 1.0) for i in range(5)])
+    time.sleep(1.1)  # file mtime order = batch order
+    # batch 1: fresh 13:00 row -> watermark 12:50 passes windows
+    # 10:00-11:00 and 11:00-12:00 -> they EMIT here
+    _land(spark, os.path.join(src, "b"),
+          [(101, T0 + dt.timedelta(hours=3), 1.0)])
+    time.sleep(1.1)
+    # batch 2: a late 10:30 row aimed at the ALREADY-EMITTED 10:00
+    # window (must be dropped) + a fresh 14:00 row
+    _land(spark, os.path.join(src, "c"),
+          [(102, T0 + dt.timedelta(minutes=30), 1.0),
+           (103, T0 + dt.timedelta(hours=4), 1.0)])
+
+    def build(stream):
+        return (stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(F.count(F.lit(1)).alias("n")))
+
+    captured = _run_stream(spark, src, tmp_path, build, "append")
+    all_emits = [(r["w"]["start"], r["n"]) for _, rows in captured for r in rows]
+    # each window emitted at most once (append's exactly-once contract)
+    starts = [s for s, _ in all_emits]
+    assert len(starts) == len(set(starts)), all_emits
+    emitted = dict(all_emits)
+    # the 10:00 window closed with its pre-watermark count — the late
+    # 10:30 row neither re-emitted it nor changed the count
+    assert emitted.get(T0) == 2, all_emits
+    assert emitted.get(T0 + dt.timedelta(hours=1)) == 2
+    # still-open windows (13:00, 14:00) withheld by this bounded run
+    assert T0 + dt.timedelta(hours=4) not in emitted
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the same event_id replayed in a
+    later micro-batch (within the watermark) is emitted exactly once
+    — the stateful dedup the ledger-backed reference approximates."""
+    src = str(tmp_path / "src")
+    _land(spark, os.path.join(src, "a"),
+          [(1, T0, 1.0), (2, T0 + dt.timedelta(minutes=1), 2.0)])
+    # batch 2 replays id=2 and adds id=3
+    _land(spark, os.path.join(src, "b"),
+          [(2, T0 + dt.timedelta(minutes=1), 2.0),
+           (3, T0 + dt.timedelta(minutes=2), 3.0)])
+
+    def build(stream):
+        return (stream.withWatermark("ts", "1 hour")
+                .dropDuplicatesWithinWatermark(["event_id"]))
+
+    captured = _run_stream(spark, src, tmp_path, build, "append")
+    emitted = [r["event_id"] for _, rows in captured for r in rows]
+    assert sorted(emitted) == [1, 2, 3], emitted
