@@ -50,6 +50,7 @@ HEADLINE = [
     "text_ngram_jaccard",
     "text_minhash_dedup",
     "text_simhash",
+    "curate_pipeline",
     "vec_cosine_topk",
     "vec_neardup_lsh",
     "vec_knn_join",

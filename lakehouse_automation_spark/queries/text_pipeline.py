@@ -526,6 +526,108 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------------- curation pipeline
+
+@register(
+    "curate_pipeline",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_NGRAM_PAIRS_SQL}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    clusters AS (SELECT node AS doc_id, MIN(r) AS cluster_id
+                 FROM reach GROUP BY node),
+    exact AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (
+               PARTITION BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+             ) AS exact_keeper
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 20
+                       AND CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+                           / len(t) BETWEEN 0.02 AND 0.5
+                  THEN 'good'
+                  WHEN len(t) >= 10 THEN 'fair' ELSE 'low' END AS quality
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT d.doc_id, q.quality,
+           CAST(CASE WHEN e.exact_keeper = d.doc_id THEN 1 ELSE 0 END AS INT)
+             AS exact_keeper,
+           CAST(CASE WHEN c.cluster_id IS NULL OR c.cluster_id = d.doc_id
+                     THEN 1 ELSE 0 END AS INT) AS fuzzy_keeper,
+           CASE WHEN q.quality = 'low' THEN 'low_quality'
+                WHEN e.exact_keeper != d.doc_id THEN 'exact_dup'
+                WHEN c.cluster_id IS NOT NULL AND c.cluster_id != d.doc_id
+                  THEN 'near_dup'
+                ELSE 'kept' END AS verdict
+    FROM documents d
+    JOIN exact e USING (doc_id)
+    JOIN q USING (doc_id)
+    LEFT JOIN clusters c USING (doc_id)
+    """,
+)
+def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation: the decision query a training-data pipeline
+    exists for. Per document: quality bucket (stopword/length
+    heuristics), exact-dedup keeper (md5 groups), fuzzy-dedup keeper
+    (shingle -> candidate -> exact-Jaccard verify -> connected
+    components), and the final verdict with a drop reason (first
+    matching rule: low_quality > exact_dup > near_dup > kept). Every
+    stage is the already-verified operator; the oracle replays the
+    whole composition — including the recursive-CTE clustering — so
+    the end-to-end decision is hash-checked, not just the parts."""
+    from ..operators.dedup import neardup_clusters, ngram_jaccard_pairs
+
+    d = t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+    exact = d.select(
+        "doc_id",
+        F.min("doc_id").over(
+            Window.partitionBy(F.md5(norm))).alias("exact_keeper"),
+    )
+    toks = tokens_col(F.col("text"))
+    n_tok = F.size(toks)
+    stop_ratio = (F.size(F.filter(toks, lambda x: x.isin("the", "a")))
+                  .cast("double") / n_tok)
+    quality = d.select(
+        "doc_id",
+        F.when((n_tok >= 20) & (stop_ratio >= 0.02) & (stop_ratio <= 0.5), "good")
+        .when(n_tok >= 10, "fair").otherwise("low").alias("quality"),
+    )
+    clusters = neardup_clusters(
+        ngram_jaccard_pairs(d, k=3, threshold=0.2, max_shingle_df=100)
+    ).select("doc_id", "cluster_id")
+    out = (
+        d.select("doc_id")
+        .join(exact, "doc_id")
+        .join(quality, "doc_id")
+        .join(clusters, "doc_id", "left")
+    )
+    return out.select(
+        "doc_id", "quality",
+        (F.col("exact_keeper") == F.col("doc_id")).cast("int")
+        .alias("exact_keeper"),
+        (F.col("cluster_id").isNull()
+         | (F.col("cluster_id") == F.col("doc_id"))).cast("int")
+        .alias("fuzzy_keeper"),
+        F.when(F.col("quality") == "low", "low_quality")
+        .when(F.col("exact_keeper") != F.col("doc_id"), "exact_dup")
+        .when(F.col("cluster_id").isNotNull()
+              & (F.col("cluster_id") != F.col("doc_id")), "near_dup")
+        .otherwise("kept").alias("verdict"),
+    )
+
+
 # ------------------------------------------------------------------- tfidf
 
 @register(
