@@ -143,6 +143,61 @@ def win_rank_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS b_and,
+           o_orderkey | 4096 AS b_or,
+           xor(o_orderkey, 1365) AS b_xor,
+           o_orderkey << 2 AS b_shl,
+           o_orderkey >> 3 AS b_shr,
+           bit_count(o_orderkey) AS b_pop
+    FROM orders WHERE o_orderkey < 1000
+    """,
+)
+def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator pack (MySQL's & | ^ << >> BIT_COUNT) — used in
+    this engine for SimHash banding and salting; exposed as a key so
+    the surface is explicit."""
+    k = F.col("o_orderkey")
+    return (
+        t(spark, sf_dir, "orders").filter(k < 1000)
+        .select(
+            "o_orderkey",
+            k.bitwiseAND(F.lit(255)).alias("b_and"),
+            k.bitwiseOR(F.lit(4096)).alias("b_or"),
+            k.bitwiseXOR(F.lit(1365)).alias("b_xor"),
+            F.shiftleft(k, 2).alias("b_shl"),
+            F.shiftright(k, 3).alias("b_shr"),
+            F.bit_count(k).cast("bigint").alias("b_pop"),
+        )
+    )
+
+
+@register(
+    "agg_median",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(median(l_quantity), 4) AS med_qty,
+           ROUND(median(l_extendedprice), 4) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MEDIAN (interpolated) per group — the exact counterpart of
+    agg_percentile's approx path; rounded at 4 dp so the two engines'
+    interpolation agrees bit-for-bit."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.median("l_quantity"), 4).alias("med_qty"),
+            F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+        )
+    )
+
+
+@register(
     "fn_levenshtein",
     oracle="""
     SELECT c_custkey, c_name,
