@@ -15,6 +15,12 @@ and let harnesses (``bench.py``, ``tools/oracle_check.py``) call
 degrades to LRU eviction under memory pressure — the same behavior as
 a bare persist, never worse. At 100-TB scale these mid-plan tables are
 instead written to storage (checkpoint) and the hook is a no-op.
+
+Threading: the module-level registries are UNSYNCHRONIZED — the
+driver-side query builders here are single-threaded by design (one
+sweep/bench process building plans sequentially; executor parallelism
+happens JVM-side, not in this module). Callers running query builders
+from multiple Python threads must serialize around these helpers.
 """
 
 from __future__ import annotations

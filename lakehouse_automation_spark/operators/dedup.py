@@ -279,14 +279,17 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
     lists into dedup DECISIONS (keeper = the doc whose id equals the
     cluster id; everything else in the cluster drops).
 
-    Iterative min-label propagation: each round every node takes the
-    minimum label among itself and its neighbors; converges in
-    O(diameter) rounds, and near-dup clusters are tiny by construction
-    (boilerplate families, re-uploads), so the early-exit usually
-    fires after 2-3 rounds. Each round is one join + one groupBy on
-    node — the same alternating-min shape the large-star/small-star
-    algorithm scales to billions of edges; the driver only sees the
-    per-round convergence COUNT, never the graph.
+    Iterative min-label propagation with pointer jumping: each round
+    every node takes the minimum label among itself and its neighbors
+    (one hop), then additionally adopts its label's own label
+    (label-of-label), so a label's reach doubles per round and
+    convergence is O(log diameter) — max_iters=10 covers components
+    ~2^10 hops across, far beyond any near-dup cluster. Each round is
+    two joins + one groupBy on node — the same alternating-min shape
+    the large-star/small-star algorithm scales to billions of edges;
+    the driver only sees the per-round convergence COUNT, never the
+    graph. If the loop exhausts without a converged round the function
+    raises rather than return not-yet-final labels.
 
     ``pairs`` needs columns (id_a, id_b) with id_a < id_b.
     """
@@ -309,7 +312,7 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
             edges.join(labels, edges.v == labels.node)
             .groupBy("u").agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        stepped = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
@@ -317,10 +320,30 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
                     F.col("label"),
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
-                (F.col("nbr_label") < F.col("label")).alias("_changed"),
+                F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False))
+                .alias("_stepped"),
             )
         )
-        # truncate lineage each round (labels otherwise stack one join
+        # pointer jumping: label <- min(label, label(label)). Labels
+        # are themselves node ids and only ever decrease, so the
+        # lookup is a self-join; this is what makes reach double per
+        # round instead of advancing one hop.
+        parent = stepped.select(F.col("node").alias("p_node"),
+                                F.col("label").alias("p_label"))
+        new_labels = (
+            stepped.join(parent, stepped.label == parent.p_node, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"),
+                    F.coalesce(F.col("p_label"), F.col("label")),
+                ).alias("label"),
+                (F.col("_stepped")
+                 | F.coalesce(F.col("p_label") < F.col("label"),
+                              F.lit(False))).alias("_changed"),
+            )
+        )
+        # truncate lineage each round (labels otherwise stack joins
         # per iteration) and materialize once for BOTH the convergence
         # count and the next round
         new_labels = new_labels.localCheckpoint(eager=True)
@@ -328,6 +351,12 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         labels = new_labels.select("node", "label")
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iters} "
+            f"pointer-jumped rounds (component diameter > ~2**{max_iters}); "
+            "raising instead of returning unconverged labels"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("label").alias("cluster_id"),

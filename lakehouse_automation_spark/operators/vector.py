@@ -27,6 +27,21 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .cache import tracked_persist_keyed
 
+
+def _plan_key(df: DataFrame) -> tuple:
+    """Memoization key for a keyed persist. ``semanticHash`` alone is a
+    32-bit plan hash — two different corpora (or a rewritten file
+    behind an identical-looking plan) could collide and silently serve
+    the wrong cached table. Pair it with the analyzed plan string,
+    which names the concrete input paths, so aliasing requires a
+    same-plan same-path collision."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # Connect or API drift: fall back to schema
+        plan = df.schema.json()
+    return (df.semanticHash(), plan)
+
+
 SIM_DECIMALS = 9
 
 # RP-LSH plane constants: deterministic, shared with any oracle/replay.
@@ -335,7 +350,7 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     # key dedupes repeat invocations on the same corpus — the plane
     # LocalRelation defeats CacheManager's own plan matching.
     b = tracked_persist_keyed(
-        ("lsh_buckets", emb.semanticHash()),
+        ("lsh_buckets", _plan_key(emb)),
         lambda: lsh_bucket_table(emb).select("vec_id", "band_id", "bucket"))
     cand = (
         b.select(F.col("vec_id").alias("id_a"), "band_id", "bucket")
@@ -374,7 +389,7 @@ def knn_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
     once; the keyed persist covers the AQE broadcast-side re-execution
     that plain exchange reuse misses and dedupes repeat invocations."""
     b = tracked_persist_keyed(
-        ("lsh_buckets", emb.semanticHash()),
+        ("lsh_buckets", _plan_key(emb)),
         lambda: lsh_bucket_table(emb).select("vec_id", "band_id", "bucket"))
     cand = (
         b.select(F.col("vec_id").alias("q_id"), "band_id", "bucket")

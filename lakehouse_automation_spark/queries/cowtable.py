@@ -1,0 +1,198 @@
+"""ACID table-format keys (SURVEY §1.2 north star: "Spark SQL +
+Delta/Iceberg operations").
+
+The reference's defining operation is a *transactional* lakehouse
+refresh — ``sys.heatwave_load`` atomically re-points the external
+table at a new file set (reference ``check_lakehouse.py:146-150``) —
+and round-1 review called out that plain parquet append/MERGE
+emulation has no such commit boundary. ``tableformat.CowTable``
+supplies it (atomic manifest log, copy-on-write rewrites, snapshot
+reads, time travel, VACUUM); these keys drive every verb end-to-end on
+deterministic testdata slices with full DuckDB-restatement oracles.
+
+Every key builds its table in a fresh scratch dir per invocation, so
+repeat sweeps/bench runs never collide with a previous commit log.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..tableformat import CowTable
+from .base import register, t
+
+# Money survives the cross-engine hash as integer cents (the
+# udf_grouped_map convention): exact in both engines, order-free.
+_CENTS = "CAST(SUM(CAST(round({c} * 100) AS BIGINT)) AS BIGINT)"
+
+
+def _cents(col: str) -> F.Column:
+    return F.sum(F.round(F.col(col) * 100).cast("long")).alias("cents")
+
+
+def _orders_slice(spark: SparkSession, sf_dir: str, mod: int, rem: int) -> DataFrame:
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % mod == rem)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+def _tmp() -> str:
+    return tempfile.mkdtemp(prefix="las_cow_")
+
+
+@register(
+    "tf_acid_append",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           {_CENTS.format(c="o_totalprice")} AS cents
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    GROUP BY o_orderstatus
+    """,
+)
+def tf_acid_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE + atomic APPEND: v0 is one committed chunk, v1 extends
+    the manifest; a reader of either snapshot sees a complete file
+    set, never the half-written state a bare parquet append exposes."""
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, _orders_slice(spark, sf_dir, 3, 0), f"{root}/orders")
+        tbl.append(_orders_slice(spark, sf_dir, 3, 1))
+        return (
+            tbl.read().groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"), _cents("o_totalprice"))
+            .localCheckpoint(eager=True)  # scratch is deleted below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_merge_cow",
+    oracle=f"""
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 4 IN (0, 1, 2)
+    ), upd AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal + 1000 AS c_acctbal
+      FROM customer WHERE c_custkey % 20 = 1
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 4 = 3
+    ), merged AS (
+      SELECT * FROM base
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM upd)
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT c_mktsegment, COUNT(*) AS n,
+           {_CENTS.format(c="c_acctbal")} AS cents
+    FROM merged GROUP BY c_mktsegment
+    """,
+)
+def tf_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-pruned copy-on-write MERGE. The table is three chunks
+    (custkey % 4 = 0 / 1 / 2); the update set hits only % 20 == 1 keys
+    — all inside the % 4 == 1 chunk — plus brand-new % 4 == 3 inserts.
+    The merge rewrites exactly ONE chunk and carries the other two by
+    name (pytest asserts the pruning); at 100 TB this is the
+    difference between rewriting 1/3 of the table and all of it."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, cust.filter(F.col("c_custkey") % 4 == 0), f"{root}/cust")
+        tbl.append(cust.filter(F.col("c_custkey") % 4 == 1))
+        tbl.append(cust.filter(F.col("c_custkey") % 4 == 2))
+        updates = (
+            cust.filter(F.col("c_custkey") % 20 == 1)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+            .unionByName(cust.filter(F.col("c_custkey") % 4 == 3))
+        )
+        tbl.merge(updates, "c_custkey")
+        return (
+            tbl.read().groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"), _cents("c_acctbal"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_time_travel",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n,
+           {_CENTS.format(c="o_totalprice")} AS cents
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, COUNT(*), {_CENTS.format(c="o_totalprice")}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2, COUNT(*), {_CENTS.format(c="o_totalprice")}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F'
+    """,
+)
+def tf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: after CREATE (v0) -> APPEND (v1) -> DELETE (v2),
+    read every snapshot by version number. Old manifests are immutable,
+    so v0 still returns the pre-append contents — the audit/rollback
+    capability the north star names and plain parquet cannot give."""
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, _orders_slice(spark, sf_dir, 3, 0), f"{root}/orders")
+        tbl.append(_orders_slice(spark, sf_dir, 3, 1))
+        tbl.delete_where(F.col("o_orderstatus") == "F")
+        out = None
+        for v in (0, 1, 2):
+            snap = (
+                tbl.read(version=v)
+                .agg(F.count(F.lit(1)).alias("n"), _cents("o_totalprice"))
+                .select(F.lit(v).cast("int").alias("version"), "n", "cents")
+            )
+            out = snap if out is None else out.unionByName(snap)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_delete_vacuum",
+    oracle="""
+    SELECT 'chunks_live' AS phase, 1 AS n
+    UNION ALL SELECT 'chunks_removed', 3
+    UNION ALL
+    SELECT 'rows_live', COUNT(*) FROM orders
+    WHERE o_orderkey % 3 IN (0, 1, 2) AND o_orderstatus <> 'F'
+    """,
+)
+def tf_delete_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE + VACUUM lifecycle (the reference's retention sweep,
+    made transactional): three appended chunks, a copy-on-write DELETE
+    that rewrites them into one surviving chunk, then VACUUM with
+    retain_versions=1 reclaims the three now-unreferenced chunks.
+    Literal chunk counts in the oracle pin the file-level behavior
+    (the table_compact convention); the row count pins the data."""
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, _orders_slice(spark, sf_dir, 3, 0), f"{root}/orders")
+        tbl.append(_orders_slice(spark, sf_dir, 3, 1))
+        tbl.append(_orders_slice(spark, sf_dir, 3, 2))
+        tbl.delete_where(F.col("o_orderstatus") == "F")
+        live, removed = tbl.vacuum(retain_versions=1)
+        n_rows = tbl.read().count()
+        return spark.createDataFrame(
+            [("chunks_live", live), ("chunks_removed", removed),
+             ("rows_live", n_rows)],
+            "phase string, n long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

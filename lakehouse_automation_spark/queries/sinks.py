@@ -121,12 +121,15 @@ def sink_csv_header(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "sink_partitioned",
     oracle="""
+    WITH lo AS (
+      SELECT date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS v FROM events
+    )
     SELECT CAST(CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS VARCHAR)
              AS event_date,
            COUNT(*) AS n
-    FROM events
-    WHERE CAST(ts AS TIMESTAMP) >= (SELECT min(ts) FROM events)
-      AND CAST(ts AS TIMESTAMP) <  (SELECT min(ts) FROM events) + INTERVAL 7 DAY
+    FROM events, lo
+    WHERE CAST(ts AS TIMESTAMP) >= lo.v
+      AND CAST(ts AS TIMESTAMP) <  lo.v + INTERVAL 7 DAY
     GROUP BY 1
     """,
 )

@@ -469,9 +469,15 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     grams = toked.select(
         "doc_id",
+        # guard the 1-token doc: sequence(1, 0) counts DOWN to [1, 0]
+        # and element_at(_toks, 0) throws — same short-doc pitfall
+        # shingles_col guards. explode(array()) then drops the doc,
+        # matching the oracle's empty range(1, 1) + inner join.
         F.explode(F.expr(
+            "CASE WHEN size(_toks) >= 2 THEN "
             "transform(sequence(1, size(_toks) - 1), "
-            "i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1)))"
+            "i -> concat_ws(' ', element_at(_toks, i), element_at(_toks, i + 1))) "
+            "ELSE array() END"
         )).alias("gram"),
     )
     gram_stats = (

@@ -81,7 +81,11 @@ def udf_sql_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
 
     def shard_of(text: str) -> int:
-        return ((len(text.strip()) * _MULT) % _MOD) % 16
+        # strip SPACES only: the oracle's DuckDB trim(text) strips
+        # ' ' alone, while Python's bare strip() would also take
+        # tabs/newlines — the two engines must drop the identical
+        # character set or docs shard differently.
+        return ((len(text.strip(" ")) * _MULT) % _MOD) % 16
 
     spark.udf.register("las_shard", shard_of, "long")
     return spark.sql(

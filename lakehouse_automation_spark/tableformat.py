@@ -1,0 +1,238 @@
+"""Minimal copy-on-write table format: parquet data + an atomic JSON
+manifest log — the Delta/Iceberg transaction pattern re-expressed with
+no extra jars.
+
+The reference's whole job is a *transactional* external-table refresh:
+``sys.heatwave_load`` re-points the lakehouse table at a new file set
+in one step (reference ``check_lakehouse.py:146-150``), and readers
+never see a half-loaded table. Plain ``df.write.parquet`` has no such
+boundary (readers can observe partial file sets), and the Delta jars
+are not in this image (``engine.session.delta_available`` probes and
+logs). This module supplies the missing boundary with the same
+public-protocol design Delta uses:
+
+- data is immutable parquet, added in commit-sized chunks;
+- a table IS its newest manifest: ``<table>/_log/v{N}.json`` lists the
+  data chunks of snapshot N;
+- a commit writes data first, then publishes the manifest with an
+  atomic create-if-absent (``os.link``); two racing writers cannot
+  both claim version N — the loser re-reads and retries (optimistic
+  concurrency, exactly Delta's protocol on a POSIX fs; on object
+  stores the same step is a conditional PUT);
+- old manifests stay readable -> time travel; ``vacuum`` reclaims
+  chunks no retained snapshot references.
+
+Scale notes (100-TB design):
+- Manifests carry chunk NAMES, never data; the driver-side log read is
+  O(#chunks), the same contract as Delta's log.
+- ``merge``/``delete_where`` are file-pruned copy-on-write: only
+  chunks that actually contain matched keys / matched rows are
+  rewritten, discovered with one semi-join over ``input_file_name()``
+  — untouched chunks are carried into the new manifest by name. A
+  MERGE touching 0.1% of keys rewrites ~0.1% of the table.
+- Chunk granularity here is one parquet directory per commit; a
+  production variant tracks individual files with min/max stats for
+  scan pruning — same protocol, finer grain.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.upsert import merge_upsert
+
+_LOG = "_log"
+_PAD = 12
+
+
+def _vname(v: int) -> str:
+    return f"v{v:0{_PAD}d}.json"
+
+
+class CowTable:
+    """Handle to a copy-on-write table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+
+    # ------------------------------------------------------------ log
+
+    def _log_dir(self) -> str:
+        return os.path.join(self.path, _LOG)
+
+    def version(self) -> int:
+        """Newest committed version, -1 when the table doesn't exist."""
+        try:
+            vs = [int(f[1:-5]) for f in os.listdir(self._log_dir())
+                  if f.startswith("v") and f.endswith(".json")]
+        except FileNotFoundError:
+            return -1
+        return max(vs, default=-1)
+
+    def manifest(self, version: int | None = None) -> dict:
+        v = self.version() if version is None else version
+        with open(os.path.join(self._log_dir(), _vname(v))) as fh:
+            return json.load(fh)
+
+    def history(self) -> list[dict]:
+        return [self.manifest(v) for v in range(self.version() + 1)]
+
+    def chunk_paths(self, version: int | None = None) -> list[str]:
+        return [os.path.join(self.path, c)
+                for c in self.manifest(version)["chunks"]]
+
+    def _commit(self, chunks: list[str], op: str) -> int:
+        """Publish ``chunks`` as the next snapshot; returns its version.
+
+        Atomicity: the manifest is staged to a temp name and published
+        with ``os.link`` — an atomic create-if-absent on POSIX. If
+        another writer claimed the version first the link raises
+        ``FileExistsError`` and we retry against the advanced version;
+        data chunks are immutable and uniquely named per attempt, so a
+        lost race leaks at worst an unreferenced chunk for ``vacuum``.
+        """
+        os.makedirs(self._log_dir(), exist_ok=True)
+        while True:
+            v = self.version() + 1
+            doc = {"version": v, "op": op, "chunks": sorted(chunks),
+                   "n_chunks": len(chunks)}
+            tmp = os.path.join(self._log_dir(), f".tmp-{os.getpid()}-{v}")
+            with open(tmp, "w") as fh:
+                json.dump(doc, fh)
+            try:
+                os.link(tmp, os.path.join(self._log_dir(), _vname(v)))
+                return v
+            except FileExistsError:
+                continue  # lost the race: recompute against the new tip
+            finally:
+                os.unlink(tmp)
+
+    # ----------------------------------------------------------- data
+
+    def _write_chunk(self, df: DataFrame, tag: str) -> str:
+        """Write one immutable data chunk; returns its table-relative
+        name. Chunk names embed (next-version, tag, attempt) so racing
+        writers never collide on the data path either."""
+        base = self.version() + 1
+        n = 0
+        while True:
+            name = f"d{base:0{_PAD}d}-{tag}" + (f"-{n}" if n else "")
+            full = os.path.join(self.path, name)
+            if not os.path.exists(full):
+                df.write.mode("errorifexists").parquet(full)
+                return name
+            n += 1
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Snapshot read: exactly the chunks manifest ``version`` lists
+        (newest when None) — a reader holding a manifest is isolated
+        from every later commit."""
+        return self.spark.read.parquet(*self.chunk_paths(version))
+
+    @classmethod
+    def create(cls, spark: SparkSession, df: DataFrame, path: str) -> "CowTable":
+        tbl = cls(spark, path)
+        if tbl.version() >= 0:
+            raise FileExistsError(f"table exists at {path}")
+        chunk = tbl._write_chunk(df, "create")
+        tbl._commit([chunk], "create")
+        return tbl
+
+    def append(self, df: DataFrame) -> int:
+        """Blind append: one new chunk + manifest extending the tip."""
+        chunk = self._write_chunk(df, "append")
+        return self._commit(self.manifest()["chunks"] + [chunk], "append")
+
+    # ----------------------------------------- copy-on-write rewrites
+
+    def _touched_chunks(self, flagged: DataFrame) -> list[str]:
+        """Manifest chunks that physically contain >=1 row of
+        ``flagged`` (a DataFrame carrying ``_file`` =
+        ``input_file_name()``). Driver-side result is O(#chunks)."""
+        files = [r["_file"] for r in
+                 flagged.select("_file").distinct().collect()]
+        touched = []
+        for c in self.manifest()["chunks"]:
+            prefix = os.path.join(self.path, c) + os.sep
+            if any(f.replace("file://", "").startswith(prefix)
+                   for f in files):
+                touched.append(c)
+        return touched
+
+    def merge(self, updates: DataFrame, key: str | list[str]) -> int:
+        """File-pruned ACID MERGE (updates win, unmatched base rows
+        survive, unmatched updates insert). Only chunks containing a
+        matched key are rewritten; the rest carry over by name."""
+        keys = [key] if isinstance(key, str) else list(key)
+        base = self.read().withColumn("_file", F.input_file_name())
+        matched = base.join(F.broadcast(updates.select(*keys).distinct()),
+                            on=keys, how="left_semi")
+        touched = self._touched_chunks(matched)
+        untouched = [c for c in self.manifest()["chunks"]
+                     if c not in touched]
+        to_rewrite = (
+            self.spark.read.parquet(
+                *[os.path.join(self.path, c) for c in touched])
+            if touched else self.read().limit(0)
+        )
+        merged = merge_upsert(to_rewrite, updates, keys)
+        chunk = self._write_chunk(merged, "merge")
+        return self._commit(untouched + [chunk], "merge")
+
+    def delete_where(self, cond) -> int:
+        """File-pruned ACID DELETE — the transactional form of the
+        reference's retention sweep (check_lakehouse retention window;
+        pipelines/retention.py restates it non-atomically). Chunks with
+        no matching row carry over untouched; matching chunks are
+        rewritten without the condemned rows."""
+        base = self.read().withColumn("_file", F.input_file_name())
+        touched = self._touched_chunks(base.filter(cond))
+        untouched = [c for c in self.manifest()["chunks"]
+                     if c not in touched]
+        chunks = list(untouched)
+        if touched:
+            keep = (
+                self.spark.read.parquet(
+                    *[os.path.join(self.path, c) for c in touched])
+                .filter(~cond)
+            )
+            chunks.append(self._write_chunk(keep, "delete"))
+        return self._commit(chunks, "delete")
+
+    def compact(self, n_files: int = 1) -> int:
+        """OPTIMIZE analog: rewrite the live snapshot into one chunk of
+        ``n_files`` files; readers of older manifests are unaffected."""
+        df = self.read().repartition(n_files)
+        chunk = self._write_chunk(df, "compact")
+        return self._commit([chunk], "compact")
+
+    def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
+        """Delete data chunks referenced by NO retained snapshot (the
+        newest ``retain_versions`` manifests survive; older manifests
+        are dropped — time travel ends at the retention horizon, like
+        Delta's VACUUM). Returns (live_chunks, removed_chunks)."""
+        import shutil
+
+        tip = self.version()
+        keep_versions = range(max(0, tip - retain_versions + 1), tip + 1)
+        live: set[str] = set()
+        for v in keep_versions:
+            live.update(self.manifest(v)["chunks"])
+        removed = 0
+        for entry in os.listdir(self.path):
+            if entry == _LOG or entry in live:
+                continue
+            if entry.startswith("d") and os.path.isdir(
+                    os.path.join(self.path, entry)):
+                shutil.rmtree(os.path.join(self.path, entry))
+                removed += 1
+        for v in range(0, max(0, tip - retain_versions + 1)):
+            try:
+                os.unlink(os.path.join(self._log_dir(), _vname(v)))
+            except FileNotFoundError:
+                pass
+        return len(live), removed

@@ -1,0 +1,105 @@
+"""CowTable: atomic manifest log, COW rewrites, time travel, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from lakehouse_automation_spark.tableformat import CowTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, seg string, val long")
+
+
+@pytest.fixture
+def tbl(spark, tmp_path):
+    t = CowTable.create(
+        spark,
+        _df(spark, [(i, "a" if i % 2 == 0 else "b", i * 10)
+                    for i in range(10)]),
+        str(tmp_path / "t"),
+    )
+    return t
+
+
+def test_create_append_snapshot(spark, tbl):
+    assert tbl.version() == 0
+    assert tbl.read().count() == 10
+    tbl.append(_df(spark, [(100 + i, "c", i) for i in range(5)]))
+    assert tbl.version() == 1
+    assert tbl.read().count() == 15
+    # snapshot isolation: v0 still reads the pre-append contents
+    assert tbl.read(version=0).count() == 10
+
+
+def test_merge_prunes_untouched_chunks(spark, tmp_path):
+    t = CowTable.create(
+        spark, _df(spark, [(i, "a", i) for i in range(0, 10)]),
+        str(tmp_path / "t"))
+    t.append(_df(spark, [(i, "b", i) for i in range(10, 20)]))
+    t.append(_df(spark, [(i, "c", i) for i in range(20, 30)]))
+    before = t.manifest()["chunks"]
+    # updates hit only keys 10-12 — all inside the second chunk
+    t.merge(_df(spark, [(10, "B", -1), (11, "B", -2), (12, "B", -3),
+                        (99, "new", 0)]), "k")
+    after = t.manifest()["chunks"]
+    carried = set(before) & set(after)
+    assert len(carried) == 2, "untouched chunks must carry over by name"
+    assert before[1] not in after, "the touched chunk must be rewritten"
+    got = {r["k"]: (r["seg"], r["val"])
+           for r in t.read().filter(F.col("k").isin(10, 11, 12, 99)).collect()}
+    assert got == {10: ("B", -1), 11: ("B", -2), 12: ("B", -3),
+                   99: ("new", 0)}
+    assert t.read().count() == 31
+
+
+def test_delete_where_and_time_travel(spark, tbl):
+    tbl.delete_where(F.col("seg") == "b")
+    assert tbl.version() == 1
+    assert tbl.read().count() == 5
+    assert tbl.read().filter(F.col("seg") == "b").count() == 0
+    assert tbl.read(version=0).count() == 10
+
+
+def test_vacuum_reclaims_and_ends_time_travel(spark, tbl):
+    tbl.append(_df(spark, [(100, "c", 0)]))
+    tbl.compact(n_files=1)
+    live, removed = tbl.vacuum(retain_versions=1)
+    assert (live, removed) == (1, 2)
+    assert tbl.read().count() == 11
+    with pytest.raises(FileNotFoundError):
+        tbl.manifest(0)  # horizon passed: old manifest dropped
+
+
+def test_commit_skips_claimed_versions(spark, tbl):
+    # another writer already published v1: our append must land at v2
+    # without clobbering it
+    foreign = {"version": 1, "op": "append", "chunks": tbl.manifest()["chunks"],
+               "n_chunks": 1}
+    with open(os.path.join(tbl._log_dir(), "v000000000001.json"), "w") as fh:
+        json.dump(foreign, fh)
+    v = tbl.append(_df(spark, [(200, "z", 0)]))
+    assert v == 2
+    assert json.load(open(os.path.join(
+        tbl._log_dir(), "v000000000001.json"))) == foreign
+
+
+def test_commit_retries_on_link_race(spark, tbl, monkeypatch):
+    # simulate losing the create-if-absent race exactly once
+    real_link = os.link
+    state = {"failed": False}
+
+    def flaky_link(src, dst):
+        if not state["failed"]:
+            state["failed"] = True
+            raise FileExistsError(dst)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", flaky_link)
+    v = tbl.append(_df(spark, [(300, "z", 1)]))
+    assert state["failed"] and v >= 1
+    assert tbl.read().filter(F.col("k") == 300).count() == 1
