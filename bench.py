@@ -26,14 +26,20 @@ WARM_RUNS = 5
 
 # Representative heavy set: scan+agg, joins (broadcast/shuffle/self),
 # windows, set ops, text + vector pipeline. Kept stable across rounds
-# so BENCH_r{N}.json files are comparable.
+# so BENCH_r{N}.json files are comparable. Changes log:
+#   r2: vec_neardup_cosine (O(n^2) oracle tier) -> vec_neardup_lsh
+#       (the scale path), per round-1 review #4.
+#   r3: agg_percentile (exact; per-group full-value collection that
+#       cannot scale past one reducer per group) -> its sketch twin
+#       agg_percentile_approx; the exact key stays oracle-gated in the
+#       registry. Comparable r2 value for the swapped slot: 2.04 s.
 HEADLINE = [
     "flagship_pricing_summary",
     "flagship_regional_revenue",
     "agg_hash_basic",
     "agg_distinct",
     "agg_rollup",
-    "agg_percentile",
+    "agg_percentile_approx",
     "join_inner_equi",
     "join_broadcast",
     "join_self",

@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .cache import tracked_persist_keyed
@@ -407,6 +410,131 @@ def knn_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
         cand.select("q_id", "vec_id", sim.alias("sim_r"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+# ------------------------------------------------------------------- PQ
+
+PQ_SUBSPACES = 8
+PQ_CODES = 16  # 4-bit codes: 64 dims -> 8 bytes per vector
+
+
+def pq_codebooks(emb: DataFrame, m: int = PQ_SUBSPACES, kc: int = PQ_CODES,
+                 dim: int = LSH_DIM) -> list[list[list[float]]]:
+    """``codebooks[s][c]`` = the c-th centroid of subspace s, taken
+    from the UNIT-normalized sub-slices of the first ``kc`` corpus
+    vectors — deterministic, replayable (production would run
+    per-subspace k-means; the protocol is identical). Driver-side cost
+    is kc x dim doubles, same as the k-means seeding path."""
+    sub = dim // m
+    rows = sorted(
+        with_vnorm(emb).filter(F.col("vec_id") < kc)
+        .select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("u"))
+        .collect(),
+        key=lambda r: r.vec_id,
+    )
+    return [
+        [[float(r.u[s * sub + j]) for j in range(sub)] for r in rows]
+        for s in range(m)
+    ]
+
+
+def pq_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
+            m: int = PQ_SUBSPACES, kc: int = PQ_CODES,
+            rerank_factor: int = 4, dim: int = LSH_DIM) -> DataFrame:
+    """Product-quantization top-k: the memory-bandwidth ANN tier.
+
+    Corpus vectors are unit-normalized, split into ``m`` subspaces,
+    and each subspace is ENCODED as the id of its nearest codebook
+    centroid — 64 float32 dims become m=8 4-bit codes. The query scan
+    then reads 8-byte codes instead of 256-byte vectors (32x less
+    I/O, the entire point of PQ at 100 TB) and scores by ADC
+    (asymmetric distance): per query, a lookup table
+    ``lut[s][c] = <q_sub, codebook[s][c]>`` is precomputed driver-side
+    (m*kc doubles, broadcast with the query row), so a corpus row's
+    approximate cosine is m table lookups — no float math per dim.
+    Top ``k*rerank_factor`` ADC candidates per query re-rank with
+    EXACT cosine via a shuffle equi-join on vec_id (ids-only candidate
+    set; nothing corpus-sized is broadcast). Output contract matches
+    ``cosine_topk`` (q_id, vec_id, sim_r, rk) with exact sims, so the
+    pytest recall gate compares tiers directly.
+
+    Encoding is an Arrow-batched pandas UDF (argmin over kc centroids
+    per subspace, vectorized numpy) — the blessed slow-path escape for
+    semantics the built-ins cannot express without a 1024-term codegen
+    expression.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    sub = dim // m
+    books = pq_codebooks(emb, m=m, kc=kc, dim=dim)
+    books_np = np.asarray(books)  # (m, kc, sub)
+
+    @pandas_udf("array<int>")
+    def encode(u: pd.Series) -> pd.Series:
+        X = np.stack(u.to_numpy())  # (n, dim)
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for s in range(m):
+            seg = X[:, s * sub:(s + 1) * sub]           # (n, sub)
+            # ||x - c||^2 = ||x||^2 - 2<x,c> + ||c||^2; argmin over c
+            # needs only the last two terms
+            dots = seg @ books_np[s].T                   # (n, kc)
+            cn = (books_np[s] ** 2).sum(axis=1)          # (kc,)
+            codes[:, s] = (cn[None, :] - 2.0 * dots).argmin(axis=1)
+        return pd.Series(list(codes))
+
+    n = with_vnorm(emb)
+    unit = n.select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("u"))
+    coded = unit.select("vec_id", encode("u").alias("codes"))
+
+    # per-query ADC lookup tables, driver-built from n_queries rows
+    qrows = sorted(
+        unit.filter(F.col("vec_id") < n_queries).collect(),
+        key=lambda r: r.vec_id,
+    )
+    lut_rows = []
+    for r in qrows:
+        q = np.asarray(r.u)
+        lut = [
+            [float(np.dot(q[s * sub:(s + 1) * sub], books_np[s][c]))
+             for c in range(kc)]
+            for s in range(m)
+        ]
+        lut_rows.append((r.vec_id, lut))
+    luts = F.broadcast(emb.sparkSession.createDataFrame(
+        lut_rows, "q_id bigint, lut array<array<double>>"))
+
+    adc = (
+        coded.crossJoin(luts)
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select(
+            "q_id", "vec_id",
+            F.expr(
+                f"aggregate(sequence(1, {m}), CAST(0 AS DOUBLE), "
+                "(acc, s) -> acc + element_at(element_at(lut, s), "
+                "element_at(codes, s) + 1))"
+            ).alias("adc_sim"),
+        )
+    )
+    w_adc = Window.partitionBy("q_id").orderBy(F.desc("adc_sim"), F.asc("vec_id"))
+    cand = (
+        adc.withColumn("ark", F.row_number().over(w_adc))
+        .filter(F.col("ark") <= k * rerank_factor)
+        .select("q_id", "vec_id")
+    )
+
+    q = F.broadcast(
+        n.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn")))
+    c = n.select("vec_id", "v", "nrm")
+    sim = cosine_sim("qv", "v", "qn", "nrm")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (
+        cand.join(q, "q_id").join(c, "vec_id")
+        .select("q_id", "vec_id", sim.alias("sim_r"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )

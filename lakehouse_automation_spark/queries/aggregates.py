@@ -107,6 +107,26 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_percentile_approx")  # sketch output: rows-only + pytest bound
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``approx_percentile`` — the 100-TB percentile path. The sketch
+    (GK) is fixed-size, merges map-side, and ships one small buffer
+    per group through the shuffle; exact ``percentile`` instead
+    collects every group's full value list on one reducer, whose
+    memory and sort time grow with group size — a 3-group exact
+    percentile at 100 TB is three single-reducer sorts of the whole
+    table. No DuckDB oracle (sketch internals differ across engines);
+    tests/test_smoke.py bounds the estimate against the exact tier.
+    accuracy=10000 -> rank error <= 1/10000."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)), 4).alias("p50_price"),
+        F.round(F.percentile_approx(
+            "l_extendedprice", F.lit(0.95), F.lit(10000)), 4).alias("p95_price"),
+    )
+
+
 @register(
     "agg_rollup",
     oracle="""

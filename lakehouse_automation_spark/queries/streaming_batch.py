@@ -231,3 +231,43 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(state["batches"], state["rows"])], "ledger_rows bigint, loaded_rows bigint"
     )
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT v.user_id,
+           v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           CAST(v.ts AS TIMESTAMP) AS view_ts,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >  v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (view -> purchase attribution
+    within 1 h): the batch restatement of Spark's watermarked
+    stream-stream inner join — same join condition, same plan shape
+    (one shuffle per side on user_id; the time-range predicate bounds
+    the state each side must hold, exactly what the streaming
+    watermark enforces). The LIVE two-stream run — two readStreams,
+    both watermarked, time-interval condition, availableNow — is
+    asserted against this batch result in tests/test_streaming.py."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"), F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"),
+        F.col("event_id").alias("purchase_id"), F.col("ts").alias("purchase_ts"))
+    return (
+        v.join(p, (F.col("user_id") == F.col("p_user_id"))
+               & (F.col("purchase_ts") > F.col("view_ts"))
+               & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")))
+        .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
+    )

@@ -23,6 +23,7 @@ from ..operators.vector import (
     ivf_topk,
     knn_join_lsh,
     lsh_neardup_pairs,
+    pq_topk,
 )
 from .base import register, t
 
@@ -153,6 +154,17 @@ def vec_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle ground truth). Approximate by design (recall tracks the LSH
     s-curve): rows-only driver check + pytest recall gate."""
     return lsh_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register("vec_pq_topk", oracle=None)
+def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization top-10: corpus compressed to 8x 4-bit codes
+    (32x less scan I/O than raw float32 — the memory-bandwidth ANN
+    tier), ADC lookup-table scoring, exact rerank of the top-40 via a
+    shuffle equi-join on vec_id. Approximate by design: rows-only
+    driver check + pytest recall gate vs the exact scan."""
+    return pq_topk(t(spark, sf_dir, "embeddings"),
+                   n_queries=5, k=10, rerank_factor=4)
 
 
 @register("vec_knn_join", oracle=None)

@@ -39,6 +39,27 @@ def test_approx_distinct_within_error_bound(spark):
         assert abs(a.approx_parts - e.n_parts) <= 0.08 * e.n_parts, flag
 
 
+def test_approx_percentile_tracks_exact(spark):
+    """The sketch percentile (the 100-TB path benched in HEADLINE)
+    must track the exact interpolated tier per group. accuracy=10000
+    bounds RANK error at 1e-4; with ~200k values/group that is ~20
+    ranks, so compare by value with a 0.5% relative guard band."""
+    sf_dir = "/root/testdata/sf0.01"
+    approx = {
+        r.l_returnflag: r
+        for r in REGISTRY["agg_percentile_approx"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.l_returnflag: r
+        for r in REGISTRY["agg_percentile"].fn(spark, sf_dir).collect()
+    }
+    assert set(approx) == set(exact)
+    for flag, a in approx.items():
+        e = exact[flag]
+        assert abs(a.p50_price - e.p50_price) <= 0.005 * e.p50_price, flag
+        assert abs(a.p95_price - e.p95_price) <= 0.005 * e.p95_price, flag
+
+
 def test_jdbc_source_roundtrips_nation(spark, sf_dir):
     """jdbc_source must return exactly the nation rows (via embedded
     Derby when available, parquet fallback otherwise — same rows)."""

@@ -135,3 +135,75 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     captured = _run_stream(spark, src, tmp_path, build, "append")
     emitted = [r["event_id"] for _, rows in captured for r in rows]
     assert sorted(emitted) == [1, 2, 3], emitted
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """LIVE two-stream watermarked interval join — the semantics the
+    stream_stream_join gate key restates in batch. Views and purchases
+    arrive on separate streams (1 file per micro-batch each, so the
+    join state must bridge micro-batches); watermarks on both sides
+    bound the buffered state exactly as the batch key's time-range
+    predicate bounds the join."""
+    # `value` doubles as the user key: stream-stream joins REQUIRE an
+    # equality predicate (Spark refuses a pure time-range condition),
+    # exactly like the gate key's join on user_id.
+    views = [(i, T0 + dt.timedelta(minutes=10 * i), float(i % 2))
+             for i in range(8)]
+    purchases = [
+        # within the hour after view i=0..3, matching user parity: joins
+        (100 + i, T0 + dt.timedelta(minutes=10 * i + 30), float(i % 2))
+        for i in range(4)
+    ] + [
+        # 2 h after the last view: joins nothing
+        (200, T0 + dt.timedelta(hours=4), 0.0)
+    ]
+    vsrc, psrc = str(tmp_path / "views"), str(tmp_path / "purch")
+    _land(spark, os.path.join(vsrc, "a"), views[:4])
+    _land(spark, os.path.join(vsrc, "b"), views[4:])
+    _land(spark, os.path.join(psrc, "a"), purchases[:2])
+    _land(spark, os.path.join(psrc, "b"), purchases[2:])
+
+    def read(src):
+        return (spark.readStream.schema(SCHEMA)
+                .option("maxFilesPerTrigger", "1")
+                .option("recursiveFileLookup", "true").parquet(src))
+
+    v = (read(vsrc).withWatermark("ts", "10 minutes")
+         .select(F.col("event_id").alias("view_id"),
+                 F.col("ts").alias("view_ts"),
+                 F.col("value").alias("user")))
+    p = (read(psrc).withWatermark("ts", "10 minutes")
+         .select(F.col("event_id").alias("purchase_id"),
+                 F.col("ts").alias("purchase_ts"),
+                 F.col("value").alias("p_user")))
+    joined = v.join(
+        p, (F.col("user") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")))
+
+    captured = []
+
+    def sink(bdf, bid):
+        captured.append(bdf.collect())
+
+    q = (joined.writeStream.outputMode("append").foreachBatch(sink)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(timeout=120)
+
+    got = sorted((r["view_id"], r["purchase_id"])
+                 for rows in captured for r in rows)
+    vb = spark.createDataFrame(views, SCHEMA).select(
+        F.col("event_id").alias("view_id"), F.col("ts").alias("view_ts"),
+        F.col("value").alias("user"))
+    pb = spark.createDataFrame(purchases, SCHEMA).select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"), F.col("value").alias("p_user"))
+    want = sorted(
+        (r["view_id"], r["purchase_id"])
+        for r in vb.join(
+            pb, (F.col("user") == F.col("p_user"))
+            & (F.col("purchase_ts") > F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR"))
+        ).collect())
+    assert got == want and len(want) > 0

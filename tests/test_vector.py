@@ -169,3 +169,33 @@ def test_with_vnorm_no_shuffle(emb):
     """The norm projection must stay narrow — no exchange in the plan."""
     plan = with_vnorm(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_pq_recall_vs_exact(emb):
+    """PQ+ADC with top-40 exact rerank: codes discard most of each
+    vector, so the gate is recall of the top-10 against the exact scan
+    — must beat random-candidate levels decisively."""
+    from lakehouse_automation_spark.operators.vector import pq_topk
+
+    k = 10
+    exact = _exact_topk_sets(emb, 5, k)
+    approx = {}
+    res = pq_topk(emb, n_queries=5, k=k, rerank_factor=4).collect()
+    for r in res:
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+    assert all(r.q_id != r.vec_id for r in res)
+    recall = sum(len(exact[q] & approx.get(q, set())) for q in exact) / (len(exact) * k)
+    assert recall >= 0.3, f"PQ recall {recall:.2f}"
+
+
+def test_pq_rerank_sims_are_exact(emb):
+    """Reranked sims must equal the exact tier's sims for the same
+    (q, vec) pairs — PQ approximates the CANDIDATE SET, never the
+    reported similarity."""
+    from lakehouse_automation_spark.operators.vector import pq_topk
+
+    ex = {(r.q_id, r.vec_id): r.sim_r
+          for r in cosine_topk(emb, n_queries=3, k=30).collect()}
+    for r in pq_topk(emb, n_queries=3, k=10).collect():
+        if (r.q_id, r.vec_id) in ex:
+            assert abs(r.sim_r - ex[(r.q_id, r.vec_id)]) < 1e-12
