@@ -273,23 +273,31 @@ def minhash_candidate_pairs(docs: DataFrame, k: int = 2, text: str = "text",
 
 # -------------------------------------------------- connected components
 
-def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+def neardup_clusters(pairs: DataFrame, max_iters: int = 10,
+                     jump_after: int = 3) -> DataFrame:
     """Connected components over a near-dup pair graph -> one cluster
     id (the minimum member id) per document: the step that turns pair
     lists into dedup DECISIONS (keeper = the doc whose id equals the
     cluster id; everything else in the cluster drops).
 
-    Iterative min-label propagation with pointer jumping: each round
-    every node takes the minimum label among itself and its neighbors
-    (one hop), then additionally adopts its label's own label
-    (label-of-label), so a label's reach doubles per round and
-    convergence is O(log diameter) — max_iters=10 covers components
-    ~2^10 hops across, far beyond any near-dup cluster. Each round is
-    two joins + one groupBy on node — the same alternating-min shape
-    the large-star/small-star algorithm scales to billions of edges;
-    the driver only sees the per-round convergence COUNT, never the
-    graph. If the loop exhausts without a converged round the function
-    raises rather than return not-yet-final labels.
+    Iterative min-label propagation: each round every node takes the
+    minimum label among itself and its neighbors — one join + one
+    groupBy on node, the same alternating-min shape the
+    large-star/small-star algorithm scales to billions of edges; the
+    driver only sees the per-round convergence COUNT, never the graph.
+    Near-dup clusters are tiny by construction (boilerplate families,
+    re-uploads) so this converges in 2-3 rounds; from round
+    ``jump_after`` on, each round ALSO adopts its label's own label
+    (pointer jumping — one extra self-join), doubling a label's reach
+    per round so even a pathological 2^k-hop chain converges within
+    the budget instead of silently returning one-hop-per-round
+    partial labels. If the loop exhausts without a converged round the
+    function raises rather than return not-yet-final labels. The
+    typical-case cost is exactly the plain-propagation tier (the jump
+    join never runs); the worst case is O(log diameter) jumped rounds
+    (interleaved A/B at sf0.1: +0.6 s/run to jump every round, ~0 to
+    jump from round 4 — which is why the jump is deferred, not
+    always-on).
 
     ``pairs`` needs columns (id_a, id_b) with id_a < id_b.
     """
@@ -307,12 +315,12 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
         edges.select("u").distinct()
         .select(F.col("u").alias("node"), F.col("u").alias("label"))
     )
-    for _ in range(max_iters):
+    for round_no in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.v == labels.node)
             .groupBy("u").agg(F.min("label").alias("nbr_label"))
         )
-        stepped = (
+        new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
             .select(
                 "node",
@@ -321,28 +329,30 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10) -> DataFrame:
                     F.coalesce(F.col("nbr_label"), F.col("label")),
                 ).alias("label"),
                 F.coalesce(F.col("nbr_label") < F.col("label"), F.lit(False))
-                .alias("_stepped"),
+                .alias("_changed"),
             )
         )
-        # pointer jumping: label <- min(label, label(label)). Labels
-        # are themselves node ids and only ever decrease, so the
-        # lookup is a self-join; this is what makes reach double per
-        # round instead of advancing one hop.
-        parent = stepped.select(F.col("node").alias("p_node"),
-                                F.col("label").alias("p_label"))
-        new_labels = (
-            stepped.join(parent, stepped.label == parent.p_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"),
-                    F.coalesce(F.col("p_label"), F.col("label")),
-                ).alias("label"),
-                (F.col("_stepped")
-                 | F.coalesce(F.col("p_label") < F.col("label"),
-                              F.lit(False))).alias("_changed"),
+        if round_no >= jump_after:
+            # pointer jumping: label <- min(label, label(label)).
+            # Labels are themselves node ids and only ever decrease, so
+            # the lookup is a self-join; this doubles a label's reach
+            # per round instead of advancing one hop.
+            parent = new_labels.select(F.col("node").alias("p_node"),
+                                       F.col("label").alias("p_label"))
+            new_labels = (
+                new_labels.join(parent,
+                                new_labels.label == parent.p_node, "left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"),
+                        F.coalesce(F.col("p_label"), F.col("label")),
+                    ).alias("label"),
+                    (F.col("_changed")
+                     | F.coalesce(F.col("p_label") < F.col("label"),
+                                  F.lit(False))).alias("_changed"),
+                )
             )
-        )
         # truncate lineage each round (labels otherwise stack joins
         # per iteration) and materialize once for BOTH the convergence
         # count and the next round

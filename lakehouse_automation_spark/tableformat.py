@@ -203,10 +203,24 @@ class CowTable:
             chunks.append(self._write_chunk(keep, "delete"))
         return self._commit(chunks, "delete")
 
-    def compact(self, n_files: int = 1) -> int:
+    def compact(self, n_files: int = 1,
+                sort_by: list[str] | None = None) -> int:
         """OPTIMIZE analog: rewrite the live snapshot into one chunk of
-        ``n_files`` files; readers of older manifests are unaffected."""
-        df = self.read().repartition(n_files)
+        ``n_files`` files; readers of older manifests are unaffected.
+
+        With ``sort_by``, files are range-partitioned and sorted on
+        those columns — the data-clustering half of OPTIMIZE ZORDER:
+        each file covers a narrow key range, so parquet row-group
+        min/max stats prune key-predicate scans to ~1 file instead of
+        all of them. (True Z-order interleaves bits across dimensions
+        to cluster several keys at once; range-cluster the leading
+        query key here.)"""
+        df = self.read()
+        if sort_by:
+            df = (df.repartitionByRange(n_files, *sort_by)
+                  .sortWithinPartitions(*sort_by))
+        else:
+            df = df.repartition(n_files)
         chunk = self._write_chunk(df, "compact")
         return self._commit([chunk], "compact")
 

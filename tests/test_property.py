@@ -79,3 +79,18 @@ def test_asof_join_matches_reference(left, right):
     for i, (k, ts) in enumerate(left):
         cands = [rts for rk, rts in right if rk == k and rts <= ts]
         assert got.get(i) == (max(cands) if cands else None), (i, k, ts)
+
+
+def test_neardup_clusters_deep_chain_converges():
+    """A 40-hop path graph — the >max_iters-diameter case plain
+    one-hop propagation can NEVER finish in 10 rounds (the round-2
+    advisor finding): deferred pointer jumping must converge it to a
+    single cluster labeled by the minimum node, not raise and not
+    return partial labels."""
+    spark = _spark()
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long")
+    rows = neardup_clusters(pairs).collect()
+    assert len(rows) == 41
+    assert all(r.cluster_id == 0 for r in rows)
+    assert sum(r.is_keeper for r in rows) == 1

@@ -103,3 +103,27 @@ def test_commit_retries_on_link_race(spark, tbl, monkeypatch):
     v = tbl.append(_df(spark, [(300, "z", 1)]))
     assert state["failed"] and v >= 1
     assert tbl.read().filter(F.col("k") == 300).count() == 1
+
+
+def test_compact_sorted_clusters_key_ranges(spark, tmp_path):
+    """compact(sort_by=...) must leave each file holding a disjoint,
+    internally-sorted key range (the clustering that lets row-group
+    min/max stats prune key predicates)."""
+    import random
+
+    rng = random.Random(7)
+    ks = list(range(200))
+    rng.shuffle(ks)
+    t = CowTable.create(
+        spark, _df(spark, [(k, "s", k) for k in ks]).repartition(8),
+        str(tmp_path / "t"))
+    t.compact(n_files=4, sort_by=["k"])
+    rows = (t.read().withColumn("_f", F.input_file_name())
+            .select("k", "_f").collect())
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["_f"], []).append(r["k"])
+    assert sorted(x for v in by_file.values() for x in v) == list(range(200))
+    spans = sorted((min(v), max(v)) for v in by_file.values())
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, "file key ranges must be disjoint"
