@@ -254,3 +254,46 @@ def tf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_stats_prune",
+    oracle="""
+    SELECT 1 AS chunks_scanned, 3 AS chunks_total,
+           (SELECT COUNT(*) FROM orders
+            WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-06-01'
+              AND CAST(o_orderdate AS TIMESTAMP) <= TIMESTAMP '1998-06-01')
+           AS n_rows
+    """,
+)
+def tf_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping: the table is three chunks with
+    disjoint o_orderdate year bands and per-chunk min/max recorded in
+    the manifest; a 1997-06..1998-06 range scan consults ONLY the
+    driver-side stats to admit exactly one chunk — zero file listing
+    or footer I/O for the other two. At 100 TB this is the
+    Delta/Iceberg skip step that turns a key-range query from
+    open-every-file into open-the-covering-chunks. The literal
+    chunks_scanned pins the pruning; the row count pins the data."""
+    import datetime as dt
+
+    od = F.col("o_orderdate")
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice")
+    y97, y99 = dt.datetime(1997, 1, 1), dt.datetime(1999, 1, 1)
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, orders.filter(od < y97), f"{root}/orders",
+            stats_cols=["o_orderdate"])
+        tbl.append(orders.filter((od >= y97) & (od < y99)))
+        tbl.append(orders.filter(od >= y99))
+        lo, hi = dt.datetime(1997, 6, 1), dt.datetime(1998, 6, 1)
+        scanned = len(tbl.pruned_chunks("o_orderdate", lo, hi))
+        n = tbl.scan("o_orderdate", lo, hi).count()
+        return spark.createDataFrame(
+            [(scanned, len(tbl.manifest()["chunks"]), n)],
+            "chunks_scanned int, chunks_total int, n_rows long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -52,12 +52,39 @@ def _vname(v: int) -> str:
     return f"v{v:0{_PAD}d}.json"
 
 
-class CowTable:
-    """Handle to a copy-on-write table rooted at ``path``."""
+def _js(v):
+    """JSON-encodable stat value (numbers/strings kept, rest stringified
+    — timestamps become sortable ISO strings)."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    try:
+        return v.isoformat()  # datetime/date: sortable text
+    except AttributeError:
+        return str(v)
 
-    def __init__(self, spark: SparkSession, path: str):
+
+class CowTable:
+    """Handle to a copy-on-write table rooted at ``path``.
+
+    ``stats_cols`` opts columns into per-chunk min/max stats in the
+    manifest — the Delta/Iceberg data-skipping pattern: ``scan()``
+    prunes chunks whose [min, max] cannot intersect the predicate
+    range BEFORE Spark ever lists their files, so a key-range query
+    over a range-clustered table (see ``compact(sort_by=...)``) reads
+    ~1 chunk instead of all of them. The column set is recorded in the
+    manifest, so reopening a table by path recovers it."""
+
+    def __init__(self, spark: SparkSession, path: str,
+                 stats_cols: list[str] | None = None):
         self.spark = spark
         self.path = os.path.abspath(path)
+        self._stats_cols_arg = list(stats_cols or [])
+
+    @property
+    def stats_cols(self) -> list[str]:
+        if self.version() >= 0:
+            return self.manifest().get("stats_cols", [])
+        return self._stats_cols_arg
 
     # ------------------------------------------------------------ log
 
@@ -85,7 +112,26 @@ class CowTable:
         return [os.path.join(self.path, c)
                 for c in self.manifest(version)["chunks"]]
 
-    def _commit(self, chunks: list[str], op: str) -> int:
+    def _stats_of(self, df: DataFrame) -> dict:
+        """Per-chunk [min, max] for the opted-in columns — one agg job
+        over the chunk contents. (A production writer reads these from
+        the parquet footers it just wrote, paying nothing extra; the
+        manifest protocol is identical.)"""
+        cols = [c for c in self.stats_cols if c in df.columns]
+        if not cols:
+            return {}
+        aggs = []
+        for c in cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        row = df.agg(*aggs).collect()[0]
+        return {c: [_js(row[f"lo_{c}"]), _js(row[f"hi_{c}"])] for c in cols}
+
+    def _carry_stats(self, chunks: list[str]) -> dict:
+        tip = self.manifest().get("stats", {})
+        return {c: tip[c] for c in chunks if c in tip}
+
+    def _commit(self, chunks: list[str], op: str,
+                stats: dict | None = None) -> int:
         """Publish ``chunks`` as the next snapshot; returns its version.
 
         Atomicity: the manifest is staged to a temp name and published
@@ -99,7 +145,8 @@ class CowTable:
         while True:
             v = self.version() + 1
             doc = {"version": v, "op": op, "chunks": sorted(chunks),
-                   "n_chunks": len(chunks)}
+                   "n_chunks": len(chunks), "stats": stats or {},
+                   "stats_cols": self.stats_cols}
             tmp = os.path.join(self._log_dir(), f".tmp-{os.getpid()}-{v}")
             with open(tmp, "w") as fh:
                 json.dump(doc, fh)
@@ -133,19 +180,64 @@ class CowTable:
         from every later commit."""
         return self.spark.read.parquet(*self.chunk_paths(version))
 
+    def pruned_chunks(self, col: str, lo, hi,
+                      version: int | None = None) -> list[str]:
+        """Chunks whose manifest [min, max] for ``col`` can intersect
+        [lo, hi]. Chunks with no recorded stats are kept (pruning must
+        never lose rows). Driver-side, O(#chunks), zero file I/O."""
+        man = self.manifest(version)
+        stats = man.get("stats", {})
+        kept = []
+        for c in man["chunks"]:
+            s = stats.get(c, {}).get(col)
+            if s is None:
+                kept.append(c)
+                continue
+            try:
+                if not (_js(lo) > s[1] or _js(hi) < s[0]):
+                    kept.append(c)
+            except TypeError:  # incomparable types: never prune blind
+                kept.append(c)
+        return kept
+
+    def scan(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
+        """Stats-pruned range scan: ``col BETWEEN lo AND hi`` reading
+        ONLY the chunks the manifest stats admit — at 100 TB the
+        difference between listing/opening every file of the table and
+        the handful covering the key range. The residual predicate
+        still applies (stats prune chunks, not rows), and Spark pushes
+        it to the parquet row groups of the surviving chunks."""
+        kept = self.pruned_chunks(col, lo, hi, version)
+        if not kept:
+            return self.read(version).filter(F.lit(False))
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, c) for c in kept])
+        return df.filter(F.col(col).between(lo, hi))
+
     @classmethod
-    def create(cls, spark: SparkSession, df: DataFrame, path: str) -> "CowTable":
-        tbl = cls(spark, path)
+    def create(cls, spark: SparkSession, df: DataFrame, path: str,
+               stats_cols: list[str] | None = None) -> "CowTable":
+        tbl = cls(spark, path, stats_cols=stats_cols)
         if tbl.version() >= 0:
             raise FileExistsError(f"table exists at {path}")
         chunk = tbl._write_chunk(df, "create")
-        tbl._commit([chunk], "create")
+        tbl._commit([chunk], "create", stats=tbl._new_stats(chunk, df))
         return tbl
+
+    def _new_stats(self, chunk: str, df: DataFrame,
+                   carry_from: list[str] | None = None) -> dict:
+        stats = self._carry_stats(carry_from) if carry_from else {}
+        s = self._stats_of(df)
+        if s:
+            stats[chunk] = s
+        return stats
 
     def append(self, df: DataFrame) -> int:
         """Blind append: one new chunk + manifest extending the tip."""
+        prior = self.manifest()["chunks"]
         chunk = self._write_chunk(df, "append")
-        return self._commit(self.manifest()["chunks"] + [chunk], "append")
+        return self._commit(prior + [chunk], "append",
+                            stats=self._new_stats(chunk, df, prior))
 
     # ----------------------------------------- copy-on-write rewrites
 
@@ -181,7 +273,8 @@ class CowTable:
         )
         merged = merge_upsert(to_rewrite, updates, keys)
         chunk = self._write_chunk(merged, "merge")
-        return self._commit(untouched + [chunk], "merge")
+        return self._commit(untouched + [chunk], "merge",
+                            stats=self._new_stats(chunk, merged, untouched))
 
     def delete_where(self, cond) -> int:
         """File-pruned ACID DELETE — the transactional form of the
@@ -194,14 +287,17 @@ class CowTable:
         untouched = [c for c in self.manifest()["chunks"]
                      if c not in touched]
         chunks = list(untouched)
+        stats = self._carry_stats(untouched)
         if touched:
             keep = (
                 self.spark.read.parquet(
                     *[os.path.join(self.path, c) for c in touched])
                 .filter(~cond)
             )
-            chunks.append(self._write_chunk(keep, "delete"))
-        return self._commit(chunks, "delete")
+            chunk = self._write_chunk(keep, "delete")
+            chunks.append(chunk)
+            stats.update(self._new_stats(chunk, keep))
+        return self._commit(chunks, "delete", stats=stats)
 
     def compact(self, n_files: int = 1,
                 sort_by: list[str] | None = None) -> int:
@@ -222,7 +318,8 @@ class CowTable:
         else:
             df = df.repartition(n_files)
         chunk = self._write_chunk(df, "compact")
-        return self._commit([chunk], "compact")
+        return self._commit([chunk], "compact",
+                            stats=self._new_stats(chunk, df))
 
     def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
         """Delete data chunks referenced by NO retained snapshot (the

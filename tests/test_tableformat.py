@@ -127,3 +127,28 @@ def test_compact_sorted_clusters_key_ranges(spark, tmp_path):
     spans = sorted((min(v), max(v)) for v in by_file.values())
     for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
         assert hi1 < lo2, "file key ranges must be disjoint"
+
+
+def test_manifest_stats_prune_chunks(spark, tmp_path):
+    """Chunks carry min/max stats for opted-in columns; a range scan
+    must skip chunks whose stats exclude the predicate and keep
+    stats-less chunks (pruning never loses rows)."""
+    t = CowTable.create(
+        spark, _df(spark, [(k, "a", k) for k in range(0, 100)]),
+        str(tmp_path / "t"), stats_cols=["k"])
+    t.append(_df(spark, [(k, "b", k) for k in range(100, 200)]))
+    t.append(_df(spark, [(k, "c", k) for k in range(200, 300)]))
+    assert len(t.manifest()["chunks"]) == 3
+    assert len(t.pruned_chunks("k", 120, 180)) == 1
+    got = sorted(r["k"] for r in t.scan("k", 120, 180).collect())
+    assert got == list(range(120, 181))  # between is inclusive
+    # reopening by path recovers the stats column set from the manifest
+    t2 = CowTable(spark, str(tmp_path / "t"))
+    assert t2.stats_cols == ["k"]
+    assert len(t2.pruned_chunks("k", 250, 260)) == 1
+    # a column with no recorded stats never prunes
+    assert len(t2.pruned_chunks("val", 0, 1)) == 3
+    assert len(t2.pruned_chunks("seg", "a", "a")) == 3
+    # empty intersection -> zero chunks, empty result, schema intact
+    assert t2.pruned_chunks("k", 1000, 2000) == []
+    assert t2.scan("k", 1000, 2000).count() == 0
