@@ -37,9 +37,15 @@ def _plan_key(df: DataFrame) -> tuple:
     behind an identical-looking plan) could collide and silently serve
     the wrong cached table. Pair it with the analyzed plan string,
     which names the concrete input paths, so aliasing requires a
-    same-plan same-path collision."""
+    same-plan same-path collision. Expression ids (``#123``) are
+    stripped first: they are allocated fresh for every plan BUILD, so
+    leaving them in turns every repeat invocation into a cache miss
+    (measured: the two LSH bench keys doubled when the raw string went
+    into the key)."""
+    import re
+
     try:
-        plan = df._jdf.queryExecution().analyzed().toString()
+        plan = re.sub(r"#\d+", "#", df._jdf.queryExecution().analyzed().toString())
     except Exception:  # Connect or API drift: fall back to schema
         plan = df.schema.json()
     return (df.semanticHash(), plan)
