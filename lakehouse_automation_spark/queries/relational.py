@@ -496,3 +496,38 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.col("ts").alias("error_ts"), "last_signup_ts"
     )
+
+
+@register(
+    "join_interval_bucketed",
+    oracle="""
+    SELECT e.event_id AS err_id, COUNT(*) AS n_purchases
+    FROM events e JOIN events p
+      ON CAST(p.ts AS TIMESTAMP) >= CAST(e.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(e.ts AS TIMESTAMP) + INTERVAL 10 MINUTE
+    WHERE e.event_type = 'error' AND p.event_type = 'purchase'
+    GROUP BY e.event_id
+    """,
+)
+def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-x-large interval join (purchases within 10 min after each
+    error), bucketized: explode the left interval over >=600 s time
+    buckets (fanout <= 2), equi-join on the bucket id, residual-check
+    the true interval. Catalyst gets a hash key, so the plan is a
+    shuffle join on _bucket instead of the O(n*m) broadcast-nested-loop
+    a pure range condition forces — the difference between a band join
+    that scales and one that cannot run at 100 TB. (join_theta_range
+    covers the other regime: a tiny band dimension where broadcast BNL
+    is exactly right.)"""
+    from ..operators.rangejoin import interval_join_bucketed as ijb
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts"))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("ts").alias("p_ts"))
+    return (
+        ijb(errors, purchases, "err_ts", "p_ts", 0, 600)
+        .groupBy("err_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )

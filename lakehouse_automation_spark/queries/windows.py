@@ -176,3 +176,40 @@ def sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.filter((F.col("l_orderkey") * 2654435761) % 100 < 5).select(
         "l_orderkey", "l_linenumber", "l_quantity"
     )
+
+
+@register(
+    "sample_hash_split",
+    oracle="""
+    WITH b AS (
+      SELECT CASE
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 100 < 80 THEN 'train'
+               WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                         AS BIGINT) % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(*) AS n FROM b GROUP BY split
+    """,
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split by md5(doc_id) —
+    the reproducible-at-scale alternative to rand()-based sampling: a
+    document lands in the same split on every run, every engine, every
+    cluster size (rand() depends on partition layout and seed plumbing
+    and cannot be replayed by another engine). One narrow projection,
+    no shuffle before the count; at 100 TB the split column is
+    computed inline wherever the pipeline needs it, never materialized
+    globally."""
+    from ..operators.dedup import portable_hash
+
+    d = t(spark, sf_dir, "documents")
+    h = portable_hash(F.col("doc_id").cast("string")) % 100
+    return (
+        d.select(
+            F.when(h < 80, "train").when(h < 90, "val")
+            .otherwise("test").alias("split"))
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+    )

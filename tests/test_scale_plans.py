@@ -93,3 +93,29 @@ def test_salted_join_matches_plain(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_interval_join_bucketed_is_hash_join_and_exact(spark, sf_dir):
+    """The bucketized interval join must (a) return exactly the naive
+    range join's rows and (b) plan as a hash/sort-merge join on the
+    bucket key — never a nested loop."""
+    from lakehouse_automation_spark.operators.rangejoin import (
+        interval_join_bucketed,
+    )
+    from lakehouse_automation_spark.queries.base import t
+    from pyspark.sql import functions as F
+
+    ev = t(spark, sf_dir, "events")
+    l = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("l_id"), F.col("ts").alias("l_ts"))
+    r = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("r_id"), F.col("ts").alias("r_ts"))
+    got = interval_join_bucketed(l, r, "l_ts", "r_ts", 0, 600)
+    naive = l.join(r, (F.col("r_ts") >= F.col("l_ts"))
+                   & (F.col("r_ts") <= F.col("l_ts")
+                      + F.expr("INTERVAL 600 SECONDS")))
+    g = {(x.l_id, x.r_id) for x in got.select("l_id", "r_id").collect()}
+    n = {(x.l_id, x.r_id) for x in naive.select("l_id", "r_id").collect()}
+    assert g == n and len(n) > 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan[:500]
