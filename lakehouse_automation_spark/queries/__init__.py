@@ -75,6 +75,11 @@ _SWEEP_ORDER = [
     "stream_watermark_late", "stream_dedup_state", "stream_foreach_batch",
     "incremental_load", "stream_file_ingest",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
+    # Round-4 rotation: move these 8 plus every key registered after
+    # round 2 (tf_*, stream_stream_join, vec_pq_topk,
+    # agg_percentile_approx, join_interval_bucketed, sample_hash_split)
+    # to the front — that is 19 keys, leaving 31 slots to re-confirm
+    # previously-green ones.
     "vec_ivf_kmeans_topk", "vec_neardup_lsh", "mm_resize",
     "mm_audio_resample", "text_minhash_pairs", "curate_pipeline",
     "lifecycle_daemon", "stream_custom_state",

@@ -297,3 +297,29 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
     )
+
+
+@register(
+    "sink_orc",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM events GROUP BY event_type
+    """,
+)
+def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip — the third columnar format Spark carries
+    natively (beyond the reference's CSV/Parquet/JSON lakehouse
+    surface): write events as ORC with the same predicate-pushdown /
+    column-pruning contract as parquet, read back, aggregate. The
+    oracle restates from the source table, so the hash check proves
+    the format conversion was lossless (ns-timestamps and all)."""
+    path = _scratch(sf_dir, "events_orc")
+    ev = t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    ev.write.mode("overwrite").orc(path)
+    return (
+        spark.read.orc(path)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
