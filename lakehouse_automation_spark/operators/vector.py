@@ -411,7 +411,12 @@ def knn_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
     q = n.select(F.col("vec_id").alias("q_id"),
                  F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     c = n.select("vec_id", "v", "nrm")
-    cand = cand.join(q, "q_id").join(c, "vec_id")
+    # corpus side (vec_id) attaches FIRST, query side (q_id) last: the
+    # final join leaves the rows hash-partitioned on q_id, which is
+    # exactly what the top-k window requires — joining in the opposite
+    # order ends partitioned on vec_id and pays one more full exchange
+    # of the scored candidate table before the window.
+    cand = cand.join(c, "vec_id").join(q, "q_id")
     sim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
