@@ -13,7 +13,7 @@ gate against the exact scan (SURVEY §5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.vector import (
     SIM_DECIMALS,
@@ -175,3 +175,66 @@ def vec_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path for corpus-vs-corpus joins. Approximate by design:
     rows-only driver check + pytest recall gate vs the exact scan."""
     return knn_join_lsh(t(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "vec_semantic_doc_dedup",
+    oracle=f"""
+    WITH RECURSIVE n AS ({_VNORM}),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      WHERE {_sim('a.v', 'b.v', 'a.nrm', 'b.nrm')} >= 0.4
+    ),
+    edges AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach(node, r) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.u, r.r FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    cl AS (SELECT node AS vdoc, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    sizes AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM cl
+              GROUP BY cluster_id)
+    SELECT d.doc_id,
+           COALESCE(cl.cluster_id, d.doc_id) AS cluster_id,
+           CAST(CASE WHEN COALESCE(cl.cluster_id, d.doc_id) = d.doc_id
+                     THEN 1 ELSE 0 END AS INT) AS is_keeper,
+           COALESCE(s.cluster_size, 1) AS cluster_size
+    FROM documents d
+    LEFT JOIN cl ON cl.vdoc = d.doc_id
+    LEFT JOIN sizes s ON s.cluster_id = cl.cluster_id
+    """,
+)
+def vec_semantic_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup as a DOC-LEVEL dedup decision: the
+    testdata aligns embeddings.vec_id 1:1 with documents.doc_id, so
+    cosine pairs -> connected components -> keeper/cluster-size joins
+    back onto documents (docs with no near-neighbor form singleton
+    clusters of themselves). This gate runs the EXACT all-pairs tier
+    so the recursive-CTE oracle hash-checks the whole composition; at
+    100 TB the candidate stage swaps to lsh_neardup_pairs — identical
+    output contract, recall-gated in tests — and everything downstream
+    is unchanged."""
+    from ..operators.dedup import neardup_clusters
+
+    emb = t(spark, sf_dir, "embeddings")
+    cl = neardup_clusters(
+        cosine_neardup_pairs(emb, threshold=0.4)).select(
+        F.col("doc_id").alias("vdoc"), "cluster_id")
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size"))
+    d = t(spark, sf_dir, "documents").select("doc_id")
+    cid = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        d.join(cl, d.doc_id == cl.vdoc, "left")
+        .join(sizes, "cluster_id", "left")
+        .select(
+            "doc_id",
+            cid.alias("cluster_id"),
+            (cid == F.col("doc_id")).cast("int").alias("is_keeper"),
+            F.coalesce(F.col("cluster_size"), F.lit(1).cast("long"))
+            .alias("cluster_size"),
+        )
+    )
