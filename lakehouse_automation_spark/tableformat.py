@@ -16,9 +16,14 @@ public-protocol design Delta uses:
   data chunks of snapshot N;
 - a commit writes data first, then publishes the manifest with an
   atomic create-if-absent (``os.link``); two racing writers cannot
-  both claim version N — the loser re-reads and retries (optimistic
-  concurrency, exactly Delta's protocol on a POSIX fs; on object
-  stores the same step is a conditional PUT);
+  both claim version N (optimistic concurrency, exactly Delta's
+  protocol on a POSIX fs; on object stores the same step is a
+  conditional PUT). The loser's next move depends on the operation:
+  APPENDS conflict with nothing, so they re-read the tip and retry
+  with the reconciled chunk list; snapshot REWRITES (merge / delete /
+  compact) abort with :class:`ConcurrentWriteError` because their
+  chunk list was derived from a stale snapshot — blindly re-claiming
+  the next version would silently drop the concurrent commit;
 - old manifests stay readable -> time travel; ``vacuum`` reclaims
   chunks no retained snapshot references.
 
@@ -46,6 +51,12 @@ from .operators.upsert import merge_upsert
 
 _LOG = "_log"
 _PAD = 12
+
+
+class ConcurrentWriteError(RuntimeError):
+    """A snapshot transaction (merge/delete/compact) lost the commit
+    race: its rewrite was computed against a tip another writer has
+    since advanced. Re-run the operation against the new tip."""
 
 
 def _vname(v: int) -> str:
@@ -126,37 +137,53 @@ class CowTable:
         row = df.agg(*aggs).collect()[0]
         return {c: [_js(row[f"lo_{c}"]), _js(row[f"hi_{c}"])] for c in cols}
 
-    def _carry_stats(self, chunks: list[str]) -> dict:
-        tip = self.manifest().get("stats", {})
+    def _carry_stats(self, chunks: list[str],
+                     man: dict | None = None) -> dict:
+        tip = (man or self.manifest()).get("stats", {})
         return {c: tip[c] for c in chunks if c in tip}
+
+    def _try_commit(self, v: int, chunks: list[str], op: str,
+                    stats: dict | None = None) -> bool:
+        """Attempt to publish version ``v`` atomically: stage the
+        manifest to a temp name, publish with ``os.link`` — an atomic
+        create-if-absent on POSIX (a conditional PUT on object
+        stores). False = another writer claimed ``v`` first."""
+        os.makedirs(self._log_dir(), exist_ok=True)
+        doc = {"version": v, "op": op, "chunks": sorted(chunks),
+               "n_chunks": len(chunks), "stats": stats or {},
+               "stats_cols": self.stats_cols}
+        tmp = os.path.join(self._log_dir(),
+                           f".tmp-{os.getpid()}-{id(doc)}-{v}")
+        with open(tmp, "w") as fh:
+            json.dump(doc, fh)
+        try:
+            os.link(tmp, os.path.join(self._log_dir(), _vname(v)))
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
 
     def _commit(self, chunks: list[str], op: str,
                 stats: dict | None = None) -> int:
-        """Publish ``chunks`` as the next snapshot; returns its version.
+        """Snapshot-transaction commit: ``chunks`` was derived from the
+        CURRENT tip, so if another writer advanced it first, blindly
+        re-claiming the next version would publish a chunk list that
+        silently drops the concurrent commit — a lost update. Abort
+        instead (Delta's conflicting-transaction semantics); the caller
+        re-runs its rewrite against the new tip. ``append`` does NOT
+        come through here — an append conflicts with nothing and
+        reconciles by re-reading the tip (see :meth:`append`).
 
-        Atomicity: the manifest is staged to a temp name and published
-        with ``os.link`` — an atomic create-if-absent on POSIX. If
-        another writer claimed the version first the link raises
-        ``FileExistsError`` and we retry against the advanced version;
-        data chunks are immutable and uniquely named per attempt, so a
-        lost race leaks at worst an unreferenced chunk for ``vacuum``.
-        """
-        os.makedirs(self._log_dir(), exist_ok=True)
-        while True:
-            v = self.version() + 1
-            doc = {"version": v, "op": op, "chunks": sorted(chunks),
-                   "n_chunks": len(chunks), "stats": stats or {},
-                   "stats_cols": self.stats_cols}
-            tmp = os.path.join(self._log_dir(), f".tmp-{os.getpid()}-{v}")
-            with open(tmp, "w") as fh:
-                json.dump(doc, fh)
-            try:
-                os.link(tmp, os.path.join(self._log_dir(), _vname(v)))
-                return v
-            except FileExistsError:
-                continue  # lost the race: recompute against the new tip
-            finally:
-                os.unlink(tmp)
+        Data chunks are immutable and uniquely named per attempt, so an
+        aborted transaction leaks at worst an unreferenced chunk for
+        ``vacuum``."""
+        v = self.version() + 1
+        if self._try_commit(v, chunks, op, stats):
+            return v
+        raise ConcurrentWriteError(
+            f"version {v} of {self.path} was claimed by another writer; "
+            f"re-run this {op} against the new tip")
 
     # ----------------------------------------------------------- data
 
@@ -164,15 +191,23 @@ class CowTable:
         """Write one immutable data chunk; returns its table-relative
         name. Chunk names embed (next-version, tag, attempt) so racing
         writers never collide on the data path either."""
+        os.makedirs(self.path, exist_ok=True)
         base = self.version() + 1
         n = 0
         while True:
             name = f"d{base:0{_PAD}d}-{tag}" + (f"-{n}" if n else "")
             full = os.path.join(self.path, name)
-            if not os.path.exists(full):
-                df.write.mode("errorifexists").parquet(full)
-                return name
-            n += 1
+            try:
+                os.mkdir(full)  # atomic claim: exactly one writer wins
+            except FileExistsError:
+                n += 1
+                continue
+            # a non-atomic existence check instead of this mkdir lets
+            # two racing writers MERGE part-files into one dir and both
+            # commit the same chunk name (observed: every appended row
+            # multiplied by the writer count)
+            df.write.mode("overwrite").parquet(full)
+            return name
 
     def read(self, version: int | None = None) -> DataFrame:
         """Snapshot read: exactly the chunks manifest ``version`` lists
@@ -225,19 +260,29 @@ class CowTable:
         return tbl
 
     def _new_stats(self, chunk: str, df: DataFrame,
-                   carry_from: list[str] | None = None) -> dict:
-        stats = self._carry_stats(carry_from) if carry_from else {}
+                   carry_from: list[str] | None = None,
+                   man: dict | None = None) -> dict:
+        stats = self._carry_stats(carry_from, man) if carry_from else {}
         s = self._stats_of(df)
         if s:
             stats[chunk] = s
         return stats
 
     def append(self, df: DataFrame) -> int:
-        """Blind append: one new chunk + manifest extending the tip."""
-        prior = self.manifest()["chunks"]
+        """Blind append: one new chunk + manifest extending the tip.
+
+        Appends conflict with nothing, so a lost manifest race
+        reconciles instead of aborting: re-read the tip IN ONE manifest
+        read (version + chunk list must come from the same snapshot or
+        a concurrent commit between the two reads is silently dropped)
+        and retry with the new chunk list."""
         chunk = self._write_chunk(df, "append")
-        return self._commit(prior + [chunk], "append",
-                            stats=self._new_stats(chunk, df, prior))
+        while True:
+            man = self.manifest()
+            v = man["version"] + 1
+            stats = self._new_stats(chunk, df, man["chunks"], man)
+            if self._try_commit(v, man["chunks"] + [chunk], "append", stats):
+                return v
 
     # ----------------------------------------- copy-on-write rewrites
 

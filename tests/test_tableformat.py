@@ -152,3 +152,36 @@ def test_manifest_stats_prune_chunks(spark, tmp_path):
     # empty intersection -> zero chunks, empty result, schema intact
     assert t2.pruned_chunks("k", 1000, 2000) == []
     assert t2.scan("k", 1000, 2000).count() == 0
+
+
+def test_concurrent_appends_all_land(spark, tbl):
+    """Four writers appending concurrently: optimistic concurrency must
+    land all four commits (data-path and manifest-path races resolve
+    by retry), with no lost updates and no clobbered manifests."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    def append(i):
+        return tbl.append(_df(spark, [(1000 + i, "w", i)]))
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        versions = sorted(ex.map(append, range(4)))
+    assert versions == [1, 2, 3, 4]
+    assert tbl.version() == 4
+    assert tbl.read().filter(F.col("k") >= 1000).count() == 4
+    assert tbl.read().count() == 14
+    # every manifest is a strict superset of its parent's chunks
+    hist = tbl.history()
+    for a, b in zip(hist, hist[1:]):
+        assert set(a["chunks"]) <= set(b["chunks"])
+
+
+def test_snapshot_rewrite_aborts_on_lost_race(spark, tbl, monkeypatch):
+    """merge/delete/compact must ABORT when the commit race is lost —
+    blindly re-claiming the next version would silently drop the
+    concurrent commit (lost update)."""
+    from lakehouse_automation_spark.tableformat import ConcurrentWriteError
+
+    monkeypatch.setattr(os, "link",
+                        lambda s, d: (_ for _ in ()).throw(FileExistsError(d)))
+    with pytest.raises(ConcurrentWriteError):
+        tbl.compact(n_files=1)
