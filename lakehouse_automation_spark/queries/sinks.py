@@ -277,9 +277,16 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     must converge to exactly the full table. With delta-spark present
     this is a real ACID ``DeltaTable.merge`` against a Delta path;
     without (this sandbox — probed at engine.session.delta_available)
-    the same semantics run as the relational MERGE emulation."""
+    the same MERGE runs transactionally anyway through
+    ``tableformat.CowTable`` (atomic manifest commit, file-pruned
+    copy-on-write) — since round 3 the no-jar path is no longer a bare
+    relational emulation."""
+    import shutil
+    import tempfile
+
     from ..engine.session import delta_available
-    from ..operators.upsert import delta_merge_upsert, merge_upsert
+    from ..operators.upsert import delta_merge_upsert
+    from ..tableformat import CowTable
 
     ev = t(spark, sf_dir, "events")
     split = ev.agg((F.min("ts") + F.expr("INTERVAL 20 DAYS")).alias("_split"))
@@ -291,12 +298,20 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.write.format("delta").mode("overwrite").save(path)
         delta_merge_upsert(spark, path, updates, key="event_id")
         merged = spark.read.format("delta").load(path)
+        cleanup = None
     else:
-        merged = merge_upsert(base, updates, key="event_id")
-    return merged.groupBy("event_type").agg(
+        cleanup = tempfile.mkdtemp(prefix="las_upsert_")
+        tbl = CowTable.create(spark, base, f"{cleanup}/events")
+        tbl.merge(updates, "event_id")
+        merged = tbl.read()
+    out = merged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
     )
+    if cleanup is not None:
+        out = out.localCheckpoint(eager=True)
+        shutil.rmtree(cleanup, ignore_errors=True)
+    return out
 
 
 @register(

@@ -209,11 +209,21 @@ class CowTable:
             df.write.mode("overwrite").parquet(full)
             return name
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(self, version: int | None = None,
+             merge_schema: bool = False) -> DataFrame:
         """Snapshot read: exactly the chunks manifest ``version`` lists
         (newest when None) — a reader holding a manifest is isolated
-        from every later commit."""
-        return self.spark.read.parquet(*self.chunk_paths(version))
+        from every later commit.
+
+        ``merge_schema=True`` unions the chunk schemas by name (Delta's
+        schema-evolution read): a column added by a later append comes
+        back null-filled for pre-evolution chunks. Off by default —
+        schema merging reads every chunk's footer, so fixed-schema
+        tables shouldn't pay for it."""
+        r = self.spark.read
+        if merge_schema:
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*self.chunk_paths(version))
 
     def pruned_chunks(self, col: str, lo, hi,
                       version: int | None = None) -> list[str]:

@@ -185,3 +185,18 @@ def test_snapshot_rewrite_aborts_on_lost_race(spark, tbl, monkeypatch):
                         lambda s, d: (_ for _ in ()).throw(FileExistsError(d)))
     with pytest.raises(ConcurrentWriteError):
         tbl.compact(n_files=1)
+
+
+def test_schema_evolution_read(spark, tbl):
+    """An append may carry a new column; merge_schema=True surfaces it
+    union-by-name with nulls for pre-evolution chunks (Delta's
+    schema-evolution read), while the default read stays cheap."""
+    evolved = spark.createDataFrame(
+        [(500, "e", 1, "extra")], "k long, seg string, val long, note string")
+    tbl.append(evolved)
+    df = tbl.read(merge_schema=True)
+    assert "note" in df.columns
+    rows = {r["k"]: r["note"] for r in df.collect()}
+    assert rows[500] == "extra"
+    assert rows[0] is None  # pre-evolution chunk null-fills
+    assert df.count() == 11
