@@ -678,3 +678,80 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 5)
         .select("doc_id", "term", "tf", "df", "score", "rk")
     )
+
+
+# ------------------------------------------------------------------- BM25
+
+_BM25_TERMS = ("join", "filter", "stream")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register(
+    "text_bm25_rank",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS doclen FROM toks GROUP BY doc_id),
+    g AS (SELECT COUNT(*) AS n_docs, AVG(doclen) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS tf FROM toks
+      WHERE tok IN {_BM25_TERMS} GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln((g.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+               * tf.tf * ({_BM25_K1} + 1)
+               / (tf.tf + {_BM25_K1} * (1 - {_BM25_B}
+                  + {_BM25_B} * dl.doclen / g.avgdl))
+             ) AS s
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN g
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, score_r, rk FROM (
+      SELECT doc_id, ROUND(s, 6) AS score_r,
+             row_number() OVER (ORDER BY ROUND(s, 6) DESC, doc_id) AS rk
+      FROM scored)
+    WHERE rk <= 20
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) document ranking for a fixed query — the
+    lexical-retrieval complement to tfidf_keywords and the vector
+    top-k tiers. All corpus statistics stay in the plan: doc lengths
+    and term frequencies are one explode + two grouped aggs, N/avgdl
+    ride along as a broadcast 1-row cross join, nothing is collected.
+    Scores round to 6 dp before ranking so Spark's Math.log and
+    DuckDB's libm ln cannot flip the order on a last-ulp difference;
+    ties break on doc_id in both engines."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
+    g = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl"))
+    tf = (toks.filter(F.col("tok").isin(*_BM25_TERMS))
+          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    k1, b = _BM25_K1, _BM25_B
+    contrib = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+        * F.col("tf") * (k1 + 1)
+        / (F.col("tf") + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "tok").join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .groupBy("doc_id").agg(F.sum(contrib).alias("s"))
+    )
+    # global top-k the scale-safe way: orderBy+limit plans as
+    # TakeOrderedAndProject (per-partition heaps + driver merge of 20
+    # rows); the ranking window then runs over only the 20 survivors,
+    # never a single-partition pass over the whole corpus.
+    top = (
+        scored.select("doc_id", F.round("s", 6).alias("score_r"))
+        .orderBy(F.col("score_r").desc(), F.col("doc_id"))
+        .limit(20)
+    )
+    return top.withColumn("rk", F.row_number().over(
+        Window.orderBy(F.col("score_r").desc(), F.col("doc_id"))))
