@@ -187,7 +187,9 @@ def tf_delete_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         tbl.append(_orders_slice(spark, sf_dir, 3, 1))
         tbl.append(_orders_slice(spark, sf_dir, 3, 2))
         tbl.delete_where(F.col("o_orderstatus") == "F")
-        live, removed = tbl.vacuum(retain_versions=1)
+        # grace_s=0: this table is seconds old and single-writer; the
+        # production default (600 s) would skip everything it just wrote
+        live, removed = tbl.vacuum(retain_versions=1, grace_s=0)
         n_rows = tbl.read().count()
         return spark.createDataFrame(
             [("chunks_live", live), ("chunks_removed", removed),
@@ -230,6 +232,7 @@ def tf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             state["tbl"].append(bdf)
 
+    done = False
     try:
         q = (
             spark.readStream.schema(schema)
@@ -238,14 +241,19 @@ def tf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", f"{root}/ckpt")
             .trigger(availableNow=True).start()
         )
-        if not q.awaitTermination(timeout=60):
+        done = q.awaitTermination(timeout=60)
+        if not done:
             q.stop()
     except Exception:  # noqa: BLE001 — harness safety
-        pass
+        done = False
     try:
-        if state["tbl"] is None:  # stream could not run: batch load
+        if not done or state["tbl"] is None:
+            # stream never ran OR timed out mid-run: a partially-loaded
+            # table would return silently-short counts, which the gate
+            # would report as data corruption instead of a stream
+            # wedge — rebuild deterministically from the batch path.
             state["tbl"] = CowTable.create(
-                spark, spark.read.parquet(path), f"{root}/events")
+                spark, spark.read.parquet(path), f"{root}/events_batch")
         return (
             state["tbl"].read()
             .agg(F.count(F.lit(1)).alias("n_rows"),

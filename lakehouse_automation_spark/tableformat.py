@@ -44,6 +44,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -72,6 +73,22 @@ def _js(v):
         return v.isoformat()  # datetime/date: sortable text
     except AttributeError:
         return str(v)
+
+
+_DATE_ONLY = re.compile(r"\d{4}-\d{2}-\d{2}")
+
+
+def _prune_key(v):
+    """Comparable form of a stat/bound for pruning. A datetime bound
+    renders as '1997-06-01T00:00:00' while a DATE-column stat renders
+    as '1997-06-01'; compared raw, the longer string sorts GREATER and
+    an equal-date boundary chunk gets wrongly pruned (losing its
+    midnight rows). Pad date-only strings to midnight so mixed
+    temporal granularity compares consistently."""
+    v = _js(v)
+    if isinstance(v, str) and _DATE_ONLY.fullmatch(v):
+        return v + "T00:00:00"
+    return v
 
 
 class CowTable:
@@ -117,7 +134,16 @@ class CowTable:
             return json.load(fh)
 
     def history(self) -> list[dict]:
-        return [self.manifest(v) for v in range(self.version() + 1)]
+        """Retained manifests, oldest first. Manifests older than the
+        vacuum retention horizon are gone — skip them rather than
+        crash (the caller sees exactly the snapshots still readable)."""
+        out = []
+        for v in range(self.version() + 1):
+            try:
+                out.append(self.manifest(v))
+            except FileNotFoundError:
+                continue
+        return out
 
     def chunk_paths(self, version: int | None = None) -> list[str]:
         return [os.path.join(self.path, c)
@@ -165,20 +191,25 @@ class CowTable:
             os.unlink(tmp)
 
     def _commit(self, chunks: list[str], op: str,
-                stats: dict | None = None) -> int:
+                stats: dict | None = None, *,
+                base_version: int) -> int:
         """Snapshot-transaction commit: ``chunks`` was derived from the
-        CURRENT tip, so if another writer advanced it first, blindly
-        re-claiming the next version would publish a chunk list that
-        silently drops the concurrent commit — a lost update. Abort
-        instead (Delta's conflicting-transaction semantics); the caller
-        re-runs its rewrite against the new tip. ``append`` does NOT
-        come through here — an append conflicts with nothing and
-        reconciles by re-reading the tip (see :meth:`append`).
+        manifest at ``base_version`` (captured when the transaction
+        READ the tip, before its Spark rewrite ran), so the only
+        version this transaction may publish is ``base_version + 1``.
+        If ANY other commit claimed it meanwhile — including commits
+        that landed during a minutes-long rewrite job — blindly taking
+        the next free number would publish a chunk list that silently
+        drops the concurrent commit (lost update). Abort instead
+        (Delta's conflicting-transaction semantics); the caller re-runs
+        its rewrite against the new tip. ``append`` does NOT come
+        through here — an append conflicts with nothing and reconciles
+        by re-reading the tip (see :meth:`append`).
 
         Data chunks are immutable and uniquely named per attempt, so an
         aborted transaction leaks at worst an unreferenced chunk for
         ``vacuum``."""
-        v = self.version() + 1
+        v = base_version + 1
         if self._try_commit(v, chunks, op, stats):
             return v
         raise ConcurrentWriteError(
@@ -205,8 +236,12 @@ class CowTable:
             # a non-atomic existence check instead of this mkdir lets
             # two racing writers MERGE part-files into one dir and both
             # commit the same chunk name (observed: every appended row
-            # multiplied by the writer count)
-            df.write.mode("overwrite").parquet(full)
+            # multiplied by the writer count). The write into the
+            # claimed dir must be APPEND mode: overwrite DELETES the
+            # target dir first, destroying the claim for exactly the
+            # window the mkdir exists to close. The dir is empty by
+            # construction, so append == write-fresh.
+            df.write.mode("append").parquet(full)
             return name
 
     def read(self, version: int | None = None,
@@ -239,7 +274,8 @@ class CowTable:
                 kept.append(c)
                 continue
             try:
-                if not (_js(lo) > s[1] or _js(hi) < s[0]):
+                if not (_prune_key(lo) > _prune_key(s[1])
+                        or _prune_key(hi) < _prune_key(s[0])):
                     kept.append(c)
             except TypeError:  # incomparable types: never prune blind
                 kept.append(c)
@@ -266,7 +302,8 @@ class CowTable:
         if tbl.version() >= 0:
             raise FileExistsError(f"table exists at {path}")
         chunk = tbl._write_chunk(df, "create")
-        tbl._commit([chunk], "create", stats=tbl._new_stats(chunk, df))
+        tbl._commit([chunk], "create", stats=tbl._new_stats(chunk, df),
+                    base_version=-1)
         return tbl
 
     def _new_stats(self, chunk: str, df: DataFrame,
@@ -287,23 +324,28 @@ class CowTable:
         a concurrent commit between the two reads is silently dropped)
         and retry with the new chunk list."""
         chunk = self._write_chunk(df, "append")
+        # the new chunk's stats are loop-invariant: one agg job here,
+        # never one per lost race
+        own = self._stats_of(df)
         while True:
             man = self.manifest()
             v = man["version"] + 1
-            stats = self._new_stats(chunk, df, man["chunks"], man)
+            stats = self._carry_stats(man["chunks"], man)
+            if own:
+                stats[chunk] = own
             if self._try_commit(v, man["chunks"] + [chunk], "append", stats):
                 return v
 
     # ----------------------------------------- copy-on-write rewrites
 
-    def _touched_chunks(self, flagged: DataFrame) -> list[str]:
-        """Manifest chunks that physically contain >=1 row of
-        ``flagged`` (a DataFrame carrying ``_file`` =
+    def _touched_chunks(self, flagged: DataFrame, man: dict) -> list[str]:
+        """Chunks of snapshot ``man`` that physically contain >=1 row
+        of ``flagged`` (a DataFrame carrying ``_file`` =
         ``input_file_name()``). Driver-side result is O(#chunks)."""
         files = [r["_file"] for r in
                  flagged.select("_file").distinct().collect()]
         touched = []
-        for c in self.manifest()["chunks"]:
+        for c in man["chunks"]:
             prefix = os.path.join(self.path, c) + os.sep
             if any(f.replace("file://", "").startswith(prefix)
                    for f in files):
@@ -313,46 +355,62 @@ class CowTable:
     def merge(self, updates: DataFrame, key: str | list[str]) -> int:
         """File-pruned ACID MERGE (updates win, unmatched base rows
         survive, unmatched updates insert). Only chunks containing a
-        matched key are rewritten; the rest carry over by name."""
+        matched key are rewritten; the rest carry over by name. The
+        whole transaction — touch detection, rewrite, commit — runs
+        against ONE manifest read; a commit that lands meanwhile makes
+        :meth:`_commit` abort rather than lose it."""
         keys = [key] if isinstance(key, str) else list(key)
-        base = self.read().withColumn("_file", F.input_file_name())
+        man = self.manifest()
+        base = (self.spark.read.parquet(
+                    *[os.path.join(self.path, c) for c in man["chunks"]])
+                .withColumn("_file", F.input_file_name()))
         matched = base.join(F.broadcast(updates.select(*keys).distinct()),
                             on=keys, how="left_semi")
-        touched = self._touched_chunks(matched)
-        untouched = [c for c in self.manifest()["chunks"]
-                     if c not in touched]
+        touched = self._touched_chunks(matched, man)
+        untouched = [c for c in man["chunks"] if c not in touched]
         to_rewrite = (
             self.spark.read.parquet(
                 *[os.path.join(self.path, c) for c in touched])
-            if touched else self.read().limit(0)
+            if touched else base.drop("_file").limit(0)
         )
         merged = merge_upsert(to_rewrite, updates, keys)
         chunk = self._write_chunk(merged, "merge")
         return self._commit(untouched + [chunk], "merge",
-                            stats=self._new_stats(chunk, merged, untouched))
+                            stats=self._new_stats(chunk, merged,
+                                                  untouched, man),
+                            base_version=man["version"])
 
     def delete_where(self, cond) -> int:
         """File-pruned ACID DELETE — the transactional form of the
         reference's retention sweep (check_lakehouse retention window;
         pipelines/retention.py restates it non-atomically). Chunks with
         no matching row carry over untouched; matching chunks are
-        rewritten without the condemned rows."""
-        base = self.read().withColumn("_file", F.input_file_name())
-        touched = self._touched_chunks(base.filter(cond))
-        untouched = [c for c in self.manifest()["chunks"]
-                     if c not in touched]
+        rewritten without the condemned rows. SQL DELETE semantics:
+        only rows where ``cond`` IS TRUE are deleted — a bare
+        ``filter(~cond)`` would also drop rows where the predicate
+        evaluates to NULL (e.g. a null column), losing rows that no
+        DELETE statement would touch."""
+        man = self.manifest()
+        base = (self.spark.read.parquet(
+                    *[os.path.join(self.path, c) for c in man["chunks"]])
+                .withColumn("_file", F.input_file_name()))
+        touched = self._touched_chunks(base.filter(cond), man)
+        untouched = [c for c in man["chunks"] if c not in touched]
         chunks = list(untouched)
-        stats = self._carry_stats(untouched)
+        stats = self._carry_stats(untouched, man)
         if touched:
             keep = (
                 self.spark.read.parquet(
                     *[os.path.join(self.path, c) for c in touched])
-                .filter(~cond)
+                .filter(cond.isNull() | ~cond)
             )
             chunk = self._write_chunk(keep, "delete")
             chunks.append(chunk)
-            stats.update(self._new_stats(chunk, keep))
-        return self._commit(chunks, "delete", stats=stats)
+            own = self._stats_of(keep)
+            if own:
+                stats[chunk] = own
+        return self._commit(chunks, "delete", stats=stats,
+                            base_version=man["version"])
 
     def compact(self, n_files: int = 1,
                 sort_by: list[str] | None = None) -> int:
@@ -366,7 +424,9 @@ class CowTable:
         all of them. (True Z-order interleaves bits across dimensions
         to cluster several keys at once; range-cluster the leading
         query key here.)"""
-        df = self.read()
+        man = self.manifest()
+        df = self.spark.read.parquet(
+            *[os.path.join(self.path, c) for c in man["chunks"]])
         if sort_by:
             df = (df.repartitionByRange(n_files, *sort_by)
                   .sortWithinPartitions(*sort_by))
@@ -374,28 +434,44 @@ class CowTable:
             df = df.repartition(n_files)
         chunk = self._write_chunk(df, "compact")
         return self._commit([chunk], "compact",
-                            stats=self._new_stats(chunk, df))
+                            stats=self._new_stats(chunk, df),
+                            base_version=man["version"])
 
-    def vacuum(self, retain_versions: int = 1) -> tuple[int, int]:
+    def vacuum(self, retain_versions: int = 1,
+               grace_s: float = 600.0) -> tuple[int, int]:
         """Delete data chunks referenced by NO retained snapshot (the
         newest ``retain_versions`` manifests survive; older manifests
         are dropped — time travel ends at the retention horizon, like
-        Delta's VACUUM). Returns (live_chunks, removed_chunks)."""
+        Delta's VACUUM). Returns (live_chunks, removed_chunks).
+
+        ``grace_s``: chunks younger than this are NEVER reclaimed even
+        if unreferenced — an in-flight writer has written its chunk but
+        not yet published the manifest, and deleting it would make that
+        commit reference missing data. This is Delta's retention-age
+        check; tests pass 0 to exercise full reclamation."""
         import shutil
+        import time
 
         tip = self.version()
         keep_versions = range(max(0, tip - retain_versions + 1), tip + 1)
         live: set[str] = set()
         for v in keep_versions:
             live.update(self.manifest(v)["chunks"])
+        now = time.time()
         removed = 0
         for entry in os.listdir(self.path):
             if entry == _LOG or entry in live:
                 continue
-            if entry.startswith("d") and os.path.isdir(
-                    os.path.join(self.path, entry)):
-                shutil.rmtree(os.path.join(self.path, entry))
-                removed += 1
+            full = os.path.join(self.path, entry)
+            if not (entry.startswith("d") and os.path.isdir(full)):
+                continue
+            try:
+                if now - os.path.getmtime(full) < grace_s:
+                    continue  # possibly an uncommitted in-flight chunk
+            except FileNotFoundError:
+                continue
+            shutil.rmtree(full)
+            removed += 1
         for v in range(0, max(0, tip - retain_versions + 1)):
             try:
                 os.unlink(os.path.join(self._log_dir(), _vname(v)))

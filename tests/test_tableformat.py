@@ -68,11 +68,17 @@ def test_delete_where_and_time_travel(spark, tbl):
 def test_vacuum_reclaims_and_ends_time_travel(spark, tbl):
     tbl.append(_df(spark, [(100, "c", 0)]))
     tbl.compact(n_files=1)
-    live, removed = tbl.vacuum(retain_versions=1)
+    # default grace period protects just-written (possibly in-flight)
+    # chunks from reclamation...
+    assert tbl.vacuum(retain_versions=1) == (1, 0)
+    # ...grace_s=0 reclaims them (single-writer test table)
+    live, removed = tbl.vacuum(retain_versions=1, grace_s=0)
     assert (live, removed) == (1, 2)
     assert tbl.read().count() == 11
     with pytest.raises(FileNotFoundError):
         tbl.manifest(0)  # horizon passed: old manifest dropped
+    # history() skips vacuumed manifests instead of crashing
+    assert [m["version"] for m in tbl.history()] == [2]
 
 
 def test_commit_skips_claimed_versions(spark, tbl):
@@ -200,3 +206,60 @@ def test_schema_evolution_read(spark, tbl):
     assert rows[500] == "extra"
     assert rows[0] is None  # pre-evolution chunk null-fills
     assert df.count() == 11
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: only cond IS TRUE rows go. A bare
+    filter(~cond) rewrite would also drop rows where the predicate is
+    NULL — and only in touched chunks, making the loss chunk-layout-
+    dependent."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "a", 2)],
+        "k long, seg string, val long")
+    t = CowTable.create(spark, df, str(tmp_path / "t"))
+    t.delete_where(F.col("val") > 5)
+    got = sorted((r["k"], r["val"]) for r in t.read().collect())
+    assert got == [(2, None), (3, 2)], "NULL-val row must survive"
+
+
+def test_stats_prune_date_boundary(spark, tmp_path):
+    """A datetime bound against DATE-granularity stats must keep the
+    equal-date boundary chunk ('1997-06-01T00:00:00' vs '1997-06-01'
+    compared raw would prune it and lose its midnight rows)."""
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.date(1997, 5, 1)), (2, dt.date(1997, 6, 1))],
+        "k long, d date")
+    t = CowTable.create(spark, df, str(tmp_path / "t"), stats_cols=["d"])
+    t.append(spark.createDataFrame([(3, dt.date(1998, 1, 1))],
+                                   "k long, d date"))
+    kept = t.pruned_chunks("d", dt.datetime(1997, 6, 1),
+                           dt.datetime(1997, 12, 1))
+    assert len(kept) == 1, "boundary chunk (max == lo's date) must stay"
+
+
+def test_merge_aborts_when_commit_lands_mid_rewrite(spark, tbl, monkeypatch):
+    """A commit landing DURING a merge's rewrite (not just in the
+    version()/link window) must abort the merge — its chunk list was
+    derived from the now-stale snapshot and publishing it would drop
+    the concurrent commit."""
+    from lakehouse_automation_spark import tableformat
+    from lakehouse_automation_spark.tableformat import ConcurrentWriteError
+
+    real_write = tableformat.CowTable._write_chunk
+    fired = {"done": False}
+
+    def write_and_race(self, df, tag):
+        name = real_write(self, df, tag)
+        if tag == "merge" and not fired["done"]:
+            fired["done"] = True  # concurrent append lands mid-merge
+            tbl.append(_df(spark, [(777, "race", 0)]))
+        return name
+
+    monkeypatch.setattr(tableformat.CowTable, "_write_chunk", write_and_race)
+    with pytest.raises(ConcurrentWriteError):
+        tbl.merge(_df(spark, [(0, "M", -1)]), "k")
+    # the racing append survived; the aborted merge changed nothing
+    assert tbl.read().filter(F.col("k") == 777).count() == 1
+    assert tbl.read().filter(F.col("seg") == "M").count() == 0
