@@ -207,3 +207,42 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
             & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR"))
         ).collect())
     assert got == want and len(want) > 0
+
+
+def test_stream_lands_one_acid_commit_per_microbatch(spark, tmp_path):
+    """The tf_stream_ingest pattern: readStream -> foreachBatch ->
+    CowTable commit. With 1 file per micro-batch, three landed files
+    must produce exactly three manifest versions (create + 2 appends),
+    each a complete snapshot — the transactional boundary the
+    reference's sys.heatwave_load refresh provides and raw parquet
+    appends lack."""
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    src = str(tmp_path / "src")
+    rows = [(i, T0 + dt.timedelta(minutes=i), float(i)) for i in range(9)]
+    _land(spark, os.path.join(src, "a"), rows[:3])
+    _land(spark, os.path.join(src, "b"), rows[3:6])
+    _land(spark, os.path.join(src, "c"), rows[6:])
+
+    state = {"tbl": None}
+
+    def land(bdf, _bid):
+        if state["tbl"] is None:
+            state["tbl"] = CowTable.create(spark, bdf, str(tmp_path / "t"))
+        else:
+            state["tbl"].append(bdf)
+
+    q = (spark.readStream.schema(SCHEMA)
+         .option("maxFilesPerTrigger", "1")
+         .option("recursiveFileLookup", "true").parquet(src)
+         .writeStream.foreachBatch(land)
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    assert q.awaitTermination(timeout=120)
+
+    tbl = state["tbl"]
+    assert tbl.version() == 2  # create + 2 appends: one commit per batch
+    assert [m["op"] for m in tbl.history()] == ["create", "append", "append"]
+    assert tbl.read().count() == 9
+    # each snapshot is a complete batch boundary: row counts step by 3
+    assert [tbl.read(version=v).count() for v in (0, 1, 2)] == [3, 6, 9]
