@@ -477,6 +477,16 @@ def pq_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     semantics the built-ins cannot express without a 1024-term codegen
     expression.
     """
+    n = with_vnorm(emb)
+    coded, luts, _ = _pq_parts(emb, n, n_queries, m=m, kc=kc, dim=dim)
+    cand = _adc_topn(coded.crossJoin(luts), m, k * rerank_factor)
+    return _exact_rerank(n, cand, n_queries, k)
+
+
+def _pq_parts(emb: DataFrame, n: DataFrame, n_queries: int,
+              m: int, kc: int, dim: int):
+    """Shared PQ machinery: (coded corpus, broadcast per-query LUTs,
+    codebooks array). See :func:`pq_topk` for the design notes."""
     from pyspark.sql.functions import pandas_udf
 
     sub = dim // m
@@ -496,7 +506,6 @@ def pq_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
             codes[:, s] = (cn[None, :] - 2.0 * dots).argmin(axis=1)
         return pd.Series(list(codes))
 
-    n = with_vnorm(emb)
     unit = n.select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("u"))
     coded = unit.select("vec_id", encode("u").alias("codes"))
 
@@ -516,10 +525,14 @@ def pq_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
         lut_rows.append((r.vec_id, lut))
     luts = F.broadcast(emb.sparkSession.createDataFrame(
         lut_rows, "q_id bigint, lut array<array<double>>"))
+    return coded, luts, books_np
 
+
+def _adc_topn(pairs: DataFrame, m: int, n_cand: int) -> DataFrame:
+    """ADC-score (q_id, codes, lut) rows and keep the top ``n_cand``
+    per query — ids only."""
     adc = (
-        coded.crossJoin(luts)
-        .filter(F.col("q_id") != F.col("vec_id"))
+        pairs.filter(F.col("q_id") != F.col("vec_id"))
         .select(
             "q_id", "vec_id",
             F.expr(
@@ -529,13 +542,19 @@ def pq_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
             ).alias("adc_sim"),
         )
     )
-    w_adc = Window.partitionBy("q_id").orderBy(F.desc("adc_sim"), F.asc("vec_id"))
-    cand = (
-        adc.withColumn("ark", F.row_number().over(w_adc))
-        .filter(F.col("ark") <= k * rerank_factor)
+    w = Window.partitionBy("q_id").orderBy(F.desc("adc_sim"), F.asc("vec_id"))
+    return (
+        adc.withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") <= n_cand)
         .select("q_id", "vec_id")
     )
 
+
+def _exact_rerank(n: DataFrame, cand: DataFrame, n_queries: int,
+                  k: int) -> DataFrame:
+    """Exact-cosine rerank of an ids-only candidate set; output matches
+    ``cosine_topk`` (q_id, vec_id, sim_r, rk). Corpus side re-attaches
+    via shuffle equi-join; only the small query side broadcasts."""
     q = F.broadcast(
         n.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
@@ -544,8 +563,52 @@ def pq_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     sim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
-        cand.join(q, "q_id").join(c, "vec_id")
+        cand.join(c, "vec_id").join(q, "q_id")
         .select("q_id", "vec_id", sim.alias("sim_r"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
+
+
+def ivf_pq_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
+                n_queries: int = 5, k: int = 10,
+                m: int = PQ_SUBSPACES, kc: int = PQ_CODES,
+                rerank_factor: int = 4, dim: int = LSH_DIM) -> DataFrame:
+    """IVF-PQ: the production composite (FAISS's default shape at
+    billion scale) — coarse cells prune WHICH rows are scored
+    (~nprobe/n_centroids of the corpus), PQ codes shrink WHAT is read
+    per scored row (8 bytes vs 256), so the two savings multiply.
+    Flow: assign corpus to seed-centroid cells, PQ-encode every vector
+    once, probe nprobe cells per query, ADC-score ONLY the probed
+    cells' codes, exact-rerank the top candidates. (Classic IVF-PQ
+    encodes residuals v - centroid for tighter codes; raw-vector codes
+    keep the codebooks query-independent here — same plan shape.)
+    Approximate by design: rows-only gate + pytest recall check."""
+    n = with_vnorm(emb)
+    cents = F.broadcast(
+        n.filter(F.col("vec_id") < n_centroids)
+        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"))
+    )
+    csim = cosine_sim("v", "cv", "nrm", "cn")
+    scored = n.crossJoin(cents).select(
+        "vec_id", "cent_id", csim.alias("csim"))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id"))
+    ranked = scored.withColumn("crk", F.row_number().over(w_assign))
+    assigned = (ranked.filter(F.col("crk") == 1)
+                .select("vec_id", F.col("cent_id").alias("cell_id")))
+    probes = (ranked.filter((F.col("vec_id") < n_queries)
+                            & (F.col("crk") <= nprobe))
+              .select(F.col("vec_id").alias("q_id"),
+                      F.col("cent_id").alias("cell_id")))
+
+    coded, luts, _ = _pq_parts(emb, n, n_queries, m=m, kc=kc, dim=dim)
+    # candidates = probed cells only; codes + LUT attach to ids
+    cand_pool = (
+        F.broadcast(probes).join(assigned, "cell_id")
+        .select("q_id", "vec_id")
+        .join(coded, "vec_id").join(luts, "q_id")
+    )
+    cand = _adc_topn(cand_pool, m, k * rerank_factor)
+    return _exact_rerank(n, cand, n_queries, k)

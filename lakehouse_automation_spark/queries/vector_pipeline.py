@@ -20,6 +20,7 @@ from ..operators.vector import (
     cosine_neardup_pairs,
     cosine_topk,
     ivf_kmeans_topk,
+    ivf_pq_topk,
     ivf_topk,
     knn_join_lsh,
     lsh_neardup_pairs,
@@ -165,6 +166,18 @@ def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver check + pytest recall gate vs the exact scan."""
     return pq_topk(t(spark, sf_dir, "embeddings"),
                    n_queries=5, k=10, rerank_factor=4)
+
+
+@register("vec_ivf_pq_topk", oracle=None)
+def vec_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composite (the FAISS-default billion-scale shape): seed-
+    centroid cells prune WHICH rows are ADC-scored (~nprobe/n_cells of
+    the corpus), 8x4-bit PQ codes shrink WHAT each scored row reads
+    (32x), and the savings multiply; exact rerank restores true sims.
+    Approximate by design: rows-only gate + pytest recall check."""
+    return ivf_pq_topk(t(spark, sf_dir, "embeddings"),
+                       n_centroids=8, nprobe=3, n_queries=5, k=10,
+                       rerank_factor=4)
 
 
 @register("vec_knn_join", oracle=None)

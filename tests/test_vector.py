@@ -199,3 +199,22 @@ def test_pq_rerank_sims_are_exact(emb):
     for r in pq_topk(emb, n_queries=3, k=10).collect():
         if (r.q_id, r.vec_id) in ex:
             assert abs(r.sim_r - ex[(r.q_id, r.vec_id)]) < 1e-12
+
+
+def test_ivf_pq_recall_vs_exact(emb):
+    """IVF-PQ scores only the probed cells' codes, so its recall is
+    bounded by IVF's cell recall; it must still clear the
+    random-candidate floor decisively and agree with PQ on the
+    rerank-exactness contract."""
+    from lakehouse_automation_spark.operators.vector import ivf_pq_topk
+
+    k = 10
+    exact = _exact_topk_sets(emb, 5, k)
+    res = ivf_pq_topk(emb, n_centroids=8, nprobe=3, n_queries=5, k=k,
+                      rerank_factor=4).collect()
+    approx = {}
+    for r in res:
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+    assert all(r.q_id != r.vec_id for r in res)
+    recall = sum(len(exact[q] & approx.get(q, set())) for q in exact) / (len(exact) * k)
+    assert recall >= 0.2, f"IVF-PQ recall {recall:.2f}"
