@@ -94,3 +94,64 @@ def test_neardup_clusters_deep_chain_converges():
     assert len(rows) == 41
     assert all(r.cluster_id == 0 for r in rows)
     assert sum(r.is_keeper for r in rows) == 1
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("append"),
+                      st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+            st.tuples(st.just("merge"),
+                      st.lists(st.integers(0, 30), min_size=1, max_size=4)),
+            st.tuples(st.just("delete_le"), st.integers(0, 30)),
+            st.tuples(st.just("compact"), st.just(None)),
+        ),
+        min_size=1, max_size=5,
+    )
+)
+def test_cowtable_matches_dict_model(ops, tmp_path_factory):
+    """Model-based check of the ACID table: a random op sequence
+    (append / keyed merge / predicate delete / compact) must leave the
+    table equal to a plain dict model applying the same semantics —
+    append keeps duplicate keys, merge collapses every copy of a key
+    to the update, delete drops by predicate, compact changes layout
+    only. Every intermediate version must also replay exactly (time
+    travel over the whole history)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    spark = _spark()
+    root = tmp_path_factory.mktemp("cow")
+    t = CowTable.create(
+        spark,
+        spark.createDataFrame([(k, 0) for k in range(5)], "k long, gen long"),
+        str(root / "t"))
+    # model: list of (k, gen) rows — append allows duplicate keys
+    model = [(k, 0) for k in range(5)]
+    snapshots = [sorted(model)]
+
+    gen = 0
+    for op, arg in ops:
+        gen += 1
+        if op == "append":
+            rows = [(k, gen) for k in arg]
+            t.append(spark.createDataFrame(rows, "k long, gen long"))
+            model = model + rows
+        elif op == "merge":
+            rows = [(k, gen) for k in sorted(set(arg))]
+            t.merge(spark.createDataFrame(rows, "k long, gen long"), "k")
+            keys = {k for k, _ in rows}
+            model = [r for r in model if r[0] not in keys] + rows
+        elif op == "delete_le":
+            t.delete_where(F.col("k") <= arg)
+            model = [r for r in model if not r[0] <= arg]
+        else:
+            t.compact(n_files=2)  # layout-only: model unchanged
+        snapshots.append(sorted(model))
+
+    for v, want in enumerate(snapshots):
+        got = sorted((r["k"], r["gen"])
+                     for r in t.read(version=v).collect())
+        assert got == want, f"version {v}: {got} != {want}"
