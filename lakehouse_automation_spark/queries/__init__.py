@@ -49,10 +49,13 @@ from . import cowtable        # noqa: E402,F401
 # round-1 failure mode). The 8 keys listed after the fold each have a
 # same-component sibling inside the top 50 and take the next rotation.
 _SWEEP_ORDER = [
-    # scans / sinks / maintenance / external sources
+    # scans / sinks / maintenance / external sources. tf_merge_cow
+    # (round 3's ACID MERGE — the r1 verdict's top "missing" item)
+    # takes the slot of mm_frame_sample, whose component stays covered
+    # by mm_decode_features inside the block.
     "scan_csv_schema", "scan_json", "sink_parquet", "sink_csv_header",
     "sink_partitioned", "table_compact", "analyze_stats", "jdbc_source",
-    "sink_upsert",
+    "sink_upsert", "tf_merge_cow",
     # UDF surface
     "udf_pandas_scalar", "udf_sql_register", "udf_grouped_map",
     "udtf_lateral",
@@ -65,7 +68,7 @@ _SWEEP_ORDER = [
     "vec_cosine_topk", "vec_neardup_cosine", "vec_ivf_topk",
     "vec_knn_join",
     # multimodal plumbing
-    "mm_decode_features", "mm_frame_sample",
+    "mm_decode_features",
     # Tier A batch surface
     "retry_exec", "sql_to_pandas", "ddl_exec", "multi_stmt_exec",
     "call_proc", "bulk_load", "catalog_list", "exec_timing",
@@ -80,9 +83,9 @@ _SWEEP_ORDER = [
     # agg_percentile_approx, join_interval_bucketed, sample_hash_split)
     # to the front — that is 19 keys, leaving 31 slots to re-confirm
     # previously-green ones.
-    "vec_ivf_kmeans_topk", "vec_neardup_lsh", "mm_resize",
-    "mm_audio_resample", "text_minhash_pairs", "curate_pipeline",
-    "lifecycle_daemon", "stream_custom_state",
+    "mm_frame_sample", "vec_ivf_kmeans_topk", "vec_neardup_lsh",
+    "mm_resize", "mm_audio_resample", "text_minhash_pairs",
+    "curate_pipeline", "lifecycle_daemon", "stream_custom_state",
 ]
 
 
