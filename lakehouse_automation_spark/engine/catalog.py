@@ -8,10 +8,12 @@ parquet directory; loading = registering a (normalized) DataFrame.
 
 Normalization handled here, once, for every consumer:
 
-- ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it as long
-  (``spark.sql.legacy.parquet.nanosAsLong``) and we convert to
-  microsecond TIMESTAMP_NTZ (floor division — matches DuckDB's
-  ns->us truncation).
+- ``events.ts`` is parquet TIMESTAMP(NANOS). On pyspark 4.1.2 the
+  reader surfaces it natively as ``timestamp_ntz`` (us precision,
+  ns truncated) and no conversion is needed; on older Sparks the
+  ``nanosAsLong`` legacy conf makes it a ns-long, which :func:`table`
+  detects by dtype and converts with integer floor division —
+  matching DuckDB's ns->us truncation either way.
 - ``orders.o_orderdate`` / ``lineitem.l_shipdate`` arrive as
   TIMESTAMP_NTZ already (ms precision) — left as-is.
 

@@ -22,9 +22,12 @@ from pyspark.sql import SparkSession
 # (the verify driver builds its own SparkSession; these must all be
 # runtime-settable, and are).
 RUNTIME_CONFS: dict[str, str] = {
-    # testdata events.parquet carries TIMESTAMP(NANOS) which Spark's
-    # parquet reader refuses by default; read as long, convert in the
-    # catalog (see catalog.load_tables).
+    # testdata events.parquet carries TIMESTAMP(NANOS). Older Sparks
+    # refuse it unless this legacy conf makes the reader surface a
+    # ns-long; pyspark 4.1.2 ACCEPTS but IGNORES the conf and reads
+    # NANOS natively as timestamp_ntz (verified live). Kept only for
+    # older runtimes — catalog.table() guards on the actual dtype, so
+    # both read paths normalize to us-precision timestamp_ntz.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",

@@ -39,53 +39,49 @@ from . import cowtable        # noqa: E402,F401
 
 # ------------------------------------------------------------------
 # Sweep ordering. The driver's per-round correctness gate evaluates
-# the first 50 registry keys in registration order (rounds 1 and 2
-# each covered exactly keys[:50]), so official coverage accumulates
-# round over round only if not-yet-swept keys are rotated to the
-# front. Round 3 front-loads the 50 keys absent from both
-# CORRECTNESS_r01 and CORRECTNESS_r02; batch keys run first and the
-# keys that spin real Structured Streaming machinery run at the tail
-# of the block so a wedge there cannot starve the batch results (the
-# round-1 failure mode). The 8 keys listed after the fold each have a
-# same-component sibling inside the top 50 and take the next rotation.
+# the first 50 registry keys in registration order, so official
+# coverage accumulates round over round only if not-yet-swept keys are
+# rotated to the front. Round 4 fronts the 23 keys absent from all of
+# CORRECTNESS_r01..r03 (recomputed programmatically: 134 registry keys
+# minus 111 swept — the round-3 comment undercounted at 19), which
+# brings cumulative official coverage to 134/134. Batch keys run
+# first; the 4 keys that spin real Structured Streaming machinery run
+# at the tail of the block so a wedge there cannot starve the batch
+# results (the round-1 failure mode). The remaining 27 slots
+# re-confirm the keys whose latest official green is oldest (r1/r2)
+# plus the two historically no-oracle keys (agg_approx_distinct,
+# vec_knn_join) so their tightened checks land in an official file.
 _SWEEP_ORDER = [
-    # scans / sinks / maintenance / external sources. tf_merge_cow
-    # (round 3's ACID MERGE — the r1 verdict's top "missing" item)
-    # takes the slot of mm_frame_sample, whose component stays covered
-    # by mm_decode_features inside the block.
-    "scan_csv_schema", "scan_json", "sink_parquet", "sink_csv_header",
-    "sink_partitioned", "table_compact", "analyze_stats", "jdbc_source",
-    "sink_upsert", "tf_merge_cow",
-    # UDF surface
-    "udf_pandas_scalar", "udf_sql_register", "udf_grouped_map",
-    "udtf_lateral",
-    # text / curation pipeline
-    "text_tokenize_stats", "text_lang_id", "text_quality_score",
-    "text_fingerprint", "text_exact_dedup", "text_ngram_jaccard",
-    "text_minhash_dedup", "text_simhash", "text_repetition",
-    "text_pii_redact", "text_dedup_clusters", "tfidf_keywords",
-    # vector / similarity
-    "vec_cosine_topk", "vec_neardup_cosine", "vec_ivf_topk",
-    "vec_knn_join",
+    # --- the 23 never-officially-swept keys: CowTable ACID family ---
+    "tf_acid_append", "tf_time_travel", "tf_delete_vacuum",
+    "tf_stats_prune",
+    # vector ANN tiers (PQ / IVF-PQ / k-means IVF / LSH / semantic dedup)
+    "vec_pq_topk", "vec_ivf_pq_topk", "vec_ivf_kmeans_topk",
+    "vec_neardup_lsh", "vec_semantic_doc_dedup",
+    # text pipeline additions
+    "text_bm25_rank", "text_minhash_pairs", "curate_pipeline",
+    # relational / sampling / sink / agg additions
+    "join_interval_bucketed", "sample_hash_split", "sink_orc",
+    "agg_percentile_approx",
     # multimodal plumbing
-    "mm_decode_features",
-    # Tier A batch surface
-    "retry_exec", "sql_to_pandas", "ddl_exec", "multi_stmt_exec",
-    "call_proc", "bulk_load", "catalog_list", "exec_timing",
-    "storage_mount", "ledger_insert", "ledger_topk",
-    # streaming restatements + live-stream keys last (wedge isolation)
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_session",
-    "stream_watermark_late", "stream_dedup_state", "stream_foreach_batch",
-    "incremental_load", "stream_file_ingest",
+    "mm_frame_sample", "mm_resize", "mm_audio_resample",
+    # --- 27 re-confirmation slots: oldest official greens first ---
+    "gen_rows", "retention_delete", "schedule_microbatch",
+    "poll_new_files", "fn_array_map", "fn_cond_null", "fn_datetime",
+    "fn_explode", "fn_hash", "fn_json", "fn_math",
+    "agg_median", "cte_recursive", "flagship_regional_revenue",
+    "fn_bitwise", "fn_levenshtein", "join_bucketed", "join_skew_salted",
+    "subq_exists_correlated", "subq_in", "subq_scalar", "win_rank_pct",
+    "agg_approx_distinct", "vec_knn_join",
+    "scan_parquet", "join_asof", "agg_percentile",
+    # --- live-stream never-swept keys last (wedge isolation) ---
+    "tf_stream_ingest", "lifecycle_daemon", "stream_custom_state",
+    "stream_stream_join",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-4 rotation: move these 8 plus every key registered after
-    # round 2 (tf_*, stream_stream_join, vec_pq_topk,
-    # agg_percentile_approx, join_interval_bucketed, sample_hash_split)
-    # to the front — that is 19 keys, leaving 31 slots to re-confirm
-    # previously-green ones.
-    "mm_frame_sample", "vec_ivf_kmeans_topk", "vec_neardup_lsh",
-    "mm_resize", "mm_audio_resample", "text_minhash_pairs",
-    "curate_pipeline", "lifecycle_daemon", "stream_custom_state",
+    # After round 4 every key has at least one official green entry;
+    # future rotations should re-confirm whichever keys' latest entry
+    # is oldest (derive from the CORRECTNESS_r*.json files, as
+    # tools/sweep_plan.py does — don't hand-count).
 ]
 
 

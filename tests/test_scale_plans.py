@@ -54,8 +54,13 @@ def test_partitioned_sink_prunes_partitions(spark, sf_dir):
 
     from pyspark.sql import functions as F
 
-    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
-          .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from lakehouse_automation_spark.engine.catalog import table
+
+    # catalog.table() owns the events.ts normalization (dtype-guarded:
+    # ns-long on old Sparks, native timestamp_ntz on 4.1.2+); a
+    # hand-rolled `ts div 1000` here breaks whenever the reader's
+    # TIMESTAMP(NANOS) handling changes.
+    ev = (table(spark, sf_dir, "events")
           .withColumn("event_date", F.to_date(F.date_trunc("day", "ts"))))
     path = os.path.join(tempfile.mkdtemp(prefix="las_prune_"), "t")
     ev.write.partitionBy("event_date").parquet(path)
