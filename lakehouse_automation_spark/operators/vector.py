@@ -535,10 +535,18 @@ def _adc_topn(pairs: DataFrame, m: int, n_cand: int) -> DataFrame:
         pairs.filter(F.col("q_id") != F.col("vec_id"))
         .select(
             "q_id", "vec_id",
-            F.expr(
-                f"aggregate(sequence(1, {m}), CAST(0 AS DOUBLE), "
-                "(acc, s) -> acc + element_at(element_at(lut, s), "
-                "element_at(codes, s) + 1))"
+            # round before ranking (same SIM_DECIMALS convention as the
+            # exact tiers) so the candidate cut is reproducible by the
+            # SQL oracle: numpy's BLAS dots can differ from a
+            # sequential SQL fold by an ulp, and an unrounded
+            # ORDER BY would let that flip the top-n_cand boundary
+            F.round(
+                F.expr(
+                    f"aggregate(sequence(1, {m}), CAST(0 AS DOUBLE), "
+                    "(acc, s) -> acc + element_at(element_at(lut, s), "
+                    "element_at(codes, s) + 1))"
+                ),
+                SIM_DECIMALS,
             ).alias("adc_sim"),
         )
     )

@@ -69,20 +69,55 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL sketches differ across engines: rows-only check;
-    # tests/test_aggregates.py bounds the relative error vs exact.
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders_exact,
+           COUNT(DISTINCT l_partkey)  AS n_parts_exact,
+           true AS orders_sketch_ok,
+           true AS parts_sketch_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
 )
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB answer to
     COUNT(DISTINCT) when exactness isn't required: no exact-distinct
-    shuffle explosion, fixed-size sketch per group."""
-    return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
-        )
+    shuffle explosion, fixed-size sketch per group.
+
+    The raw sketch value cannot hash-match a DuckDB oracle (HLL
+    internals differ across engines), which left this key rows-only in
+    rounds 1-2. Instead the query SELF-VERIFIES the sketch: it also
+    computes the exact distinct counts (hash-checked against DuckDB)
+    and emits a boolean per sketch asserting |approx - exact| <=
+    5*rsd*exact — deterministic, since Spark's HLL++ is hash-based
+    with no RNG. The oracle then pins the booleans to true, so a
+    sketch drifting out of its documented error bound fails the gate
+    instead of passing unexamined. tests/test_sources_udfs.py keeps
+    the tighter 8% empirical bound on the raw values."""
+    rsd = 0.02
+    li = t(spark, sf_dir, "lineitem")
+    # Two separate aggregations, NOT one: mixing countDistinct with
+    # approx_count_distinct in a single agg makes Catalyst thread the
+    # HLL register buffers (hundreds of LONG columns at rsd=0.02)
+    # through the Expand-distinct shuffle keyed on ~n_rows groups —
+    # measured 10x slower and spill-prone. Split, each side gets its
+    # natural plan (expand-distinct / direct sketch) and the join is
+    # on the tiny group-count result.
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders_exact"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=rsd).alias("_ao"),
+        F.approx_count_distinct("l_partkey", rsd=rsd).alias("_ap"),
+    )
+    g = exact.join(approx, "l_returnflag")
+    def ok(approx, exact):
+        return (F.abs(F.col(approx) - F.col(exact))
+                <= 5 * rsd * F.col(exact))
+    return g.select(
+        "l_returnflag", "n_orders_exact", "n_parts_exact",
+        ok("_ao", "n_orders_exact").alias("orders_sketch_ok"),
+        ok("_ap", "n_parts_exact").alias("parts_sketch_ok"),
     )
 
 
@@ -107,7 +142,16 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_approx")  # sketch output: rows-only + pytest bound
+@register(
+    "agg_percentile_approx",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           true AS p50_rank_ok,
+           true AS p95_rank_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``approx_percentile`` — the 100-TB percentile path. The sketch
     (GK) is fixed-size, merges map-side, and ships one small buffer
@@ -115,15 +159,45 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     collects every group's full value list on one reducer, whose
     memory and sort time grow with group size — a 3-group exact
     percentile at 100 TB is three single-reducer sorts of the whole
-    table. No DuckDB oracle (sketch internals differ across engines);
-    tests/test_smoke.py bounds the estimate against the exact tier.
-    accuracy=10000 -> rank error <= 1/10000."""
-    li = t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile_approx(
-            "l_extendedprice", F.lit(0.5), F.lit(10000)), 4).alias("p50_price"),
-        F.round(F.percentile_approx(
-            "l_extendedprice", F.lit(0.95), F.lit(10000)), 4).alias("p95_price"),
+    table.
+
+    The sketch value itself cannot hash-match DuckDB (GK internals
+    differ across engines), which left this key rows-only. Instead the
+    query SELF-VERIFIES the GK rank guarantee distributedly: a second
+    pass joins the 3-row sketch output back (broadcast) and counts
+    rows strictly below / at-or-below each returned value — the
+    returned element's rank interval must overlap
+    [q*n - n/accuracy - 2, q*n + n/accuracy + 2]. Both passes are
+    plain scans + hash aggregations (no per-group collection), so the
+    verification itself survives 100 TB. The oracle pins n_rows (hash
+    vs DuckDB) and the rank booleans to true; exact percentile VALUES
+    live in the ``agg_percentile`` key. tests/test_sources_udfs.py
+    additionally tracks the raw estimates against the exact tier.
+    accuracy=10000 -> rank error <= n/10000."""
+    acc = 10000
+    li = t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    sk = li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(acc)).alias("_p50"),
+        F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(acc)).alias("_p95"),
+    )
+    j = li.join(F.broadcast(sk), "l_returnflag")
+    ranks = j.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((F.col("l_extendedprice") < F.col("_p50")).cast("long")).alias("_lt50"),
+        F.sum((F.col("l_extendedprice") <= F.col("_p50")).cast("long")).alias("_le50"),
+        F.sum((F.col("l_extendedprice") < F.col("_p95")).cast("long")).alias("_lt95"),
+        F.sum((F.col("l_extendedprice") <= F.col("_p95")).cast("long")).alias("_le95"),
+    )
+    def rank_ok(lt, le, q):
+        # the value's rank interval [lt+1, le] must meet the target
+        # rank window; tie clusters widen the interval, not the bound
+        n, tol = F.col("n_rows"), F.col("n_rows") / acc + 2
+        target = q * n
+        return (F.col(lt) + 1 <= target + tol) & (F.col(le) >= target - tol)
+    return ranks.select(
+        "l_returnflag", "n_rows",
+        rank_ok("_lt50", "_le50", 0.5).alias("p50_rank_ok"),
+        rank_ok("_lt95", "_le95", 0.95).alias("p95_rank_ok"),
     )
 
 

@@ -134,17 +134,46 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_centroids=8, nprobe=3, n_queries=5, k=10)
 
 
-@register("vec_ivf_kmeans_topk", oracle=None)
+@register(
+    "vec_ivf_kmeans_topk",
+    oracle="""
+    SELECT CAST(q.q_id AS BIGINT) AS q_id,
+           CAST(10 AS BIGINT) AS n_results,
+           true AS recall_ok
+    FROM (SELECT unnest(range(0, 5)) AS q_id) q
+    """,
+)
 def vec_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat with Lloyd-trained (spherical k-means, 2 rounds)
     centroids — the production coarse quantizer the seed-centroid tier
     approximates. Same probe/rerank plan as vec_ivf_topk; data-adapted
     cells raise recall at fixed nprobe (pytest asserts >= the seed
     tier). Driver holds only the k x 64 centroid matrix between
-    rounds; the corpus is never collected. Rows-only check (the
-    trained centroids aren't practical to replay in SQL)."""
-    return ivf_kmeans_topk(t(spark, sf_dir, "embeddings"),
-                           n_centroids=8, nprobe=3, n_queries=5, k=10, iters=2)
+    rounds; the corpus is never collected.
+
+    The trained centroids aren't replayable in SQL (distributed float
+    means are partition-order sensitive), so instead of the raw
+    neighbor lists the key SELF-VERIFIES: it joins its ANN result
+    against the exact brute-force top-10 (a linear scan — itself the
+    documented oracle-anchor tier) and emits per query the result
+    count plus recall@10 >= 0.6, which the oracle pins. Centroid
+    jitter can move individual neighbors but not drag recall below
+    the floor (observed recall ~0.9; pytest keeps the tighter
+    >= seed-tier bound on the raw lists)."""
+    emb = t(spark, sf_dir, "embeddings")
+    ann = ivf_kmeans_topk(emb, n_centroids=8, nprobe=3,
+                          n_queries=5, k=10, iters=2)
+    exact = cosine_topk(emb, n_queries=5, k=10).select("q_id", "vec_id")
+    hits = (ann.join(exact, ["q_id", "vec_id"], "left_semi")
+            .groupBy("q_id").agg(F.count(F.lit(1)).alias("n_hits")))
+    return (
+        ann.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_results"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id", "n_results",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= 6).alias("recall_ok"),
+        )
+    )
 
 
 @register("vec_neardup_lsh", oracle=None)
@@ -157,24 +186,178 @@ def vec_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@register("vec_pq_topk", oracle=None)
+# PQ is deterministic end-to-end (seed codebooks = first 16 unit
+# vectors, argmin encode with code-id tiebreak, ADC rounded to
+# SIM_DECIMALS before the candidate cut, exact rerank with vec_id
+# tiebreak), so the WHOLE pipeline — encode, ADC scan, rerank — is
+# replayable as SQL. Sub-expression order mirrors the Spark/numpy
+# side: list_sum is a sequential double fold, lists ordered by
+# subspace.
+_PQ_ORACLE = f"""
+    WITH n AS ({_VNORM}),
+    unit AS (
+      SELECT vec_id, list_transform(range(1, 65), i -> v[i] / nrm) AS u
+      FROM n
+    ),
+    books AS (SELECT vec_id AS code_id, u AS bu FROM unit WHERE vec_id < 16),
+    subs AS (SELECT unnest(range(1, 9)) AS s),
+    enc AS (
+      SELECT un.vec_id, subs.s, b.code_id,
+             list_sum(list_transform(range(1, 9),
+                      j -> b.bu[(subs.s-1)*8 + j] * b.bu[(subs.s-1)*8 + j]))
+           - 2.0 * list_sum(list_transform(range(1, 9),
+                      j -> un.u[(subs.s-1)*8 + j] * b.bu[(subs.s-1)*8 + j]))
+             AS d
+      FROM unit un CROSS JOIN subs CROSS JOIN books b
+    ),
+    codes AS (
+      SELECT vec_id, s, code_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d, code_id) AS rk
+        FROM enc) WHERE rk = 1
+    ),
+    queries AS (SELECT vec_id AS q_id, u AS qu FROM unit WHERE vec_id < 5),
+    lutv AS (
+      SELECT q.q_id, c.vec_id, c.s,
+             list_sum(list_transform(range(1, 9),
+                      j -> q.qu[(c.s-1)*8 + j] * b.bu[(c.s-1)*8 + j])) AS lv
+      FROM codes c JOIN books b ON b.code_id = c.code_id
+      CROSS JOIN queries q
+      WHERE q.q_id != c.vec_id
+    ),
+    adc AS (
+      SELECT q_id, vec_id,
+             round(list_sum(list(lv ORDER BY s)), 9) AS adc_sim
+      FROM lutv GROUP BY q_id, vec_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS ark
+        FROM adc) WHERE ark <= 40
+    ),
+    rer AS (
+      SELECT cand.q_id, cand.vec_id,
+             {_sim('qn.v', 'cn2.v', 'qn.nrm', 'cn2.nrm')} AS sim_r
+      FROM cand
+      JOIN n cn2 ON cn2.vec_id = cand.vec_id
+      JOIN n qn  ON qn.vec_id = cand.q_id
+    )
+    SELECT q_id, vec_id, sim_r, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rk
+      FROM rer) WHERE rk <= 10
+"""
+
+
+@register("vec_pq_topk", oracle=_PQ_ORACLE)
 def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization top-10: corpus compressed to 8x 4-bit codes
     (32x less scan I/O than raw float32 — the memory-bandwidth ANN
     tier), ADC lookup-table scoring, exact rerank of the top-40 via a
-    shuffle equi-join on vec_id. Approximate by design: rows-only
-    driver check + pytest recall gate vs the exact scan."""
+    shuffle equi-join on vec_id. Deterministic seed codebooks + rounded
+    ADC ranking make the whole pipeline SQL-replayable, so the gate
+    hash-checks encode, candidate cut, AND rerank (upgraded from the
+    rows-only check of rounds 1-3); the pytest recall gate vs the
+    exact scan stays as the quality bound."""
     return pq_topk(t(spark, sf_dir, "embeddings"),
                    n_queries=5, k=10, rerank_factor=4)
 
 
-@register("vec_ivf_pq_topk", oracle=None)
+# IVF-PQ = the seed-centroid cell pruning of vec_ivf_topk composed
+# with the PQ encode/ADC of vec_pq_topk — both deterministic, so the
+# composite replays in SQL too: the candidate pool is restricted to
+# the probed cells before the ADC cut.
+_IVF_PQ_ORACLE = f"""
+    WITH n AS ({_VNORM}),
+    cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
+              WHERE vec_id < 8),
+    cscored AS (
+      SELECT n.vec_id, cents.cent_id,
+             {_sim('n.v', 'cents.cv', 'n.nrm', 'cents.cn')} AS csim
+      FROM n CROSS JOIN cents
+    ),
+    cranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS crk
+      FROM cscored
+    ),
+    assigned AS (
+      SELECT vec_id, cent_id AS cell_id FROM cranked WHERE crk = 1
+    ),
+    probes AS (
+      SELECT vec_id AS q_id, cent_id AS cell_id
+      FROM cranked WHERE vec_id < 5 AND crk <= 3
+    ),
+    pool AS (
+      SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell_id)
+      WHERE p.q_id != a.vec_id
+    ),
+    unit AS (
+      SELECT vec_id, list_transform(range(1, 65), i -> v[i] / nrm) AS u
+      FROM n
+    ),
+    books AS (SELECT vec_id AS code_id, u AS bu FROM unit WHERE vec_id < 16),
+    subs AS (SELECT unnest(range(1, 9)) AS s),
+    enc AS (
+      SELECT un.vec_id, subs.s, b.code_id,
+             list_sum(list_transform(range(1, 9),
+                      j -> b.bu[(subs.s-1)*8 + j] * b.bu[(subs.s-1)*8 + j]))
+           - 2.0 * list_sum(list_transform(range(1, 9),
+                      j -> un.u[(subs.s-1)*8 + j] * b.bu[(subs.s-1)*8 + j]))
+             AS d
+      FROM unit un CROSS JOIN subs CROSS JOIN books b
+    ),
+    codes AS (
+      SELECT vec_id, s, code_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d, code_id) AS rk
+        FROM enc) WHERE rk = 1
+    ),
+    queries AS (SELECT vec_id AS q_id, u AS qu FROM unit WHERE vec_id < 5),
+    lutv AS (
+      SELECT pool.q_id, pool.vec_id, c.s,
+             list_sum(list_transform(range(1, 9),
+                      j -> q.qu[(c.s-1)*8 + j] * b.bu[(c.s-1)*8 + j])) AS lv
+      FROM pool
+      JOIN codes c ON c.vec_id = pool.vec_id
+      JOIN books b ON b.code_id = c.code_id
+      JOIN queries q ON q.q_id = pool.q_id
+    ),
+    adc AS (
+      SELECT q_id, vec_id,
+             round(list_sum(list(lv ORDER BY s)), 9) AS adc_sim
+      FROM lutv GROUP BY q_id, vec_id
+    ),
+    cand AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS ark
+        FROM adc) WHERE ark <= 40
+    ),
+    rer AS (
+      SELECT cand.q_id, cand.vec_id,
+             {_sim('qn.v', 'cn2.v', 'qn.nrm', 'cn2.nrm')} AS sim_r
+      FROM cand
+      JOIN n cn2 ON cn2.vec_id = cand.vec_id
+      JOIN n qn  ON qn.vec_id = cand.q_id
+    )
+    SELECT q_id, vec_id, sim_r, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rk
+      FROM rer) WHERE rk <= 10
+"""
+
+
+@register("vec_ivf_pq_topk", oracle=_IVF_PQ_ORACLE)
 def vec_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ composite (the FAISS-default billion-scale shape): seed-
     centroid cells prune WHICH rows are ADC-scored (~nprobe/n_cells of
     the corpus), 8x4-bit PQ codes shrink WHAT each scored row reads
     (32x), and the savings multiply; exact rerank restores true sims.
-    Approximate by design: rows-only gate + pytest recall check."""
+    Seed centroids + seed codebooks + rounded ADC ranking keep the
+    composite deterministic, so the gate hash-checks the full pipeline
+    (upgraded from rows-only); pytest keeps the recall bound."""
     return ivf_pq_topk(t(spark, sf_dir, "embeddings"),
                        n_centroids=8, nprobe=3, n_queries=5, k=10,
                        rerank_factor=4)

@@ -16,36 +16,42 @@ from lakehouse_automation_spark.queries import REGISTRY
 
 
 def test_approx_distinct_within_error_bound(spark):
-    """HLL++ at rsd=0.02 must land within 4x the requested rsd of the
-    exact per-group count (generous guard band over the sketch's
-    standard error; catches wired-wrong columns, not sketch noise)."""
+    """The self-verifying key: exact counts must equal an independent
+    countDistinct, the sketch-ok booleans must hold, AND the raw HLL++
+    estimate (recomputed here) must land within 4x the requested rsd
+    (tighter than the query's own 5x gate bound; catches wired-wrong
+    columns, not sketch noise)."""
     sf_dir = "/root/testdata/sf0.01"
-    approx = {
+    got = {
         r.l_returnflag: r
         for r in REGISTRY["agg_approx_distinct"].fn(spark, sf_dir).collect()
     }
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    exact = {
+    ref = {
         r.l_returnflag: r
         for r in li.groupBy("l_returnflag").agg(
             F.countDistinct("l_orderkey").alias("n_orders"),
             F.countDistinct("l_partkey").alias("n_parts"),
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("a_parts"),
         ).collect()
     }
-    assert set(approx) == set(exact)
-    for flag, a in approx.items():
-        e = exact[flag]
-        assert abs(a.approx_orders - e.n_orders) <= 0.08 * e.n_orders, flag
-        assert abs(a.approx_parts - e.n_parts) <= 0.08 * e.n_parts, flag
+    assert set(got) == set(ref)
+    for flag, g in got.items():
+        e = ref[flag]
+        assert g.n_orders_exact == e.n_orders and g.n_parts_exact == e.n_parts
+        assert g.orders_sketch_ok and g.parts_sketch_ok, flag
+        assert abs(e.a_orders - e.n_orders) <= 0.08 * e.n_orders, flag
+        assert abs(e.a_parts - e.n_parts) <= 0.08 * e.n_parts, flag
 
 
 def test_approx_percentile_tracks_exact(spark):
-    """The sketch percentile (the 100-TB path benched in HEADLINE)
-    must track the exact interpolated tier per group. accuracy=10000
-    bounds RANK error at 1e-4; with ~200k values/group that is ~20
-    ranks, so compare by value with a 0.5% relative guard band."""
+    """The key now self-verifies the GK rank guarantee in-query (the
+    booleans the oracle pins to true); here assert those hold at
+    sf0.01 AND separately track the raw estimate (recomputed) against
+    the exact interpolated tier with a 0.5% value guard band."""
     sf_dir = "/root/testdata/sf0.01"
-    approx = {
+    got = {
         r.l_returnflag: r
         for r in REGISTRY["agg_percentile_approx"].fn(spark, sf_dir).collect()
     }
@@ -53,7 +59,20 @@ def test_approx_percentile_tracks_exact(spark):
         r.l_returnflag: r
         for r in REGISTRY["agg_percentile"].fn(spark, sf_dir).collect()
     }
-    assert set(approx) == set(exact)
+    assert set(got) == set(exact)
+    for flag, g in got.items():
+        assert g.p50_rank_ok and g.p95_rank_ok, flag
+        assert g.n_rows > 0
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    approx = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag").agg(
+            F.round(F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)), 4).alias("p50_price"),
+            F.round(F.percentile_approx(
+                "l_extendedprice", F.lit(0.95), F.lit(10000)), 4).alias("p95_price"),
+        ).collect()
+    }
     for flag, a in approx.items():
         e = exact[flag]
         assert abs(a.p50_price - e.p50_price) <= 0.005 * e.p50_price, flag
