@@ -268,21 +268,25 @@ def tf_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tf_stats_prune",
     oracle="""
     SELECT 1 AS chunks_scanned, 3 AS chunks_total,
+           1 AS files_scanned, 4 AS files_total,
            (SELECT COUNT(*) FROM orders
             WHERE CAST(o_orderdate AS TIMESTAMP) >= TIMESTAMP '1997-06-01'
-              AND CAST(o_orderdate AS TIMESTAMP) <= TIMESTAMP '1998-06-01')
+              AND CAST(o_orderdate AS TIMESTAMP) <= TIMESTAMP '1997-08-31')
            AS n_rows
     """,
 )
 def tf_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Manifest-stats data skipping: the table is three chunks with
-    disjoint o_orderdate year bands and per-chunk min/max recorded in
-    the manifest; a 1997-06..1998-06 range scan consults ONLY the
-    driver-side stats to admit exactly one chunk — zero file listing
-    or footer I/O for the other two. At 100 TB this is the
-    Delta/Iceberg skip step that turns a key-range query from
-    open-every-file into open-the-covering-chunks. The literal
-    chunks_scanned pins the pruning; the row count pins the data."""
+    """Two-level manifest-stats data skipping: the table is three
+    chunks with disjoint o_orderdate year bands (per-chunk min/max in
+    the manifest), and the middle chunk holds TWO files split at the
+    1997/1998 boundary (per-file min/max in the manifest — the
+    Delta/Iceberg file-statistics grain). A 1997-06..1997-08 range
+    scan consults ONLY driver-side stats: chunk level admits the
+    middle chunk (1 of 3), file level admits its 1997 file (1 of the
+    table's 4 data files) — zero listing or footer I/O for everything
+    else. At 100 TB this turns a key-range query from open-every-file
+    into open-the-covering-files. The literal chunks/files counts pin
+    both pruning levels; the row count pins the data."""
     import datetime as dt
 
     od = F.col("o_orderdate")
@@ -291,17 +295,28 @@ def tf_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     y97, y99 = dt.datetime(1997, 1, 1), dt.datetime(1999, 1, 1)
     root = _tmp()
     try:
+        # deterministic file layout: chunk 1 = <1997 (1 file), chunk 2
+        # = 1997-1998 hash-partitioned on year -> two year-pure files
+        # (a union of two coalesce(1) sides looks cleaner but Catalyst
+        # collapses it to ONE partition; the explicit-numPartitions
+        # repartition survives), chunk 3 = >=1999 (1 file)
         tbl = CowTable.create(
-            spark, orders.filter(od < y97), f"{root}/orders",
+            spark, orders.filter(od < y97).coalesce(1), f"{root}/orders",
             stats_cols=["o_orderdate"])
-        tbl.append(orders.filter((od >= y97) & (od < y99)))
-        tbl.append(orders.filter(od >= y99))
-        lo, hi = dt.datetime(1997, 6, 1), dt.datetime(1998, 6, 1)
-        scanned = len(tbl.pruned_chunks("o_orderdate", lo, hi))
+        tbl.append(orders.filter((od >= y97) & (od < y99))
+                   .repartition(2, F.year(od)))
+        tbl.append(orders.filter(od >= y99).coalesce(1))
+        lo, hi = dt.datetime(1997, 6, 1), dt.datetime(1997, 8, 31)
+        man = tbl.manifest()
+        chunks_scanned = len(tbl.pruned_chunks("o_orderdate", lo, hi))
+        files_scanned = len(tbl.pruned_files("o_orderdate", lo, hi))
+        files_total = sum(len(v) for v in man["file_stats"].values())
         n = tbl.scan("o_orderdate", lo, hi).count()
         return spark.createDataFrame(
-            [(scanned, len(tbl.manifest()["chunks"]), n)],
-            "chunks_scanned int, chunks_total int, n_rows long",
+            [(chunks_scanned, len(man["chunks"]), files_scanned,
+              files_total, n)],
+            "chunks_scanned int, chunks_total int, "
+            "files_scanned int, files_total int, n_rows long",
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)

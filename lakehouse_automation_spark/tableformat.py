@@ -35,9 +35,11 @@ Scale notes (100-TB design):
   rewritten, discovered with one semi-join over ``input_file_name()``
   — untouched chunks are carried into the new manifest by name. A
   MERGE touching 0.1% of keys rewrites ~0.1% of the table.
-- Chunk granularity here is one parquet directory per commit; a
-  production variant tracks individual files with min/max stats for
-  scan pruning — same protocol, finer grain.
+- Data skipping is two-level: per-chunk AND per-file [min, max] for
+  the opted-in ``stats_cols`` live in the manifest (Delta/Iceberg's
+  file-statistics pattern), so ``scan()`` admits individual files —
+  both pruning levels are driver-side dict lookups with zero file
+  I/O before the surviving files are read.
 """
 
 from __future__ import annotations
@@ -149,27 +151,49 @@ class CowTable:
         return [os.path.join(self.path, c)
                 for c in self.manifest(version)["chunks"]]
 
-    def _stats_of(self, df: DataFrame) -> dict:
-        """Per-chunk [min, max] for the opted-in columns — one agg job
-        over the chunk contents. (A production writer reads these from
-        the parquet footers it just wrote, paying nothing extra; the
-        manifest protocol is identical.)"""
+    def _chunk_stats(self, chunk: str) -> tuple[dict, dict]:
+        """(chunk_stats, file_stats) for a just-written chunk: ONE
+        per-file aggregation over its contents — ``file_stats`` maps
+        each data file to {col: [min, max]}, and the chunk-level range
+        is folded from the file ranges driver-side. (A production
+        writer reads these from the parquet footers it just wrote,
+        paying nothing extra; the manifest protocol is identical.)"""
+        df = self.spark.read.parquet(os.path.join(self.path, chunk))
         cols = [c for c in self.stats_cols if c in df.columns]
         if not cols:
-            return {}
+            return {}, {}
         aggs = []
         for c in cols:
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
-        row = df.agg(*aggs).collect()[0]
-        return {c: [_js(row[f"lo_{c}"]), _js(row[f"hi_{c}"])] for c in cols}
+        rows = (df.withColumn("_f", F.input_file_name())
+                .groupBy("_f").agg(*aggs).collect())
+        cdir = os.path.join(self.path, chunk)
+        fstats: dict[str, dict] = {}
+        for r in rows:
+            # key by chunk-relative path (not basename): nested layouts
+            # would collide basenames across subdirectories
+            fname = os.path.relpath(r["_f"].replace("file://", ""), cdir)
+            fstats[fname] = {
+                c: [_js(r[f"lo_{c}"]), _js(r[f"hi_{c}"])] for c in cols
+            }
+        cstats = {}
+        for c in cols:
+            los = [s[c][0] for s in fstats.values() if s[c][0] is not None]
+            his = [s[c][1] for s in fstats.values() if s[c][1] is not None]
+            if los and his:
+                cstats[c] = [min(los, key=_prune_key),
+                             max(his, key=_prune_key)]
+        return cstats, fstats
 
     def _carry_stats(self, chunks: list[str],
-                     man: dict | None = None) -> dict:
-        tip = (man or self.manifest()).get("stats", {})
+                     man: dict | None = None,
+                     key: str = "stats") -> dict:
+        tip = (man or self.manifest()).get(key, {})
         return {c: tip[c] for c in chunks if c in tip}
 
     def _try_commit(self, v: int, chunks: list[str], op: str,
-                    stats: dict | None = None) -> bool:
+                    stats: dict | None = None,
+                    file_stats: dict | None = None) -> bool:
         """Attempt to publish version ``v`` atomically: stage the
         manifest to a temp name, publish with ``os.link`` — an atomic
         create-if-absent on POSIX (a conditional PUT on object
@@ -177,6 +201,7 @@ class CowTable:
         os.makedirs(self._log_dir(), exist_ok=True)
         doc = {"version": v, "op": op, "chunks": sorted(chunks),
                "n_chunks": len(chunks), "stats": stats or {},
+               "file_stats": file_stats or {},
                "stats_cols": self.stats_cols}
         tmp = os.path.join(self._log_dir(),
                            f".tmp-{os.getpid()}-{id(doc)}-{v}")
@@ -191,7 +216,8 @@ class CowTable:
             os.unlink(tmp)
 
     def _commit(self, chunks: list[str], op: str,
-                stats: dict | None = None, *,
+                stats: dict | None = None,
+                file_stats: dict | None = None, *,
                 base_version: int) -> int:
         """Snapshot-transaction commit: ``chunks`` was derived from the
         manifest at ``base_version`` (captured when the transaction
@@ -210,7 +236,7 @@ class CowTable:
         aborted transaction leaks at worst an unreferenced chunk for
         ``vacuum``."""
         v = base_version + 1
-        if self._try_commit(v, chunks, op, stats):
+        if self._try_commit(v, chunks, op, stats, file_stats):
             return v
         raise ConcurrentWriteError(
             f"version {v} of {self.path} was claimed by another writer; "
@@ -281,18 +307,50 @@ class CowTable:
                 kept.append(c)
         return kept
 
+    def pruned_files(self, col: str, lo, hi,
+                     version: int | None = None) -> list[str]:
+        """Two-level data skipping, both levels driver-side with zero
+        file I/O: chunk [min, max] first (:meth:`pruned_chunks`), then
+        per-file [min, max] inside each surviving chunk. Returns
+        absolute paths — individual data files where the manifest
+        recorded file stats, the whole chunk dir where it didn't
+        (pruning must never lose rows). A file absent from a chunk's
+        file_stats holds zero rows (stats are computed per actual
+        data file at write time), so skipping it is exact."""
+        man = self.manifest(version)
+        fstats_all = man.get("file_stats", {})
+        paths: list[str] = []
+        for c in self.pruned_chunks(col, lo, hi, version):
+            cdir = os.path.join(self.path, c)
+            fstats = fstats_all.get(c)
+            if not fstats:
+                paths.append(cdir)
+                continue
+            for fname in sorted(fstats):
+                rng = fstats[fname].get(col)
+                keep = True
+                if rng is not None and None not in rng:
+                    try:
+                        keep = not (_prune_key(lo) > _prune_key(rng[1])
+                                    or _prune_key(hi) < _prune_key(rng[0]))
+                    except TypeError:  # incomparable: never prune blind
+                        keep = True
+                if keep:
+                    paths.append(os.path.join(cdir, fname))
+        return paths
+
     def scan(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
         """Stats-pruned range scan: ``col BETWEEN lo AND hi`` reading
-        ONLY the chunks the manifest stats admit — at 100 TB the
-        difference between listing/opening every file of the table and
-        the handful covering the key range. The residual predicate
-        still applies (stats prune chunks, not rows), and Spark pushes
-        it to the parquet row groups of the surviving chunks."""
-        kept = self.pruned_chunks(col, lo, hi, version)
+        ONLY the files the manifest stats admit (chunk level, then file
+        level) — at 100 TB the difference between listing/opening every
+        file of the table and the handful covering the key range. The
+        residual predicate still applies (stats prune files, not rows),
+        and Spark pushes it to the parquet row groups of the surviving
+        files."""
+        kept = self.pruned_files(col, lo, hi, version)
         if not kept:
             return self.read(version).filter(F.lit(False))
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, c) for c in kept])
+        df = self.spark.read.parquet(*kept)
         return df.filter(F.col(col).between(lo, hi))
 
     @classmethod
@@ -302,18 +360,25 @@ class CowTable:
         if tbl.version() >= 0:
             raise FileExistsError(f"table exists at {path}")
         chunk = tbl._write_chunk(df, "create")
-        tbl._commit([chunk], "create", stats=tbl._new_stats(chunk, df),
+        stats, fstats = tbl._new_stats(chunk)
+        tbl._commit([chunk], "create", stats=stats, file_stats=fstats,
                     base_version=-1)
         return tbl
 
-    def _new_stats(self, chunk: str, df: DataFrame,
+    def _new_stats(self, chunk: str,
                    carry_from: list[str] | None = None,
-                   man: dict | None = None) -> dict:
+                   man: dict | None = None) -> tuple[dict, dict]:
+        """(stats, file_stats) for a commit that adds ``chunk`` and
+        carries ``carry_from`` unchanged from manifest ``man``."""
         stats = self._carry_stats(carry_from, man) if carry_from else {}
-        s = self._stats_of(df)
-        if s:
-            stats[chunk] = s
-        return stats
+        fstats = (self._carry_stats(carry_from, man, "file_stats")
+                  if carry_from else {})
+        cs, fs = self._chunk_stats(chunk)
+        if cs:
+            stats[chunk] = cs
+        if fs:
+            fstats[chunk] = fs
+        return stats, fstats
 
     def append(self, df: DataFrame) -> int:
         """Blind append: one new chunk + manifest extending the tip.
@@ -326,14 +391,18 @@ class CowTable:
         chunk = self._write_chunk(df, "append")
         # the new chunk's stats are loop-invariant: one agg job here,
         # never one per lost race
-        own = self._stats_of(df)
+        own_cs, own_fs = self._chunk_stats(chunk)
         while True:
             man = self.manifest()
             v = man["version"] + 1
             stats = self._carry_stats(man["chunks"], man)
-            if own:
-                stats[chunk] = own
-            if self._try_commit(v, man["chunks"] + [chunk], "append", stats):
+            fstats = self._carry_stats(man["chunks"], man, "file_stats")
+            if own_cs:
+                stats[chunk] = own_cs
+            if own_fs:
+                fstats[chunk] = own_fs
+            if self._try_commit(v, man["chunks"] + [chunk], "append",
+                                stats, fstats):
                 return v
 
     # ----------------------------------------- copy-on-write rewrites
@@ -375,9 +444,9 @@ class CowTable:
         )
         merged = merge_upsert(to_rewrite, updates, keys)
         chunk = self._write_chunk(merged, "merge")
+        stats, fstats = self._new_stats(chunk, untouched, man)
         return self._commit(untouched + [chunk], "merge",
-                            stats=self._new_stats(chunk, merged,
-                                                  untouched, man),
+                            stats=stats, file_stats=fstats,
                             base_version=man["version"])
 
     def delete_where(self, cond) -> int:
@@ -398,6 +467,7 @@ class CowTable:
         untouched = [c for c in man["chunks"] if c not in touched]
         chunks = list(untouched)
         stats = self._carry_stats(untouched, man)
+        fstats = self._carry_stats(untouched, man, "file_stats")
         if touched:
             keep = (
                 self.spark.read.parquet(
@@ -406,10 +476,13 @@ class CowTable:
             )
             chunk = self._write_chunk(keep, "delete")
             chunks.append(chunk)
-            own = self._stats_of(keep)
-            if own:
-                stats[chunk] = own
+            own_cs, own_fs = self._chunk_stats(chunk)
+            if own_cs:
+                stats[chunk] = own_cs
+            if own_fs:
+                fstats[chunk] = own_fs
         return self._commit(chunks, "delete", stats=stats,
+                            file_stats=fstats,
                             base_version=man["version"])
 
     def compact(self, n_files: int = 1,
@@ -433,8 +506,9 @@ class CowTable:
         else:
             df = df.repartition(n_files)
         chunk = self._write_chunk(df, "compact")
+        stats, fstats = self._new_stats(chunk)
         return self._commit([chunk], "compact",
-                            stats=self._new_stats(chunk, df),
+                            stats=stats, file_stats=fstats,
                             base_version=man["version"])
 
     def vacuum(self, retain_versions: int = 1,

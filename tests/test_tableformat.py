@@ -263,3 +263,46 @@ def test_merge_aborts_when_commit_lands_mid_rewrite(spark, tbl, monkeypatch):
     # the racing append survived; the aborted merge changed nothing
     assert tbl.read().filter(F.col("k") == 777).count() == 1
     assert tbl.read().filter(F.col("seg") == "M").count() == 0
+
+
+def test_per_file_stats_prune_files(spark, tmp_path):
+    """The manifest records per-FILE min/max inside each chunk; a
+    range scan must admit individual files, fall back to the whole
+    chunk dir when a chunk has no file stats, and never lose rows."""
+    from pyspark.sql import functions as F
+
+    # chunk of TWO files with disjoint k-bands. Built via RDD union:
+    # Catalyst collapses a coalesce(1)-union-coalesce(1) to one
+    # partition, and repartition(2, band) can hash both band ids into
+    # the same partition; the RDD-level union always keeps 1+1
+    # partitions.
+    lo_band = _df(spark, [(k, "a", k) for k in range(0, 100)]).coalesce(1)
+    hi_band = _df(spark, [(k, "a", k) for k in range(100, 200)]).coalesce(1)
+    two_band = spark.createDataFrame(
+        lo_band.rdd.union(hi_band.rdd), lo_band.schema)
+    t = CowTable.create(spark, two_band, str(tmp_path / "t"),
+                        stats_cols=["k"])
+    t.append(_df(spark, [(k, "b", k) for k in range(200, 300)]).coalesce(1))
+    man = t.manifest()
+    assert sum(len(v) for v in man["file_stats"].values()) == 3
+    # file level prunes INSIDE the surviving chunk
+    kept = t.pruned_files("k", 10, 20)
+    assert len(kept) == 1 and kept[0].endswith(".parquet")
+    assert sorted(r["k"] for r in t.scan("k", 10, 20).collect()) \
+        == list(range(10, 21))
+    # range straddling both bands keeps both files of chunk 1 only
+    assert len(t.pruned_files("k", 90, 110)) == 2
+    # stats-less column: every file kept (no blind pruning)
+    assert len(t.pruned_files("val", 0, 1)) == 3
+    # a chunk without file stats degrades to its dir, keeping rows
+    import json
+    import os
+    log = os.path.join(str(tmp_path / "t"), "_log")
+    v = sorted(os.listdir(log))[-1]
+    doc = json.load(open(os.path.join(log, v)))
+    doc["file_stats"] = {}
+    with open(os.path.join(log, v), "w") as fh:
+        json.dump(doc, fh)
+    kept = t.pruned_files("k", 10, 20)
+    assert len(kept) == 1 and not kept[0].endswith(".parquet")
+    assert t.scan("k", 10, 20).count() == 11
