@@ -4,10 +4,13 @@ Every operator in the survey's inventory is a key here, with
 
 - a Spark callable ``(spark, sf_dir) -> DataFrame`` (DataFrame-API
   first; Catalyst picks the physical plan), and
-- where SQL-expressible, a DuckDB oracle SQL string used by the
-  driver's correctness gate (row-count + schema + order-insensitive
-  value hash). Keys without an oracle get rows-only checks — kept to
-  the genuinely non-SQL-expressible (LSH, streaming state).
+- a DuckDB oracle SQL string used by the driver's correctness gate
+  (row-count + schema + order-insensitive value hash). As of round 4
+  EVERY key carries an oracle: deterministic pipelines (incl. PQ and
+  fixed-plane LSH) replay fully in SQL; sketch/trained-model keys
+  (HLL, GK percentile, k-means IVF) self-verify in-query — exact
+  side columns hash-checked, the approximation asserted against its
+  error bound as oracle-pinned booleans.
 
 Determinism conventions (SURVEY §5, FIXTURES §4):
 - money aggregates go through DECIMAL so sums are order-independent

@@ -2,13 +2,17 @@
 "LLM-data-pipeline extensions": vec_cosine_topk / vec_knn_join /
 embedding near-dup).
 
-Exact tiers (brute-force top-k, all-pairs near-dup, IVF with seed
-centroids) are fully deterministic and have exact DuckDB oracles: both
-engines compute dot products as a sequential double fold and rank on
-``round(sim, 9)`` with a vec_id tiebreak, so the hashes match bit-for-
-bit. The RP-LSH kNN join is the sublinear scale path — approximate by
-design, so it gets the driver's rows-only check plus a pytest recall
-gate against the exact scan (SURVEY §5).
+Every key here carries a full DuckDB oracle. The deterministic
+pipelines — brute-force top-k, all-pairs near-dup, seed-centroid IVF,
+PQ/IVF-PQ (seed codebooks), and the fixed-plane RP-LSH keys — replay
+bit-for-bit in SQL: both engines compute dot products as a sequential
+double fold and rank on ``round(sim, 9)`` with a vec_id tiebreak, and
+the LSH/PQ constants (planes, codebook seeds) are part of the contract
+so the candidate sets match exactly. The one trained-model key
+(k-means IVF) self-verifies instead: exact-derivable columns are
+hash-checked and recall@10 vs the exact scan is asserted as an
+oracle-pinned boolean. pytest keeps the recall gates for every
+approximate tier (SURVEY §5).
 """
 
 from __future__ import annotations
@@ -16,6 +20,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.vector import (
+    BITS_PER_BAND,
+    LSH_PLANES,
+    N_PLANES,
     SIM_DECIMALS,
     cosine_neardup_pairs,
     cosine_topk,
@@ -176,13 +183,63 @@ def vec_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vec_neardup_lsh", oracle=None)
+# The RP-LSH planes are import-time constants (seeded rng, "part of
+# the contract" — operators/vector.py:57), so even the LSH keys are
+# SQL-replayable: embed the 32x64 plane matrix as literals (repr()
+# round-trips doubles exactly), recompute the sign-bit buckets with
+# the same sequential fold, and the candidate sets match bit-for-bit.
+_PLANES_ROWS = ",\n      ".join(
+    "({b}, {p}, [{vals}])".format(
+        b=i // BITS_PER_BAND, p=i % BITS_PER_BAND,
+        vals=", ".join(repr(x) for x in LSH_PLANES[i]))
+    for i in range(N_PLANES))
+
+_LSH_BUCKETS = f"""
+    planes(band_id, bit_pos, pv) AS (VALUES
+      {_PLANES_ROWS}
+    ),
+    bits AS (
+      SELECT n.vec_id, p.band_id, p.bit_pos,
+             CASE WHEN list_sum(list_transform(range(1, 65),
+                      i -> n.v[i] * p.pv[i])) >= 0
+                  THEN 1 ELSE 0 END AS bit
+      FROM n CROSS JOIN planes p
+    ),
+    buckets AS (
+      SELECT vec_id, band_id,
+             CAST(SUM(bit * (1 << bit_pos)) AS INT) AS bucket
+      FROM bits GROUP BY vec_id, band_id
+    )
+"""
+
+
+@register(
+    "vec_neardup_lsh",
+    oracle=f"""
+    WITH n AS ({_VNORM}),
+    {_LSH_BUCKETS},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket
+       AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           {_sim('x.v', 'y.v', 'x.nrm', 'y.nrm')} AS sim_r
+    FROM cand c
+    JOIN n x ON x.vec_id = c.id_a
+    JOIN n y ON y.vec_id = c.id_b
+    WHERE {_sim('x.v', 'y.v', 'x.nrm', 'y.nrm')} >= 0.4
+    """,
+)
 def vec_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at scale: LSH band-bucket candidates +
     exact cosine verification of candidates only — the benched 100-TB
     path (the exact all-pairs tier, vec_neardup_cosine, stays as the
-    oracle ground truth). Approximate by design (recall tracks the LSH
-    s-curve): rows-only driver check + pytest recall gate."""
+    quality ground truth, with a pytest recall gate). The planes are
+    fixed import-time constants, so the full pipeline — sign bits,
+    band buckets, candidate join, exact verify — replays in SQL and
+    hash-matches (upgraded from the rows-only check of rounds 1-3)."""
     return lsh_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
@@ -363,13 +420,39 @@ def vec_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                        rerank_factor=4)
 
 
-@register("vec_knn_join", oracle=None)
+@register(
+    "vec_knn_join",
+    oracle=f"""
+    WITH n AS ({_VNORM}),
+    {_LSH_BUCKETS},
+    cand AS (
+      SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS vec_id
+      FROM buckets a JOIN buckets b
+        ON a.band_id = b.band_id AND a.bucket = b.bucket
+       AND a.vec_id != b.vec_id
+    ),
+    scored AS (
+      SELECT c.q_id, c.vec_id,
+             {_sim('q.v', 'x.v', 'q.nrm', 'x.nrm')} AS sim_r
+      FROM cand c
+      JOIN n q ON q.vec_id = c.q_id
+      JOIN n x ON x.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id, sim_r, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rk
+      FROM scored) WHERE rk <= 5
+    """,
+)
 def vec_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-to-all kNN join via random-hyperplane LSH
     (8 bands x 4 sign bits): candidates share >=1 band bucket, exact
     cosine rerank, top-5 per vector. Sublinear candidate generation —
-    the 100 TB path for corpus-vs-corpus joins. Approximate by design:
-    rows-only driver check + pytest recall gate vs the exact scan."""
+    the 100 TB path for corpus-vs-corpus joins. The fixed planes make
+    even this key SQL-replayable (see vec_neardup_lsh), so the gate
+    hash-checks bucketing, candidate join, AND the reranked top-5
+    (upgraded from rows-only); pytest keeps the recall gate vs the
+    exact scan."""
     return knn_join_lsh(t(spark, sf_dir, "embeddings"), k=5)
 
 
