@@ -126,6 +126,49 @@ def tf_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tf_cdc_feed",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal + 1000 AS c_acctbal,
+           'insert' AS _change_type
+    FROM customer WHERE c_custkey % 20 = 1
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, 'insert'
+    FROM customer WHERE c_custkey % 4 = 3
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, 'delete'
+    FROM customer WHERE c_custkey % 20 = 1
+    """,
+)
+def tf_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change data feed from the manifest diff (Delta CDF's
+    snapshot-diff semantics): after the tf_merge_cow scenario — a
+    file-pruned MERGE bumping %20==1 balances and inserting %4==3
+    rows — ``changes(v_before, tip)`` reads ONLY the one rewritten
+    chunk and the one it replaced (the two carried chunks cancel at
+    the manifest level, untouched rewritten rows cancel in the
+    exceptAll), yielding exactly: each update as delete(old)+
+    insert(new), each brand-new row as insert. The oracle restates
+    the full row-level feed."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, cust.filter(F.col("c_custkey") % 4 == 0), f"{root}/cust")
+        tbl.append(cust.filter(F.col("c_custkey") % 4 == 1))
+        v_before = tbl.append(cust.filter(F.col("c_custkey") % 4 == 2))
+        updates = (
+            cust.filter(F.col("c_custkey") % 20 == 1)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+            .unionByName(cust.filter(F.col("c_custkey") % 4 == 3))
+        )
+        tbl.merge(updates, "c_custkey")
+        return tbl.changes(v_before).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "tf_time_travel",
     oracle=f"""
     SELECT 0 AS version, COUNT(*) AS n,

@@ -306,3 +306,26 @@ def test_per_file_stats_prune_files(spark, tmp_path):
     kept = t.pruned_files("k", 10, 20)
     assert len(kept) == 1 and not kept[0].endswith(".parquet")
     assert t.scan("k", 10, 20).count() == 11
+
+
+def test_changes_feed_between_snapshots(spark, tmp_path):
+    """changes(v_from, v_to) must derive row-level CDC from the
+    manifest diff: updates as delete+insert, pure inserts as insert,
+    rewritten-but-identical rows cancelling out, and a carried chunk
+    never contributing rows."""
+    t = CowTable.create(
+        spark, _df(spark, [(k, "a", k * 10) for k in range(0, 50)]),
+        str(tmp_path / "t"))
+    v1 = t.append(_df(spark, [(k, "b", k * 10) for k in range(50, 100)]))
+    # merge: bump val for two keys of the second chunk + one new key
+    t.merge(_df(spark, [(60, "b", 999), (70, "b", 888), (200, "c", 1)]),
+            "k")
+    ch = {(r["k"], r["val"], r["_change_type"])
+          for r in t.changes(v1).collect()}
+    assert ch == {
+        (60, 999, "insert"), (70, 888, "insert"), (200, 1, "insert"),
+        (60, 600, "delete"), (70, 700, "delete"),
+    }
+    # self-diff is empty; diff against v0 sees the appended+merged rows
+    assert t.changes(t.version()).count() == 0
+    assert t.changes(0).filter("_change_type = 'delete'").count() == 0
