@@ -56,10 +56,11 @@ from . import cowtable        # noqa: E402,F401
 # vec_knn_join) so their tightened checks land in an official file.
 _SWEEP_ORDER = [
     # --- the 23 never-officially-swept keys (+ the round-4-new
-    # tf_cdc_feed, which takes agg_percentile's re-confirm slot so the
-    # fold stays at 50): CowTable ACID family ---
+    # tf_cdc_feed and tf_schema_evolve, which take the agg_percentile
+    # and scan_parquet re-confirm slots so the fold stays at 50):
+    # CowTable ACID family ---
     "tf_acid_append", "tf_time_travel", "tf_delete_vacuum",
-    "tf_stats_prune", "tf_cdc_feed",
+    "tf_stats_prune", "tf_cdc_feed", "tf_schema_evolve",
     # vector ANN tiers (PQ / IVF-PQ / k-means IVF / LSH / semantic dedup)
     "vec_pq_topk", "vec_ivf_pq_topk", "vec_ivf_kmeans_topk",
     "vec_neardup_lsh", "vec_semantic_doc_dedup",
@@ -77,8 +78,7 @@ _SWEEP_ORDER = [
     "agg_median", "cte_recursive", "flagship_regional_revenue",
     "fn_bitwise", "fn_levenshtein", "join_bucketed", "join_skew_salted",
     "subq_exists_correlated", "subq_in", "subq_scalar", "win_rank_pct",
-    "agg_approx_distinct", "vec_knn_join",
-    "scan_parquet", "join_asof",
+    "agg_approx_distinct", "vec_knn_join", "join_asof",
     # --- live-stream never-swept keys last (wedge isolation) ---
     "tf_stream_ingest", "lifecycle_daemon", "stream_custom_state",
     "stream_stream_join",

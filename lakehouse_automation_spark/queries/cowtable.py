@@ -169,6 +169,50 @@ def tf_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tf_schema_evolve",
+    oracle=f"""
+    WITH evolved AS (
+      SELECT o_orderstatus, o_totalprice, CAST(NULL AS VARCHAR) AS channel
+      FROM orders WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderstatus, o_totalprice, 'online' AS channel
+      FROM orders WHERE o_orderkey % 3 = 1
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           COUNT(channel) AS n_evolved,
+           {_CENTS.format(c="o_totalprice")} AS cents
+    FROM evolved GROUP BY o_orderstatus
+    """,
+)
+def tf_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on the ACID table (Delta's mergeSchema read):
+    v0 commits the base projection, v1 appends a chunk CARRYING A NEW
+    COLUMN (``channel``); ``read(merge_schema=True)`` unions the chunk
+    schemas by name so pre-evolution rows surface the new column
+    null-filled — no rewrite of the old chunk, no reader breakage.
+    COUNT(channel) pins exactly the evolved rows; the cents sum pins
+    that no row was lost or duplicated across the schema boundary."""
+    base = _orders_slice(spark, sf_dir, 3, 0)
+    evolved = (_orders_slice(spark, sf_dir, 3, 1)
+               .withColumn("channel", F.lit("online")))
+    root = _tmp()
+    try:
+        tbl = CowTable.create(spark, base, f"{root}/orders")
+        tbl.append(evolved)
+        return (
+            tbl.read(merge_schema=True)
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count("channel").alias("n_evolved"),
+                 _cents("o_totalprice"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "tf_time_travel",
     oracle=f"""
     SELECT 0 AS version, COUNT(*) AS n,
