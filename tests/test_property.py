@@ -127,7 +127,7 @@ def test_cowtable_matches_dict_model(ops, tmp_path_factory):
     t = CowTable.create(
         spark,
         spark.createDataFrame([(k, 0) for k in range(5)], "k long, gen long"),
-        str(root / "t"))
+        str(root / "t"), stats_cols=["k"])
     # model: list of (k, gen) rows — append allows duplicate keys
     model = [(k, 0) for k in range(5)]
     snapshots = [sorted(model)]
@@ -151,7 +151,27 @@ def test_cowtable_matches_dict_model(ops, tmp_path_factory):
             t.compact(n_files=2)  # layout-only: model unchanged
         snapshots.append(sorted(model))
 
+    from collections import Counter
+
     for v, want in enumerate(snapshots):
         got = sorted((r["k"], r["gen"])
                      for r in t.read(version=v).collect())
         assert got == want, f"version {v}: {got} != {want}"
+        # two-level stats pruning must NEVER lose rows: scan == model
+        # filter, at every version, for a range in the data and a
+        # range straddling its edge
+        for lo, hi in ((5, 20), (25, 40)):
+            sgot = sorted((r["k"], r["gen"])
+                          for r in t.scan("k", lo, hi, version=v).collect())
+            assert sgot == sorted(r for r in want if lo <= r[0] <= hi), \
+                f"scan v{v} [{lo},{hi}]"
+        # the CDC feed between consecutive versions must replay the
+        # model delta: prev - deletes + inserts == current (multisets)
+        if v > 0:
+            ch = t.changes(v - 1, v).collect()
+            ins = Counter((r["k"], r["gen"]) for r in ch
+                          if r["_change_type"] == "insert")
+            dels = Counter((r["k"], r["gen"]) for r in ch
+                           if r["_change_type"] == "delete")
+            replay = Counter(snapshots[v - 1]) - dels + ins
+            assert replay == Counter(want), f"changes v{v - 1}->v{v}"
