@@ -333,7 +333,11 @@ def lsh_bucket_table(emb: DataFrame) -> DataFrame:
         "band_id int, bit_pos int, pv array<double>",
     ))
     n = with_vnorm(emb)
-    bit = F.when(dot("v", "pv", LSH_DIM) >= 0, 1).otherwise(0)
+    # round before the sign decision (SIM_DECIMALS, like every other
+    # cross-engine boundary here): an oracle replaying the plane dots
+    # with a different summation order must flip the same bits
+    bit = F.when(F.round(dot("v", "pv", LSH_DIM), SIM_DECIMALS) >= 0,
+                 1).otherwise(0)
     return (
         n.select("vec_id", "v").crossJoin(planes)
         .select("vec_id", "band_id", "bit_pos", bit.alias("bit"))
@@ -500,10 +504,17 @@ def _pq_parts(emb: DataFrame, n: DataFrame, n_queries: int,
         for s in range(m):
             seg = X[:, s * sub:(s + 1) * sub]           # (n, sub)
             # ||x - c||^2 = ||x||^2 - 2<x,c> + ||c||^2; argmin over c
-            # needs only the last two terms
+            # needs only the last two terms. Round before the argmin
+            # (9 dp, the SIM_DECIMALS convention): BLAS's summation
+            # order can differ from a sequential SQL fold by an ulp,
+            # and an unrounded argmin at a near-tie would assign a
+            # different code than the replaying oracle. np.argmin
+            # takes the FIRST minimum = lowest code id, matching the
+            # oracle's ORDER BY d, code_id tiebreak.
             dots = seg @ books_np[s].T                   # (n, kc)
             cn = (books_np[s] ** 2).sum(axis=1)          # (kc,)
-            codes[:, s] = (cn[None, :] - 2.0 * dots).argmin(axis=1)
+            codes[:, s] = np.round(
+                cn[None, :] - 2.0 * dots, 9).argmin(axis=1)
         return pd.Series(list(codes))
 
     unit = n.select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("u"))

@@ -383,15 +383,20 @@ def tf_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = _tmp()
     try:
         # deterministic file layout: chunk 1 = <1997 (1 file), chunk 2
-        # = 1997-1998 hash-partitioned on year -> two year-pure files
-        # (a union of two coalesce(1) sides looks cleaner but Catalyst
-        # collapses it to ONE partition; the explicit-numPartitions
-        # repartition survives), chunk 3 = >=1999 (1 file)
+        # = 1997 ∪ 1998 as two year-pure files, chunk 3 = >=1999
+        # (1 file). Chunk 2 is built via RDD-level union: Catalyst
+        # collapses a coalesce(1)-union-coalesce(1) to ONE partition,
+        # and repartition(2, year) can hash both years into the same
+        # partition — the RDD union always keeps 1+1 partitions.
+        y98 = dt.datetime(1998, 1, 1)
+        f97 = orders.filter((od >= y97) & (od < y98)).coalesce(1)
+        f98 = orders.filter((od >= y98) & (od < y99)).coalesce(1)
+        two_files = spark.createDataFrame(
+            f97.rdd.union(f98.rdd), f97.schema)
         tbl = CowTable.create(
             spark, orders.filter(od < y97).coalesce(1), f"{root}/orders",
             stats_cols=["o_orderdate"])
-        tbl.append(orders.filter((od >= y97) & (od < y99))
-                   .repartition(2, F.year(od)))
+        tbl.append(two_files)
         tbl.append(orders.filter(od >= y99).coalesce(1))
         lo, hi = dt.datetime(1997, 6, 1), dt.datetime(1997, 8, 31)
         man = tbl.manifest()

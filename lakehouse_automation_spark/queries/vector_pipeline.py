@@ -200,8 +200,8 @@ _LSH_BUCKETS = f"""
     ),
     bits AS (
       SELECT n.vec_id, p.band_id, p.bit_pos,
-             CASE WHEN list_sum(list_transform(range(1, 65),
-                      i -> n.v[i] * p.pv[i])) >= 0
+             CASE WHEN round(list_sum(list_transform(range(1, 65),
+                      i -> n.v[i] * p.pv[i])), 9) >= 0
                   THEN 1 ELSE 0 END AS bit
       FROM n CROSS JOIN planes p
     ),
@@ -244,14 +244,15 @@ def vec_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # PQ is deterministic end-to-end (seed codebooks = first 16 unit
-# vectors, argmin encode with code-id tiebreak, ADC rounded to
-# SIM_DECIMALS before the candidate cut, exact rerank with vec_id
-# tiebreak), so the WHOLE pipeline — encode, ADC scan, rerank — is
-# replayable as SQL. Sub-expression order mirrors the Spark/numpy
+# vectors, argmin encode rounded to 9 dp with code-id tiebreak, ADC
+# rounded to SIM_DECIMALS before the candidate cut, exact rerank with
+# vec_id tiebreak), so the WHOLE pipeline — encode, ADC scan, rerank —
+# is replayable as SQL. Sub-expression order mirrors the Spark/numpy
 # side: list_sum is a sequential double fold, lists ordered by
-# subspace.
-_PQ_ORACLE = f"""
-    WITH n AS ({_VNORM}),
+# subspace. The fragments are shared by _PQ_ORACLE and _IVF_PQ_ORACLE
+# (which differ ONLY in which (q_id, vec_id) pairs feed the ADC scan),
+# so a change to the PQ contract cannot silently diverge the two.
+_PQ_CTES = """
     unit AS (
       SELECT vec_id, list_transform(range(1, 65), i -> v[i] / nrm) AS u
       FROM n
@@ -260,11 +261,12 @@ _PQ_ORACLE = f"""
     subs AS (SELECT unnest(range(1, 9)) AS s),
     enc AS (
       SELECT un.vec_id, subs.s, b.code_id,
-             list_sum(list_transform(range(1, 9),
+             round(
+               list_sum(list_transform(range(1, 9),
                       j -> b.bu[(subs.s-1)*8 + j] * b.bu[(subs.s-1)*8 + j]))
-           - 2.0 * list_sum(list_transform(range(1, 9),
-                      j -> un.u[(subs.s-1)*8 + j] * b.bu[(subs.s-1)*8 + j]))
-             AS d
+             - 2.0 * list_sum(list_transform(range(1, 9),
+                      j -> un.u[(subs.s-1)*8 + j] * b.bu[(subs.s-1)*8 + j])),
+               9) AS d
       FROM unit un CROSS JOIN subs CROSS JOIN books b
     ),
     codes AS (
@@ -273,15 +275,10 @@ _PQ_ORACLE = f"""
           PARTITION BY vec_id, s ORDER BY d, code_id) AS rk
         FROM enc) WHERE rk = 1
     ),
-    queries AS (SELECT vec_id AS q_id, u AS qu FROM unit WHERE vec_id < 5),
-    lutv AS (
-      SELECT q.q_id, c.vec_id, c.s,
-             list_sum(list_transform(range(1, 9),
-                      j -> q.qu[(c.s-1)*8 + j] * b.bu[(c.s-1)*8 + j])) AS lv
-      FROM codes c JOIN books b ON b.code_id = c.code_id
-      CROSS JOIN queries q
-      WHERE q.q_id != c.vec_id
-    ),
+    queries AS (SELECT vec_id AS q_id, u AS qu FROM unit WHERE vec_id < 5)
+"""
+
+_PQ_TAIL = f"""
     adc AS (
       SELECT q_id, vec_id,
              round(list_sum(list(lv ORDER BY s)), 9) AS adc_sim
@@ -306,6 +303,20 @@ _PQ_ORACLE = f"""
       FROM rer) WHERE rk <= 10
 """
 
+_PQ_ORACLE = f"""
+    WITH n AS ({_VNORM}),
+    {_PQ_CTES},
+    lutv AS (
+      SELECT q.q_id, c.vec_id, c.s,
+             list_sum(list_transform(range(1, 9),
+                      j -> q.qu[(c.s-1)*8 + j] * b.bu[(c.s-1)*8 + j])) AS lv
+      FROM codes c JOIN books b ON b.code_id = c.code_id
+      CROSS JOIN queries q
+      WHERE q.q_id != c.vec_id
+    ),
+    {_PQ_TAIL}
+"""
+
 
 @register("vec_pq_topk", oracle=_PQ_ORACLE)
 def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -323,8 +334,9 @@ def vec_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # IVF-PQ = the seed-centroid cell pruning of vec_ivf_topk composed
 # with the PQ encode/ADC of vec_pq_topk — both deterministic, so the
-# composite replays in SQL too: the candidate pool is restricted to
-# the probed cells before the ADC cut.
+# composite replays in SQL too. Shares _PQ_CTES/_PQ_TAIL with
+# _PQ_ORACLE; the ONLY difference is lutv's source: the candidate
+# pool is restricted to the probed cells before the ADC cut.
 _IVF_PQ_ORACLE = f"""
     WITH n AS ({_VNORM}),
     cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n
@@ -350,28 +362,7 @@ _IVF_PQ_ORACLE = f"""
       SELECT p.q_id, a.vec_id FROM probes p JOIN assigned a USING (cell_id)
       WHERE p.q_id != a.vec_id
     ),
-    unit AS (
-      SELECT vec_id, list_transform(range(1, 65), i -> v[i] / nrm) AS u
-      FROM n
-    ),
-    books AS (SELECT vec_id AS code_id, u AS bu FROM unit WHERE vec_id < 16),
-    subs AS (SELECT unnest(range(1, 9)) AS s),
-    enc AS (
-      SELECT un.vec_id, subs.s, b.code_id,
-             list_sum(list_transform(range(1, 9),
-                      j -> b.bu[(subs.s-1)*8 + j] * b.bu[(subs.s-1)*8 + j]))
-           - 2.0 * list_sum(list_transform(range(1, 9),
-                      j -> un.u[(subs.s-1)*8 + j] * b.bu[(subs.s-1)*8 + j]))
-             AS d
-      FROM unit un CROSS JOIN subs CROSS JOIN books b
-    ),
-    codes AS (
-      SELECT vec_id, s, code_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY vec_id, s ORDER BY d, code_id) AS rk
-        FROM enc) WHERE rk = 1
-    ),
-    queries AS (SELECT vec_id AS q_id, u AS qu FROM unit WHERE vec_id < 5),
+    {_PQ_CTES},
     lutv AS (
       SELECT pool.q_id, pool.vec_id, c.s,
              list_sum(list_transform(range(1, 9),
@@ -381,28 +372,7 @@ _IVF_PQ_ORACLE = f"""
       JOIN books b ON b.code_id = c.code_id
       JOIN queries q ON q.q_id = pool.q_id
     ),
-    adc AS (
-      SELECT q_id, vec_id,
-             round(list_sum(list(lv ORDER BY s)), 9) AS adc_sim
-      FROM lutv GROUP BY q_id, vec_id
-    ),
-    cand AS (
-      SELECT q_id, vec_id FROM (
-        SELECT *, row_number() OVER (
-          PARTITION BY q_id ORDER BY adc_sim DESC, vec_id) AS ark
-        FROM adc) WHERE ark <= 40
-    ),
-    rer AS (
-      SELECT cand.q_id, cand.vec_id,
-             {_sim('qn.v', 'cn2.v', 'qn.nrm', 'cn2.nrm')} AS sim_r
-      FROM cand
-      JOIN n cn2 ON cn2.vec_id = cand.vec_id
-      JOIN n qn  ON qn.vec_id = cand.q_id
-    )
-    SELECT q_id, vec_id, sim_r, rk FROM (
-      SELECT *, row_number() OVER (
-        PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rk
-      FROM rer) WHERE rk <= 10
+    {_PQ_TAIL}
 """
 
 

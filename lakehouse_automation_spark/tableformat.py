@@ -66,6 +66,18 @@ def _vname(v: int) -> str:
     return f"v{v:0{_PAD}d}.json"
 
 
+def _local_path(uri: str) -> str:
+    """Filesystem path for a Spark ``input_file_name()`` value. The
+    value is a URI: percent-encoded (a table path containing spaces
+    arrives as ``%20``) with an optional ``file:`` scheme — comparing
+    or relpath-ing it against plain ``os.path`` strings without
+    decoding silently mismatches every file of such a table."""
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri)
+    return unquote(p.path) if p.scheme else unquote(uri)
+
+
 def _js(v):
     """JSON-encodable stat value (numbers/strings kept, rest stringified
     — timestamps become sortable ISO strings)."""
@@ -172,7 +184,7 @@ class CowTable:
         for r in rows:
             # key by chunk-relative path (not basename): nested layouts
             # would collide basenames across subdirectories
-            fname = os.path.relpath(r["_f"].replace("file://", ""), cdir)
+            fname = os.path.relpath(_local_path(r["_f"]), cdir)
             fstats[fname] = {
                 c: [_js(r[f"lo_{c}"]), _js(r[f"hi_{c}"])] for c in cols
             }
@@ -376,10 +388,25 @@ class CowTable:
         def rd(chunks: list[str]) -> DataFrame:
             if not chunks:
                 return self.read(v_from).limit(0)
-            return self.spark.read.parquet(
-                *[os.path.join(self.path, c) for c in chunks])
+            # mergeSchema: a diff spanning a schema-evolution boundary
+            # must surface every column (a plain multi-chunk read can
+            # silently drop a column only some chunks carry)
+            return (self.spark.read.option("mergeSchema", "true")
+                    .parquet(*[os.path.join(self.path, c) for c in chunks]))
 
         added, removed = rd(sorted(new - old)), rd(sorted(old - new))
+        # column-align the two sides before exceptAll (which requires
+        # identical width): a column present on one side only — the
+        # schema-evolution case — is null-filled on the other, exactly
+        # how a mergeSchema read surfaces pre-evolution rows
+        a_cols, r_cols = dict(added.dtypes), dict(removed.dtypes)
+        all_cols = list(a_cols) + [c for c in r_cols if c not in a_cols]
+        added = added.select(*[
+            F.col(c) if c in a_cols
+            else F.lit(None).cast(r_cols[c]).alias(c) for c in all_cols])
+        removed = removed.select(*[
+            F.col(c) if c in r_cols
+            else F.lit(None).cast(a_cols[c]).alias(c) for c in all_cols])
         return (
             added.exceptAll(removed)
             .withColumn("_change_type", F.lit("insert"))
@@ -446,13 +473,12 @@ class CowTable:
         """Chunks of snapshot ``man`` that physically contain >=1 row
         of ``flagged`` (a DataFrame carrying ``_file`` =
         ``input_file_name()``). Driver-side result is O(#chunks)."""
-        files = [r["_file"] for r in
+        files = [_local_path(r["_file"]) for r in
                  flagged.select("_file").distinct().collect()]
         touched = []
         for c in man["chunks"]:
             prefix = os.path.join(self.path, c) + os.sep
-            if any(f.replace("file://", "").startswith(prefix)
-                   for f in files):
+            if any(f.startswith(prefix) for f in files):
                 touched.append(c)
         return touched
 

@@ -329,3 +329,48 @@ def test_changes_feed_between_snapshots(spark, tmp_path):
     # self-diff is empty; diff against v0 sees the appended+merged rows
     assert t.changes(t.version()).count() == 0
     assert t.changes(0).filter("_change_type = 'delete'").count() == 0
+
+
+def test_table_path_with_spaces(spark, tmp_path):
+    """input_file_name() returns a percent-encoded URI; stats keying
+    and merge touch-detection must decode it or every file of a table
+    whose path needs encoding (spaces here) mismatches — scan() dies
+    on a %20 path and merge() rewrites nothing."""
+    t = CowTable.create(
+        spark, _df(spark, [(k, "a", k) for k in range(0, 50)]),
+        str(tmp_path / "dir with spaces" / "t"), stats_cols=["k"])
+    # file stats recorded under decoded, chunk-relative keys
+    fstats = t.manifest()["file_stats"]
+    assert fstats and all(
+        "%" not in f for files in fstats.values() for f in files)
+    assert sorted(r["k"] for r in t.scan("k", 10, 20).collect()) \
+        == list(range(10, 21))
+    # merge touch-detection sees the encoded-path files too
+    t.merge(_df(spark, [(10, "B", -1)]), "k")
+    got = {r["k"]: r["val"] for r in t.read().collect()}
+    assert got[10] == -1 and len(got) == 50
+
+
+def test_changes_across_schema_evolution(spark, tmp_path):
+    """A CDC diff spanning a schema-evolution boundary must surface
+    the evolved column (null-filled on the pre-evolution side), not
+    crash on column-count mismatch or silently drop it."""
+    t = CowTable.create(
+        spark, _df(spark, [(k, "a", k) for k in range(0, 10)]),
+        str(tmp_path / "t"))
+    t.append(_df(spark, [(k, "b", k) for k in range(10, 15)])
+             .withColumn("extra", F.lit("new")))
+    ch = t.changes(0).collect()
+    assert {r["_change_type"] for r in ch} == {"insert"}
+    assert sorted(r["k"] for r in ch) == list(range(10, 15))
+    assert all(r["extra"] == "new" for r in ch)
+    # and the reverse direction: the evolved chunk on the REMOVED side
+    # (v0 carries the column, the post-merge rewrite nulls it out)
+    t2 = CowTable.create(
+        spark, _df(spark, [(1, "a", 1)]).withColumn("extra", F.lit("x")),
+        str(tmp_path / "t2"))
+    t2.merge(_df(spark, [(1, "a", 2)])
+             .withColumn("extra", F.lit(None).cast("string")), "k")
+    types = {(r["k"], r["_change_type"], r["extra"])
+             for r in t2.changes(0).collect()}
+    assert types == {(1, "delete", "x"), (1, "insert", None)}
