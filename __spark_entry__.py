@@ -29,6 +29,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per key; keys without one (streaming state,
-    LSH, sketches) get the driver's rows-only check."""
+    """DuckDB oracle SQL per key. As of round 4 every registry key
+    carries one (deterministic pipelines replay fully in SQL —
+    including fixed-plane LSH and seed-codebook PQ; sketch/trained
+    keys self-verify with oracle-pinned error-bound booleans), so this
+    covers the whole of ``queries()``."""
     return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
