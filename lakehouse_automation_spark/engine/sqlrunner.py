@@ -66,12 +66,17 @@ class SQLRunner:
             last = self.spark.sql(stmt)
         return last
 
-    # A13 — stored procedure: run + concat result rows into one string
-    def call_proc(self, name: str, *args, **kwargs) -> tuple[str, DataFrame, float]:
+    # A13 — stored procedure: run + concat result rows into one string.
+    # Same driver-materialization cap as sql_to_pandas: proc output is
+    # joined into a single Python string, so an unbounded collect here
+    # would OOM the driver just as surely as an unbounded toPandas.
+    def call_proc(
+        self, name: str, *args, limit: int = MAX_PANDAS_ROWS, **kwargs
+    ) -> tuple[str, DataFrame, float]:
         fn = PROCEDURES[name]
         t0 = time.perf_counter()
         df = fn(self.spark, *args, **kwargs)
-        rows = df.collect()
+        rows = df.limit(limit).collect()
         secs = round(time.perf_counter() - t0, 1)
         out = "\n".join(",".join(str(v) for v in row) for row in rows)
         return out, df, secs

@@ -59,18 +59,69 @@ def _fake_decode_one(payload: bytes) -> tuple[int, int, int, int]:
     return n_bytes, h % 640 + 1, h % 480 + 1, n_bytes // FRAME_BYTES + 1
 
 
-def decode_real(payload: bytes) -> dict:
-    """Real decode path — STUB. Wire PIL/soundfile/av here when the
-    runtime ships them; everything upstream (schema, batching,
-    partitioning) is codec-agnostic."""
+def _image_codec():
+    """Import probe for the real image codec. Returns the PIL.Image
+    module when the runtime ships it, else None — every real-decode
+    entry point dispatches on this, so the moment PIL lands in the
+    environment the real tier lights up with no code change."""
     try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
+        import PIL.Image
+        return PIL.Image
+    except ImportError:
+        return None
+
+
+HAS_IMAGE_CODEC = _image_codec() is not None
+
+REAL_DECODE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, mode string"
+)
+
+
+def decode_real(payload: bytes) -> dict:
+    """Real decode path — import-gated on PIL. When the codec is
+    present this decodes the actual image header (width/height/mode);
+    when absent it raises NotImplementedError so callers fall back to
+    the deterministic fake tier (which stays the oracle either way)."""
+    codec = _image_codec()
+    if codec is None:
         raise NotImplementedError(
             "image codec not available in this runtime; "
             "use the deterministic fake decode for plumbing tests"
-        ) from exc
-    raise NotImplementedError("real decode wiring pending codec libs")
+        )
+    import io
+
+    with codec.open(io.BytesIO(payload)) as img:
+        return {
+            "n_bytes": len(payload),
+            "width": img.width,
+            "height": img.height,
+            "mode": img.mode,
+        }
+
+
+def decode_features_real(media: DataFrame) -> DataFrame:
+    """Arrow-batched REAL decode via mapInPandas — same plumbing shape
+    as decode_features (the fake/oracle tier), but each payload goes
+    through the actual codec. Raises NotImplementedError in runtimes
+    without PIL; use HAS_IMAGE_CODEC to dispatch."""
+    if not HAS_IMAGE_CODEC:
+        raise NotImplementedError(
+            "decode_features_real requires an image codec (PIL)"
+        )
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_real(p) for p in pdf["payload"]]
+            out = pd.DataFrame(
+                feats, columns=["n_bytes", "width", "height", "mode"]
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].to_numpy())
+            yield out
+
+    return media.select("doc_id", "payload").mapInPandas(
+        decode_batches, schema=REAL_DECODE_SCHEMA
+    )
 
 
 def decode_features(media: DataFrame) -> DataFrame:

@@ -43,50 +43,41 @@ from . import cowtable        # noqa: E402,F401
 # ------------------------------------------------------------------
 # Sweep ordering. The driver's per-round correctness gate evaluates
 # the first 50 registry keys in registration order, so official
-# coverage accumulates round over round only if not-yet-swept keys are
-# rotated to the front. Round 4 fronts the 23 keys absent from all of
-# CORRECTNESS_r01..r03 (recomputed programmatically: 134 registry keys
-# minus 111 swept — the round-3 comment undercounted at 19), which
-# brings cumulative official coverage to 134/134. Batch keys run
-# first; the 4 keys that spin real Structured Streaming machinery run
-# at the tail of the block so a wedge there cannot starve the batch
-# results (the round-1 failure mode). The remaining 27 slots
-# re-confirm the keys whose latest official green is oldest (r1/r2)
-# plus the two historically no-oracle keys (agg_approx_distinct,
-# vec_knn_join) so their tightened checks land in an official file.
+# coverage accumulates round over round only if the rotation is driven
+# by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
+# derives it — never hand-count). After round 4 every key has an
+# official green; round 5 re-confirms the oldest cohort: all 37 keys
+# whose latest green is r2, plus call_proc (limit-guard change this
+# round), plus the 12 oldest-r3 Tier-A / SQL-surface keys including
+# tf_merge_cow (tableformat.py churn this round). vec_neardup_lsh was
+# considered (VERDICT r4 watch item) but measurement showed the 2.03 s
+# was host noise — min-of-6 re-run: 1.47 s vs 1.49 s baseline, no code
+# change, r4 green still covers it. All 50 are pure batch keys — the
+# wedge-isolation tail rule (live-stream keys last) is vacuously
+# satisfied this round.
 _SWEEP_ORDER = [
-    # --- the 23 never-officially-swept keys (+ the round-4-new
-    # tf_cdc_feed and tf_schema_evolve, which take the agg_percentile
-    # and scan_parquet re-confirm slots so the fold stays at 50):
-    # CowTable ACID family ---
-    "tf_acid_append", "tf_time_travel", "tf_delete_vacuum",
-    "tf_stats_prune", "tf_cdc_feed", "tf_schema_evolve",
-    # vector ANN tiers (PQ / IVF-PQ / k-means IVF / LSH / semantic dedup)
-    "vec_pq_topk", "vec_ivf_pq_topk", "vec_ivf_kmeans_topk",
-    "vec_neardup_lsh", "vec_semantic_doc_dedup",
-    # text pipeline additions
-    "text_bm25_rank", "text_minhash_pairs", "curate_pipeline",
-    # relational / sampling / sink / agg additions
-    "join_interval_bucketed", "sample_hash_split", "sink_orc",
-    "agg_percentile_approx",
-    # multimodal plumbing
-    "mm_frame_sample", "mm_resize", "mm_audio_resample",
-    # --- 27 re-confirmation slots: oldest official greens first ---
-    "gen_rows", "retention_delete", "schedule_microbatch",
-    "poll_new_files", "fn_array_map", "fn_cond_null", "fn_datetime",
-    "fn_explode", "fn_hash", "fn_json", "fn_math",
-    "agg_median", "cte_recursive", "flagship_regional_revenue",
-    "fn_bitwise", "fn_levenshtein", "join_bucketed", "join_skew_salted",
-    "subq_exists_correlated", "subq_in", "subq_scalar", "win_rank_pct",
-    "agg_approx_distinct", "vec_knn_join", "join_asof",
-    # --- live-stream never-swept keys last (wedge isolation) ---
-    "tf_stream_ingest", "lifecycle_daemon", "stream_custom_state",
-    "stream_stream_join",
+    # --- 37 r2-cohort re-confirms (oldest official greens) ---
+    "flagship_pricing_summary", "scan_parquet", "project_rename_cast",
+    "filter_pred", "filter_in_between_like", "case_when",
+    "join_inner_equi", "join_broadcast", "join_outer", "join_semi",
+    "join_anti", "join_self", "join_theta_range",
+    "agg_hash_basic", "agg_distinct", "agg_percentile", "agg_rollup",
+    "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect",
+    "agg_stddev_corr", "agg_pivot",
+    "win_rank", "win_analytic", "win_frame_rows", "win_frame_range",
+    "sort_multi", "topk", "sample",
+    "set_union_all", "set_union", "set_intersect", "set_except",
+    "dedup", "distinct_proj", "fn_string",
+    # --- key whose implementation changed in round 5 ---
+    "call_proc",
+    # --- 12 oldest-r3 re-confirms (Tier-A / SQL surface + CowTable merge) ---
+    "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
+    "sql_to_pandas", "ddl_exec", "multi_stmt_exec", "bulk_load",
+    "catalog_list", "storage_mount", "exec_timing", "tf_merge_cow",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # After round 4 every key has at least one official green entry;
-    # future rotations should re-confirm whichever keys' latest entry
-    # is oldest (derive from the CORRECTNESS_r*.json files, as
-    # tools/sweep_plan.py does — don't hand-count).
+    # Remaining r3 cohort (streaming_batch, text/vec pipeline, sinks,
+    # udfs) rotates in round 6; derive the list with
+    # tools/sweep_plan.py.
 ]
 
 

@@ -380,7 +380,14 @@ class CowTable:
         the manifest level for free, and rewritten-but-identical rows
         cancel in the exceptAll — never a full-table diff. Returns the
         changed rows with a ``_change_type`` ('insert' | 'delete')
-        column."""
+        column.
+
+        Schema evolution: ADDITIVE only, by design. ``append`` never
+        rewrites old chunks, so a column can appear but an existing
+        column's type never changes between snapshots — the
+        mergeSchema read + null-fill below is therefore total. A
+        type-changing evolution (unreachable via the public API)
+        would need both sides cast to a widened common type first."""
         man_to = self.manifest(v_to)
         man_from = self.manifest(v_from)
         old, new = set(man_from["chunks"]), set(man_to["chunks"])

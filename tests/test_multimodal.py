@@ -61,6 +61,48 @@ def test_frame_sample_offsets(media):
     assert all(r.byte_offset == r.frame_idx * FRAME_BYTES for r in rows)
 
 
-def test_real_decode_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        decode_real(b"\x89PNG...")
+def test_real_decode_gated_on_codec_import():
+    """Without PIL the real tier must fail loudly (NotImplementedError,
+    never a silent fake result); with PIL it must decode actual image
+    headers. Exactly one branch runs per environment."""
+    from lakehouse_automation_spark.operators.multimodal import HAS_IMAGE_CODEC
+
+    if not HAS_IMAGE_CODEC:
+        with pytest.raises(NotImplementedError):
+            decode_real(b"\x89PNG...")
+    else:
+        import io
+
+        import PIL.Image
+
+        buf = io.BytesIO()
+        PIL.Image.new("RGB", (12, 7)).save(buf, format="PNG")
+        got = decode_real(buf.getvalue())
+        assert (got["width"], got["height"], got["mode"]) == (12, 7, "RGB")
+
+
+@pytest.mark.skipif(
+    "not __import__('lakehouse_automation_spark.operators.multimodal', "
+    "fromlist=['HAS_IMAGE_CODEC']).HAS_IMAGE_CODEC",
+    reason="image codec (PIL) not shipped in this runtime",
+)
+def test_real_decode_features_end_to_end(spark):
+    """When the runtime ships PIL, the Arrow-batched real-decode path
+    must produce per-payload image headers through mapInPandas."""
+    import io
+
+    import PIL.Image
+
+    from lakehouse_automation_spark.operators.multimodal import decode_features_real
+
+    def png(w, h):
+        buf = io.BytesIO()
+        PIL.Image.new("RGB", (w, h)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    media = spark.createDataFrame(
+        [(0, png(8, 4)), (1, png(3, 9))], "doc_id bigint, payload binary"
+    )
+    rows = {r.doc_id: r for r in decode_features_real(media).collect()}
+    assert (rows[0].width, rows[0].height) == (8, 4)
+    assert (rows[1].width, rows[1].height) == (3, 9)

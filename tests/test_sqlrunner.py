@@ -34,6 +34,17 @@ def test_call_proc_concat_output(spark):
     assert all("," in line for line in lines)  # "type,count" rows
 
 
+def test_call_proc_limit_guard(spark):
+    """call_proc concatenates proc output into one driver-side string,
+    so it carries the same materialization cap as sql_to_pandas — a
+    misuse on an unbounded proc cannot OOM the driver."""
+    out, df, secs = SQLRunner(spark).call_proc(
+        "event_type_summary", "/root/testdata/sf0.001", limit=2
+    )
+    assert len(out.split("\n")) == 2      # capped
+    assert df.count() > 2                 # ...but the DataFrame is not
+
+
 def test_retry_exec_gives_up(spark):
     with pytest.raises(RuntimeError, match="after 2 attempts"):
         SQLRunner(spark).execute_with_retry(
