@@ -21,6 +21,7 @@ DuckDB order identically (absorbs last-ulp summation differences).
 
 from __future__ import annotations
 
+import math
 import random
 
 import numpy as np
@@ -316,9 +317,37 @@ def ivf_kmeans_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
 
 # ------------------------------------------------------------------ RP-LSH
 
-def lsh_bucket_table(emb: DataFrame) -> DataFrame:
+def adaptive_bits_per_band(n: int) -> int:
+    """Bits per LSH band for a corpus of ``n`` vectors — the knob that
+    keeps bucket OCCUPANCY (and with it candidate-pair count, which
+    grows as n^2 / 2^bits per band) bounded as the corpus scales.
+    Fixed banding is a scale bug: measured at a 10x corpus, 4-bit
+    bands let candidates grow ~100x and the near-dup key went 1.5 s ->
+    177 s. Floor = BITS_PER_BAND (the small-sf oracle-contract
+    banding: the driver's sf0.01 gate and the sf0.1 baseline both
+    resolve to it, so their banding — and the embedded-literal SQL
+    oracles — are unchanged); cap = 8 so the 32 fixed planes still
+    yield >=4 bands. Holding recall at a fixed similarity threshold
+    while bits grow requires growing the total PLANE budget too (more
+    bands of longer signatures — the standard LSH cost/recall knob);
+    the plane count stays capped at 32 here for oracle parity, which
+    trades borderline-similarity recall for bounded candidates, the
+    right default for dedup where targets are high-sim pairs."""
+    return max(BITS_PER_BAND,
+               min(8, math.ceil(math.log2(max(n, 1) / 125))
+                   if n > 125 else BITS_PER_BAND))
+
+
+def lsh_bucket_table(emb: DataFrame,
+                     bits_per_band: int | None = None) -> DataFrame:
     """(vec_id, band_id, bucket): sign-bit signatures over N_PLANES
     fixed hyperplanes, packed per band.
+
+    ``bits_per_band`` defaults to :func:`adaptive_bits_per_band` of
+    the corpus count (one metadata-cheap count job per invocation —
+    the signature table is keyed-persisted by callers, so this never
+    repeats per query). The planes themselves are always the same 32
+    constants; only their grouping into bands changes with scale.
 
     The planes live in a broadcast 32-row DataFrame; each sign bit is
     ONE 64-term dot after the join, and packing is a small
@@ -327,8 +356,10 @@ def lsh_bucket_table(emb: DataFrame) -> DataFrame:
     multi-megabyte codegen unit that OOMs small driver heaps (the
     external harness runs a default-memory session)."""
     spark = emb.sparkSession
+    if bits_per_band is None:
+        bits_per_band = adaptive_bits_per_band(emb.count())
     planes = F.broadcast(spark.createDataFrame(
-        [(i // BITS_PER_BAND, i % BITS_PER_BAND, LSH_PLANES[i])
+        [(i // bits_per_band, i % bits_per_band, LSH_PLANES[i])
          for i in range(N_PLANES)],
         "band_id int, bit_pos int, pv array<double>",
     ))

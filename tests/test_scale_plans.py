@@ -124,3 +124,74 @@ def test_interval_join_bucketed_is_hash_join_and_exact(spark, sf_dir):
     assert g == n and len(n) > 0
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan[:500]
+
+
+# ------------------------------------------------------------------
+# sf1 (10x) plan-shape guards: the SAME physical strategies must hold
+# on the scaled corpus — pushdown/pruning, partial+final aggregation,
+# no cartesian on data joins, occupancy-bounded LSH banding. Data is
+# local-generated (gitignored); regenerate with
+#   python tools/gen_scale_data.py /root/testdata/sf0.1 .scaledata/sf1 10
+# Measured counterpart: bench/BASELINE_sf1.json + SCALE.md ratio table.
+
+import os as _os
+
+import pytest as _pytest
+
+SF1_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+    ".scaledata", "sf1")
+_sf1 = _pytest.mark.skipif(
+    not _os.path.isdir(SF1_DIR),
+    reason="sf1 corpus not generated (tools/gen_scale_data.py)")
+
+
+@_sf1
+def test_sf1_flagship_pushdown_and_pruning(spark):
+    """Pushdown and column pruning must survive the 10x scale-up —
+    same assertions as the sf0.001 test, bigger input."""
+    df = REGISTRY["flagship_pricing_summary"].fn(spark, SF1_DIR)
+    plan = _plan(df)
+    assert re.search(r"PushedFilters: \[[^\]]*l_shipdate", plan), plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_comment" not in m.group(1)
+
+
+@_sf1
+def test_sf1_aggs_stay_partial_final(spark):
+    """Aggregations at sf1 must still plan map-side partials before the
+    shuffle (partial_* functions under >=2 HashAggregate nodes)."""
+    for key in ["agg_hash_basic", "flagship_pricing_summary"]:
+        plan = _plan(REGISTRY[key].fn(spark, SF1_DIR))
+        assert plan.count("HashAggregate") >= 2, f"{key}:\n{plan[:800]}"
+        assert "partial_" in plan, f"{key} lost map-side partials"
+
+
+@_sf1
+def test_sf1_data_joins_never_cartesian(spark):
+    """No relational headline join may degrade to a cartesian product
+    on the scaled corpus (broadcast-nested-loop over a tiny literal
+    side — e.g. the 32-row LSH plane table — is fine and excluded)."""
+    for key in ["join_inner_equi", "join_broadcast", "join_self",
+                "join_asof", "flagship_regional_revenue"]:
+        plan = _plan(REGISTRY[key].fn(spark, SF1_DIR))
+        assert "CartesianProduct" not in plan, f"{key} went cartesian"
+
+
+@_sf1
+def test_sf1_lsh_banding_adapts(spark):
+    """The 20k-vector sf1 corpus must resolve to 8-bit bands (4 bands,
+    256 buckets) while the small-sf gate corpora keep the 4-bit oracle
+    contract — the occupancy bound that turned the measured 177 s
+    near-dup key into 6 s at sf1."""
+    from lakehouse_automation_spark.engine.catalog import table as _t
+    from lakehouse_automation_spark.operators.vector import (
+        adaptive_bits_per_band, lsh_bucket_table)
+
+    assert adaptive_bits_per_band(200) == 4     # sf0.01 gate corpus
+    assert adaptive_bits_per_band(2000) == 4    # sf0.1 baseline corpus
+    assert adaptive_bits_per_band(20000) == 8   # sf1
+    b = lsh_bucket_table(_t(spark, SF1_DIR, "embeddings"))
+    hi = b.agg(F.max("band_id").alias("band"), F.max("bucket").alias("bkt")
+               ).first()
+    assert hi["band"] == 3 and 15 < hi["bkt"] <= 255
