@@ -68,16 +68,18 @@ _SWEEP_ORDER = [
     "sort_multi", "topk", "sample",
     "set_union_all", "set_union", "set_intersect", "set_except",
     "dedup", "distinct_proj", "fn_string",
+    # --- new in round 5 (never officially swept — must be in-fold) ---
+    "tf_cdc_updates",
     # --- key whose implementation changed in round 5 ---
     "call_proc",
-    # --- 12 oldest-r3 re-confirms (Tier-A / SQL surface + CowTable merge) ---
+    # --- 11 oldest-r3 re-confirms (Tier-A / SQL surface + CowTable merge) ---
     "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
     "sql_to_pandas", "ddl_exec", "multi_stmt_exec", "bulk_load",
-    "catalog_list", "storage_mount", "exec_timing", "tf_merge_cow",
+    "catalog_list", "storage_mount", "tf_merge_cow",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Remaining r3 cohort (streaming_batch, text/vec pipeline, sinks,
-    # udfs) rotates in round 6; derive the list with
-    # tools/sweep_plan.py.
+    # Round-6 queue: exec_timing + the remaining r3 cohort
+    # (streaming_batch, text/vec pipeline, sinks, udfs); derive the
+    # list with tools/sweep_plan.py.
 ]
 
 

@@ -169,6 +169,55 @@ def tf_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tf_cdc_updates",
+    oracle="""
+    SELECT c_custkey, c_mktsegment, c_acctbal,
+           'update_preimage' AS _change_type, 3 AS _commit_version
+    FROM customer WHERE c_custkey % 20 = 1
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal + 1000,
+           'update_postimage', 3
+    FROM customer WHERE c_custkey % 20 = 1
+    UNION ALL
+    SELECT c_custkey, c_mktsegment, c_acctbal, 'insert', 3
+    FROM customer WHERE c_custkey % 4 = 3
+    """,
+)
+def tf_cdc_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-CDF row contract over the tf_cdc_feed scenario:
+    ``changes_with_updates`` pairs each update's delete+insert into
+    update_preimage/update_postimage by merge key and stamps
+    _commit_version — the exact columns a consumer porting Delta CDF
+    logic joins on (tf_cdc_feed's plain insert/delete diff stays as
+    the minimal tier). The %20==1 balance bumps surface as image
+    pairs, the brand-new %4==3 rows as inserts; _commit_version is the
+    MERGE's snapshot (v3 after create+2 appends). _commit_timestamp is
+    stamped too but dropped here — wall-clock publish time can't be
+    restated by a deterministic oracle."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal")
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, cust.filter(F.col("c_custkey") % 4 == 0), f"{root}/cust")
+        tbl.append(cust.filter(F.col("c_custkey") % 4 == 1))
+        v_before = tbl.append(cust.filter(F.col("c_custkey") % 4 == 2))
+        updates = (
+            cust.filter(F.col("c_custkey") % 20 == 1)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 1000)
+            .unionByName(cust.filter(F.col("c_custkey") % 4 == 3))
+        )
+        tbl.merge(updates, "c_custkey")
+        return (
+            tbl.changes_with_updates("c_custkey", v_before)
+            .drop("_commit_timestamp")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
     "tf_schema_evolve",
     oracle=f"""
     WITH evolved AS (

@@ -331,6 +331,46 @@ def test_changes_feed_between_snapshots(spark, tmp_path):
     assert t.changes(0).filter("_change_type = 'delete'").count() == 0
 
 
+def test_changes_with_updates_pairs_images(spark, tmp_path):
+    """The Delta-CDF row contract: delete+insert sharing the merge key
+    pair into update_preimage/update_postimage; one-sided rows keep
+    insert/delete; every row carries the publishing commit's version
+    and timestamp."""
+    t = CowTable.create(
+        spark, _df(spark, [(k, "a", k * 10) for k in range(10)]),
+        str(tmp_path / "t"))
+    v0 = t.version()
+    t.merge(_df(spark, [(3, "A", 999), (100, "new", 1)]), "k")
+    v_del = t.delete_where(F.col("k") == 5)
+    ch = {(r["k"], r["val"], r["_change_type"])
+          for r in t.changes_with_updates("k", v0).collect()}
+    assert ch == {
+        (3, 30, "update_preimage"), (3, 999, "update_postimage"),
+        (100, 1, "insert"), (5, 50, "delete"),
+    }
+    rows = t.changes_with_updates("k", v0).collect()
+    assert all(r["_commit_version"] == v_del for r in rows)
+    assert all(r["_commit_timestamp"] is not None for r in rows)
+
+
+def test_changes_with_updates_multiset_keys(spark, tmp_path):
+    """Several rows per key on one side: ALL of them classify as
+    update images (pairing is by key, not row) — the CDF behavior for
+    multi-row-per-key rewrites."""
+    t = CowTable.create(
+        spark, _df(spark, [(1, "a", 10), (1, "a", 11), (2, "b", 20)]),
+        str(tmp_path / "t"))
+    # compact rewrites everything; then delete k=1 rows entirely and
+    # re-insert a single replacement via merge
+    t.merge(_df(spark, [(1, "A", 99)]), "k")
+    ch = sorted((r["k"], r["val"], r["_change_type"])
+                for r in t.changes_with_updates("k", 0).collect())
+    assert ch == [
+        (1, 10, "update_preimage"), (1, 11, "update_preimage"),
+        (1, 99, "update_postimage"),
+    ]
+
+
 def test_table_path_with_spaces(spark, tmp_path):
     """input_file_name() returns a percent-encoded URI; stats keying
     and merge touch-detection must decode it or every file of a table
