@@ -78,6 +78,20 @@ REAL_DECODE_SCHEMA = (
 )
 
 
+def _decode_with(codec, payload: bytes) -> dict:
+    """One payload through an already-resolved codec (batch loops
+    resolve the codec once, not per row)."""
+    import io
+
+    with codec.open(io.BytesIO(payload)) as img:
+        return {
+            "n_bytes": len(payload),
+            "width": img.width,
+            "height": img.height,
+            "mode": img.mode,
+        }
+
+
 def decode_real(payload: bytes) -> dict:
     """Real decode path — import-gated on PIL. When the codec is
     present this decodes the actual image header (width/height/mode);
@@ -89,15 +103,7 @@ def decode_real(payload: bytes) -> dict:
             "image codec not available in this runtime; "
             "use the deterministic fake decode for plumbing tests"
         )
-    import io
-
-    with codec.open(io.BytesIO(payload)) as img:
-        return {
-            "n_bytes": len(payload),
-            "width": img.width,
-            "height": img.height,
-            "mode": img.mode,
-        }
+    return _decode_with(codec, payload)
 
 
 def decode_features_real(media: DataFrame) -> DataFrame:
@@ -111,8 +117,9 @@ def decode_features_real(media: DataFrame) -> DataFrame:
         )
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = _image_codec()  # resolved once per task, not per row
         for pdf in batches:
-            feats = [decode_real(p) for p in pdf["payload"]]
+            feats = [_decode_with(codec, p) for p in pdf["payload"]]
             out = pd.DataFrame(
                 feats, columns=["n_bytes", "width", "height", "mode"]
             )

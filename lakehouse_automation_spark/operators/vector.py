@@ -21,7 +21,6 @@ DuckDB order identically (absorbs last-ulp summation differences).
 
 from __future__ import annotations
 
-import math
 import random
 
 import numpy as np
@@ -323,19 +322,29 @@ def adaptive_bits_per_band(n: int) -> int:
     grows as n^2 / 2^bits per band) bounded as the corpus scales.
     Fixed banding is a scale bug: measured at a 10x corpus, 4-bit
     bands let candidates grow ~100x and the near-dup key went 1.5 s ->
-    177 s. Floor = BITS_PER_BAND (the small-sf oracle-contract
-    banding: the driver's sf0.01 gate and the sf0.1 baseline both
-    resolve to it, so their banding — and the embedded-literal SQL
-    oracles — are unchanged); cap = 8 so the 32 fixed planes still
-    yield >=4 bands. Holding recall at a fixed similarity threshold
-    while bits grow requires growing the total PLANE budget too (more
-    bands of longer signatures — the standard LSH cost/recall knob);
-    the plane count stays capped at 32 here for oracle parity, which
-    trades borderline-similarity recall for bounded candidates, the
-    right default for dedup where targets are high-sim pairs."""
-    return max(BITS_PER_BAND,
-               min(8, math.ceil(math.log2(max(n, 1) / 125))
-                   if n > 125 else BITS_PER_BAND))
+    177 s.
+
+    Bits must DIVIDE N_PLANES: a non-divisor (say 6, from a naive
+    log2 ramp) leaves a runt band of ``32 % bits`` planes whose tiny
+    bucket space regrows the n^2 blowup the adaptation exists to
+    bound — a 2-bit runt band alone yields ~n^2/8 candidate pairs,
+    dwarfing all full bands combined. So the choice is the smallest
+    divisor-of-32 bit width that holds expected occupancy <= ~125
+    vectors/bucket. Floor = BITS_PER_BAND (the small-sf
+    oracle-contract banding: the driver's sf0.01 gate and the sf0.1
+    baseline corpora both resolve to it, so their banding — and the
+    embedded-literal SQL oracles — are unchanged); cap = 8 so the 32
+    fixed planes still yield >=4 bands. Holding recall at a fixed
+    similarity threshold while bits grow requires growing the total
+    PLANE budget too (more bands of longer signatures — the standard
+    LSH cost/recall knob); planes stay capped at 32 here for oracle
+    parity, trading borderline-similarity recall for bounded
+    candidates — the right default for dedup where targets are
+    high-sim pairs."""
+    for bits in (BITS_PER_BAND, 8):  # divisors of N_PLANES only
+        if n / (1 << bits) <= 125:
+            return bits
+    return 8
 
 
 def lsh_bucket_table(emb: DataFrame,

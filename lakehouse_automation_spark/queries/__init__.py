@@ -47,9 +47,10 @@ from . import cowtable        # noqa: E402,F401
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
 # derives it — never hand-count). After round 4 every key has an
 # official green; round 5 re-confirms the oldest cohort: all 37 keys
-# whose latest green is r2, plus call_proc (limit-guard change this
-# round), plus the 12 oldest-r3 Tier-A / SQL-surface keys including
-# tf_merge_cow (tableformat.py churn this round). vec_neardup_lsh was
+# whose latest green is r2, plus the round-5-new tf_cdc_updates, plus
+# call_proc (limit-guard change this round), plus the 11 oldest-r3
+# Tier-A / SQL-surface keys including tf_merge_cow (tableformat.py
+# churn this round). vec_neardup_lsh was
 # considered (VERDICT r4 watch item) but measurement showed the 2.03 s
 # was host noise — min-of-6 re-run: 1.47 s vs 1.49 s baseline, no code
 # change, r4 green still covers it. All 50 are pure batch keys — the

@@ -443,7 +443,13 @@ class CowTable:
 
         v_to = self.version() if v_to is None else v_to
         keys = [key] if isinstance(key, str) else list(key)
-        diff = self.changes(v_from, v_to)
+        # materialize the diff once: ins/dele each feed two joins plus
+        # a distinct-key side, so the lazy changes() subtree (chunk
+        # reads + exceptAll shuffle) would otherwise recompute ~6x in
+        # one action. The diff is ~2x the rewritten fraction — small
+        # relative to the table — so an eager local checkpoint is the
+        # right trade at any scale.
+        diff = self.changes(v_from, v_to).localCheckpoint(eager=True)
         ins = diff.filter(F.col("_change_type") == "insert") \
                   .drop("_change_type")
         dele = diff.filter(F.col("_change_type") == "delete") \
@@ -652,25 +658,46 @@ class CowTable:
 
         log_dir = os.path.join(self.path, "_delta_log")
         os.makedirs(log_dir, exist_ok=True)
+        # a re-export after VACUUM emits FEWER versions than before
+        # (renumbered from the new horizon); stale higher-numbered
+        # files from the previous export would replay on top of the
+        # fresh log and point readers at vacuumed data — clear first
+        for stale in os.listdir(log_dir):
+            if stale.endswith(".json"):
+                os.unlink(os.path.join(log_dir, stale))
         now_ms = int(time.time() * 1000)
+
+        # chunks are immutable after commit: walk each chunk dir ONCE
+        # across the whole history (snapshots share most chunks; a
+        # per-manifest walk would re-open every footer O(V) times)
+        chunk_files: dict[str, dict[str, tuple]] = {}
+
+        def _files_of(chunk: str) -> dict[str, tuple]:
+            if chunk in chunk_files:
+                return chunk_files[chunk]
+            out: dict[str, tuple] = {}
+            cdir = os.path.join(self.path, chunk)
+            for root, _, fnames in os.walk(cdir):
+                for fn in fnames:
+                    if not fn.endswith(".parquet"):
+                        continue
+                    full = os.path.join(root, fn)
+                    n_rows = pq_meta.ParquetFile(full).metadata.num_rows
+                    if n_rows == 0:
+                        continue  # Spark's empty part files: no-op adds
+                    st = os.stat(full)
+                    out[os.path.relpath(full, self.path)] = (
+                        chunk, os.path.relpath(full, cdir),
+                        st.st_size, int(st.st_mtime * 1000), n_rows)
+            chunk_files[chunk] = out
+            return out
+
         prev_files: dict[str, tuple] = {}
         prev_schema: str | None = None
         for i, man in enumerate(self.history()):
             files: dict[str, tuple] = {}
             for chunk in man["chunks"]:
-                cdir = os.path.join(self.path, chunk)
-                for root, _, fnames in os.walk(cdir):
-                    for fn in fnames:
-                        if not fn.endswith(".parquet"):
-                            continue
-                        full = os.path.join(root, fn)
-                        n_rows = pq_meta.ParquetFile(full).metadata.num_rows
-                        if n_rows == 0:
-                            continue  # Spark's empty part files: no-op adds
-                        st = os.stat(full)
-                        files[os.path.relpath(full, self.path)] = (
-                            chunk, os.path.relpath(full, cdir),
-                            st.st_size, int(st.st_mtime * 1000), n_rows)
+                files.update(_files_of(chunk))
             actions: list[dict] = []
             if i == 0:
                 actions.append({"protocol": {"minReaderVersion": 1,

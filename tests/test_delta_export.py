@@ -117,6 +117,28 @@ def test_export_numrecords_totals(spark, exported):
     assert sum(num[p] for p in live) == t.read(merge_schema=True).count()
 
 
+def test_reexport_after_vacuum_clears_stale_versions(spark, tmp_path):
+    """A re-export after VACUUM emits fewer, renumbered versions; stale
+    higher-numbered files from the previous export must be cleared or
+    a reader replays diffs against vacuumed (deleted) data."""
+    t = CowTable.create(
+        spark, _df(spark, [(i, "a", i) for i in range(8)]),
+        str(tmp_path / "t"))
+    t.append(_df(spark, [(100, "b", 1)]))
+    t.compact(n_files=1)
+    log_dir = t.to_delta_manifest()
+    assert len([f for f in os.listdir(log_dir) if f.endswith(".json")]) == 3
+    t.vacuum(retain_versions=1, grace_s=0)
+    t.to_delta_manifest()
+    jsons = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    assert jsons == ["0" * 20 + ".json"], jsons  # renumbered, no stale tail
+    live, _ = _replay(log_dir)
+    got = (spark.read.parquet(*[os.path.join(t.path, p) for p in sorted(live)])
+           .collect())
+    assert sorted(r["k"] for r in got) == sorted(
+        r["k"] for r in t.read().collect())
+
+
 @pytest.mark.skipif(not delta_available(),
                     reason="Delta jars not shipped in this runtime")
 def test_export_reads_as_native_delta(spark, exported):

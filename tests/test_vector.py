@@ -218,3 +218,25 @@ def test_ivf_pq_recall_vs_exact(emb):
     assert all(r.q_id != r.vec_id for r in res)
     recall = sum(len(exact[q] & approx.get(q, set())) for q in exact) / (len(exact) * k)
     assert recall >= 0.2, f"IVF-PQ recall {recall:.2f}"
+
+
+def test_adaptive_banding_never_leaves_runt_bands():
+    """Bits/band must always divide the 32-plane budget: a non-divisor
+    (e.g. a naive log2 ramp yielding 6) leaves a runt band of
+    ``32 % bits`` planes whose tiny bucket space regrows the n^2
+    candidate blowup adaptation exists to bound. Also pin the contract
+    boundaries: the sf0.01 gate and sf0.1 baseline corpora must keep
+    the 4-bit oracle banding."""
+    from lakehouse_automation_spark.operators.vector import (
+        BITS_PER_BAND, N_PLANES, adaptive_bits_per_band)
+
+    for n in [1, 125, 200, 2000, 2001, 5000, 8000, 16000, 20000, 10**7]:
+        bits = adaptive_bits_per_band(n)
+        assert N_PLANES % bits == 0, (n, bits)
+        assert BITS_PER_BAND <= bits <= 8
+    assert adaptive_bits_per_band(200) == BITS_PER_BAND    # sf0.01 gate
+    assert adaptive_bits_per_band(2000) == BITS_PER_BAND   # sf0.1 baseline
+    assert adaptive_bits_per_band(20000) == 8              # sf1
+    # monotone: a bigger corpus never gets a smaller signature
+    widths = [adaptive_bits_per_band(n) for n in range(1, 50_000, 997)]
+    assert widths == sorted(widths)

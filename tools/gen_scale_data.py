@@ -135,8 +135,6 @@ def main() -> None:
         for col, spec in OFFSETS.get(name, {}).items():
             if spec is None:
                 domains[col] = _domain(tbl, col)
-    domains["o_orderkey"] = _domain(
-        pq.read_table(os.path.join(src, "orders.parquet")), "o_orderkey")
 
     for name in FIXED + list(OFFSETS):
         tbl = pq.read_table(os.path.join(src, f"{name}.parquet"))
