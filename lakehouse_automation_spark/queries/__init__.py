@@ -47,10 +47,11 @@ from . import cowtable        # noqa: E402,F401
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
 # derives it — never hand-count). After round 4 every key has an
 # official green; round 5 re-confirms the oldest cohort: all 37 keys
-# whose latest green is r2, plus the round-5-new tf_cdc_updates, plus
-# call_proc (limit-guard change this round), plus the 11 oldest-r3
-# Tier-A / SQL-surface keys including tf_merge_cow (tableformat.py
-# churn this round). vec_neardup_lsh was
+# whose latest green is r2, plus the four round-5-new keys
+# (tf_cdc_updates + the curation trio), plus call_proc (limit-guard
+# change this round), plus the 8 oldest-r3 Tier-A / SQL-surface keys
+# including tf_merge_cow (tableformat.py churn this round).
+# vec_neardup_lsh was
 # considered (VERDICT r4 watch item) but measurement showed the 2.03 s
 # was host noise — min-of-6 re-run: 1.47 s vs 1.49 s baseline, no code
 # change, r4 green still covers it. All 50 are pure batch keys — the
@@ -70,17 +71,17 @@ _SWEEP_ORDER = [
     "set_union_all", "set_union", "set_intersect", "set_except",
     "dedup", "distinct_proj", "fn_string",
     # --- new in round 5 (never officially swept — must be in-fold) ---
-    "tf_cdc_updates",
+    "tf_cdc_updates", "text_decontaminate", "mixture_sample",
+    "pack_sequences",
     # --- key whose implementation changed in round 5 ---
     "call_proc",
-    # --- 11 oldest-r3 re-confirms (Tier-A / SQL surface + CowTable merge) ---
-    "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
-    "sql_to_pandas", "ddl_exec", "multi_stmt_exec", "bulk_load",
-    "catalog_list", "storage_mount", "tf_merge_cow",
+    # --- 8 oldest-r3 re-confirms (Tier-A / SQL surface + CowTable merge) ---
+    "incremental_load", "sql_to_pandas", "ddl_exec", "multi_stmt_exec",
+    "bulk_load", "catalog_list", "storage_mount", "tf_merge_cow",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-6 queue: exec_timing + the remaining r3 cohort
-    # (streaming_batch, text/vec pipeline, sinks, udfs); derive the
-    # list with tools/sweep_plan.py.
+    # Round-6 queue: ledger_insert, ledger_topk, retry_exec,
+    # exec_timing + the remaining r3 cohort (streaming_batch, text/vec
+    # pipeline, sinks, udfs); derive the list with tools/sweep_plan.py.
 ]
 
 

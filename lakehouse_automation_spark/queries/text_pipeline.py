@@ -755,3 +755,100 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return top.withColumn("rk", F.row_number().over(
         Window.orderBy(F.col("score_r").desc(), F.col("doc_id"))))
+
+
+# ------------------------------------------------- curation (round 5)
+# The three steps between "deduped corpus" and "training batches":
+# benchmark decontamination, mixture sampling, sequence packing
+# (operators/curation.py; scale shapes documented there).
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH h AS ({_hashes_cte(5)}),
+    ex AS (SELECT doc_id, unnest(hs) AS hh FROM h),
+    eh AS (SELECT DISTINCT hh FROM ex WHERE doc_id % 20 = 7)
+    SELECT ex.doc_id, COUNT(DISTINCT ex.hh) AS n_shared
+    FROM ex JOIN eh ON ex.hh = eh.hh
+    WHERE ex.doc_id % 20 <> 7
+    GROUP BY ex.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 20 == 7 stand in
+    for the eval/benchmark set; every TRAINING doc sharing >=1 distinct
+    5-word-shingle hash with any eval doc is flagged with its distinct
+    shared-shingle count. 5-gram granularity keeps hits to REAL
+    leakage (at sf0.01 exactly the planted near-dup partners of eval
+    docs, sharing hundreds of shingles each — 3-grams over the small
+    synthetic vocab would drown that in background collisions). The
+    eval hash set is broadcast (benchmark suites are tiny vs the
+    corpus); the corpus side is one explode + broadcast join +
+    groupBy — linear, never corpus x eval."""
+    from ..operators.curation import decontaminate_hits
+
+    return decontaminate_hits(
+        t(spark, sf_dir, "documents"),
+        eval_pred=F.col("doc_id") % 20 == 7, k=5)
+
+
+@register(
+    "mixture_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT source,
+             LEAST(100, 5 * (CAST(substr(source, 4) AS INT) + 1)) AS rate_pct,
+             {portable_hash_sql("source || ':' || CAST(doc_id AS VARCHAR)")}
+               % 100 AS h
+      FROM documents)
+    SELECT source, COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN h < rate_pct THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept
+    FROM d GROUP BY source
+    """,
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic data-mixture sampling: each source gets a target
+    rate (here 5%*(index+1), capped at 100 — src0 nearly drops out,
+    src19 is kept whole) and docs keep iff md5(source:doc_id)%100 <
+    rate. Hash-based keeps are the reproducible-at-scale alternative
+    to rand() sampling (stable across runs/engines/cluster layouts);
+    the projection is stateless and inline — no shuffle before the
+    per-source audit counts returned here."""
+    from ..operators.curation import mixture_sample_counts
+
+    idx = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    return mixture_sample_counts(
+        t(spark, sf_dir, "documents"),
+        rate_pct=F.least(F.lit(100), (idx + 1) * 5))
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, doc_id % 8 AS bucket,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (
+        PARTITION BY bucket ORDER BY doc_id
+        ROWS UNBOUNDED PRECEDING) AS cum
+      FROM tk)
+    SELECT doc_id, bucket, n_tokens,
+           CAST((cum - n_tokens) // 2048 AS BIGINT) AS seq_start,
+           CAST((cum - 1) // 2048 AS BIGINT) AS seq_end
+    FROM c
+    """,
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: docs are concatenated in
+    doc_id order inside hash buckets and split into 2048-token
+    training sequences; each doc reports the sequence span its tokens
+    occupy (seq_start != seq_end = boundary straddle). Window cumsum
+    is integer-exact, so the oracle replays it bit-for-bit. Buckets
+    bound the sort: parallelism = n_buckets and no global sort — at
+    100 TB raise n_buckets so each bucket's window fits an executor."""
+    from ..operators.curation import pack_sequences as _pack
+
+    return _pack(t(spark, sf_dir, "documents"), budget=2048, n_buckets=8)
