@@ -355,7 +355,13 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10,
             )
         # truncate lineage each round (labels otherwise stack joins
         # per iteration) and materialize once for BOTH the convergence
-        # count and the next round
+        # count and the next round. The limit(1).count() below is a
+        # second (cheap: reads local checkpoint blocks) job per round;
+        # folding the changed-flag into the checkpoint job via an
+        # accumulator would halve the job count — kept as-is because
+        # accumulator values are only exact on the FIRST computation
+        # of each partition, and a re-executed stage would double-count
+        # into the convergence flag.
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.select("node", "label")

@@ -193,6 +193,23 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
     within them: the scan shrinks by ~nprobe/n_centroids, and at scale
     the cell assignment is a broadcast join + one shuffle on cell_id.
     """
+    assigned, probes = _ivf_assign_and_probes(
+        emb, n_centroids, nprobe, n_queries)
+    cand = probes.join(assigned, "cell_id").filter(F.col("q_id") != F.col("vec_id"))
+    qsim = cosine_sim("qv", "v", "qn", "nrm")
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", qsim.alias("sim_r"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )
+
+
+def _ivf_assign_and_probes(emb: DataFrame, n_centroids: int, nprobe: int,
+                           n_queries: int):
+    """(assigned, probes) under the deterministic seed-centroid IVF
+    contract — shared by the inline ivf_topk and the persisted-index
+    path so the two can never drift."""
     n = with_vnorm(emb)
     cents = F.broadcast(
         n.filter(F.col("vec_id") < n_centroids)
@@ -216,7 +233,37 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
                 F.col("nrm").alias("qn"), F.col("cent_id").alias("cell_id"))
     )
-    cand = probes.join(assigned, "cell_id").filter(F.col("q_id") != F.col("vec_id"))
+    return assigned, probes
+
+
+def ivf_index_write(emb: DataFrame, path: str, n_centroids: int = 8) -> None:
+    """Persist the IVF index as a CELL-PARTITIONED parquet table —
+    the build-once half of a real ANN index lifecycle. One directory
+    per cell means a probe reads nprobe/n_centroids of the index at
+    the FILESYSTEM level (PartitionFilters directory pruning), which
+    at 100 TB is the difference between opening every index file and
+    only the probed cells'. The build is the expensive pass (full
+    corpus assignment); searches amortize it."""
+    assigned, _ = _ivf_assign_and_probes(emb, n_centroids, 1, 0)
+    assigned.write.partitionBy("cell_id").parquet(path)
+
+
+def ivf_index_search(spark, emb: DataFrame, path: str,
+                     n_centroids: int = 8, nprobe: int = 3,
+                     n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Search a persisted IVF index: probe cells come from the same
+    deterministic centroids, the probed cell ids (nprobe x n_queries
+    values — metadata-scale) collect to the driver, and the index READ
+    carries them as a partition-column filter so only the probed cell
+    directories are listed and scanned. Exact cosine rerank within the
+    probed cells; identical output contract (and oracle) to the
+    inline ivf_topk."""
+    _, probes = _ivf_assign_and_probes(emb, n_centroids, nprobe, n_queries)
+    cells = [r["cell_id"]
+             for r in probes.select("cell_id").distinct().collect()]
+    idx = spark.read.parquet(path).filter(F.col("cell_id").isin(cells))
+    cand = (F.broadcast(probes).join(idx, "cell_id")
+            .filter(F.col("q_id") != F.col("vec_id")))
     qsim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (

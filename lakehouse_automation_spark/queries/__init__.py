@@ -72,16 +72,17 @@ _SWEEP_ORDER = [
     "dedup", "distinct_proj", "fn_string",
     # --- new in round 5 (never officially swept — must be in-fold) ---
     "tf_cdc_updates", "text_decontaminate", "mixture_sample",
-    "pack_sequences",
+    "pack_sequences", "vec_ivf_index_persisted",
     # --- key whose implementation changed in round 5 ---
     "call_proc",
-    # --- 8 oldest-r3 re-confirms (Tier-A / SQL surface + CowTable merge) ---
-    "incremental_load", "sql_to_pandas", "ddl_exec", "multi_stmt_exec",
+    # --- 7 oldest-r3 re-confirms (Tier-A / SQL surface + CowTable merge) ---
+    "incremental_load", "sql_to_pandas", "ddl_exec",
     "bulk_load", "catalog_list", "storage_mount", "tf_merge_cow",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
     # Round-6 queue: ledger_insert, ledger_topk, retry_exec,
-    # exec_timing + the remaining r3 cohort (streaming_batch, text/vec
-    # pipeline, sinks, udfs); derive the list with tools/sweep_plan.py.
+    # exec_timing, multi_stmt_exec + the remaining r3 cohort
+    # (streaming_batch, text/vec pipeline, sinks, udfs); derive the
+    # list with tools/sweep_plan.py.
 ]
 
 

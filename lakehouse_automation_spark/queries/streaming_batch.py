@@ -211,6 +211,10 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def sink(batch_df, batch_id):
         state["batches"] += 1
+        # the count IS this sink's one job per batch (the ledger demo
+        # needs only the audit row). A production sink that also WRITES
+        # the batch should derive the count from the write itself
+        # (observed metrics / SparkListener), not run a second action.
         state["rows"] += batch_df.count()
 
     try:

@@ -97,9 +97,11 @@ def vec_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
-@register(
-    "vec_ivf_topk",
-    oracle=f"""
+# Shared by vec_ivf_topk (inline) and vec_ivf_index_persisted (the
+# build-once / search-many lifecycle): the two keys have IDENTICAL
+# semantics — only the physical path of the index differs — so they
+# share one oracle and can never drift.
+_IVF_ORACLE = f"""
     WITH n AS ({_VNORM}),
     cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM n WHERE vec_id < 8),
     scored AS (
@@ -130,8 +132,10 @@ def vec_neardup_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rk
       FROM cand)
     WHERE rk <= 10
-    """,
-)
+    """
+
+
+@register("vec_ivf_topk", oracle=_IVF_ORACLE)
 def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate top-10: 8 seed-centroid cells, 3 probed per
     query, exact rerank inside the probed cells. Deterministic seed
@@ -139,6 +143,33 @@ def vec_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests (production swaps in k-means centroids, same plan shape)."""
     return ivf_topk(t(spark, sf_dir, "embeddings"),
                     n_centroids=8, nprobe=3, n_queries=5, k=10)
+
+
+@register("vec_ivf_index_persisted", oracle=_IVF_ORACLE)
+def vec_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN index LIFECYCLE: build the IVF index once as a
+    cell-partitioned parquet table (one directory per cell), then
+    search it with a partition-column probe filter — only the probed
+    cell directories are listed and scanned (PartitionFilters pruning,
+    plan-asserted in tests). Same semantics and oracle as vec_ivf_topk;
+    what this key adds is the STORAGE half of the IVF story: at 100 TB
+    the index is built once over the corpus and every search reads
+    nprobe/n_cells of it at the filesystem level."""
+    import shutil
+    import tempfile
+
+    from ..operators.vector import ivf_index_search, ivf_index_write
+
+    emb = t(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="las_ivf_")
+    try:
+        ivf_index_write(emb, f"{root}/idx", n_centroids=8)
+        return ivf_index_search(
+            spark, emb, f"{root}/idx",
+            n_centroids=8, nprobe=3, n_queries=5, k=10,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 @register(

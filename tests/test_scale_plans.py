@@ -195,3 +195,28 @@ def test_sf1_lsh_banding_adapts(spark):
     hi = b.agg(F.max("band_id").alias("band"), F.max("bucket").alias("bkt")
                ).first()
     assert hi["band"] == 3 and 15 < hi["bkt"] <= 255
+
+
+def test_ivf_persisted_index_prunes_cell_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVF index must (a) lay out one directory per
+    cell, (b) plan probe reads with a cell_id PartitionFilter so only
+    probed directories are scanned, and (c) return exactly the inline
+    ivf_topk results — the storage path changes, the answer doesn't."""
+    from lakehouse_automation_spark.operators.vector import (
+        ivf_index_search, ivf_index_write)
+    from lakehouse_automation_spark.queries.base import t as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "idx")
+    ivf_index_write(emb, path, n_centroids=8)
+    cell_dirs = [d for d in _os.listdir(path) if d.startswith("cell_id=")]
+    assert len(cell_dirs) == 8
+    out = ivf_index_search(spark, emb, path,
+                           n_centroids=8, nprobe=3, n_queries=5, k=10)
+    plan = _plan(out)
+    # the INDEX scan (not the unpartitioned embeddings scan) must
+    # carry the probe cells as a directory-level partition filter
+    assert re.search(r"PartitionFilters: \[[^\]]*cell_id", plan), plan
+    inline = REGISTRY["vec_ivf_topk"].fn(spark, sf_dir)
+    key = lambda r: (r["q_id"], r["rk"])
+    assert sorted(out.collect(), key=key) == sorted(inline.collect(), key=key)
