@@ -44,6 +44,10 @@ MAX_RUNS = 10   # cap when the min keeps improving (load burst recovery)
 #       r3 work in the same slot (quiet-host baseline 0.62 s -> 1.03
 #       s). A BENCH_r3-vs-r4 delta on this key is that redefinition,
 #       not a regression.
+#   r5: + sessionize_events (chained window/agg on one Exchange) and
+#       join_bloom_filtered (Bloom semi-join reduction) — the round-5
+#       events-analytics family's two heaviest keys; baselines
+#       recorded at introduction, earlier keys unchanged.
 HEADLINE = [
     "flagship_pricing_summary",
     "flagship_regional_revenue",
@@ -55,6 +59,8 @@ HEADLINE = [
     "join_broadcast",
     "join_self",
     "join_asof",
+    "join_bloom_filtered",
+    "sessionize_events",
     "win_rank",
     "win_frame_rows",
     "set_union",

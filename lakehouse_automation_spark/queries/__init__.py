@@ -39,6 +39,7 @@ from . import multimodal      # noqa: E402,F401
 from . import sinks           # noqa: E402,F401
 from . import udfs            # noqa: E402,F401
 from . import cowtable        # noqa: E402,F401
+from . import events_analytics  # noqa: E402,F401
 
 # ------------------------------------------------------------------
 # Sweep ordering. The driver's per-round correctness gate evaluates
@@ -75,14 +76,19 @@ _SWEEP_ORDER = [
     "pack_sequences", "vec_ivf_index_persisted",
     # --- key whose implementation changed in round 5 ---
     "call_proc",
-    # --- 7 oldest-r3 re-confirms (Tier-A / SQL surface + CowTable merge) ---
-    "incremental_load", "sql_to_pandas", "ddl_exec",
-    "bulk_load", "catalog_list", "storage_mount", "tf_merge_cow",
+    # --- new in round 5, second batch (never officially swept; brand-
+    # new keys outrank r3 re-confirms for fold slots — tf_restore /
+    # tf_clone also re-exercise the round-5 tableformat churn that had
+    # motivated the tf_merge_cow slot they displaced) ---
+    "sessionize_events", "event_funnel", "retention_cohort",
+    "agg_sketch_rollup", "join_bloom_filtered", "tf_restore", "tf_clone",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-6 queue: ledger_insert, ledger_topk, retry_exec,
-    # exec_timing, multi_stmt_exec + the remaining r3 cohort
-    # (streaming_batch, text/vec pipeline, sinks, udfs); derive the
-    # list with tools/sweep_plan.py.
+    # Round-6 queue: the displaced r3 Tier-A / SQL-surface re-confirms
+    # (incremental_load, sql_to_pandas, ddl_exec, bulk_load,
+    # catalog_list, storage_mount, tf_merge_cow), then ledger_insert,
+    # ledger_topk, retry_exec, exec_timing, multi_stmt_exec + the
+    # remaining r3 cohort (streaming_batch, text/vec pipeline, sinks,
+    # udfs); derive the list with tools/sweep_plan.py.
 ]
 
 

@@ -461,3 +461,100 @@ def tf_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_restore",
+    oracle=f"""
+    SELECT 0 AS version, COUNT(*) AS n,
+           {_CENTS.format(c="o_totalprice")} AS cents
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 1, COUNT(*), {_CENTS.format(c="o_totalprice")}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 2, COUNT(*), {_CENTS.format(c="o_totalprice")}
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F'
+    UNION ALL
+    SELECT 3, COUNT(*), {_CENTS.format(c="o_totalprice")}
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+)
+def tf_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION (Delta RESTORE): after CREATE (v0) ->
+    APPEND (v1) -> DELETE (v2), ``restore(0)`` publishes v3 whose
+    contents equal v0 — by re-referencing v0's chunks in a NEW commit,
+    zero data I/O at any table size. The intermediate snapshots stay
+    time-travelable (v1/v2 rows pin that history survived the
+    rollback, unlike a destructive reset)."""
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, _orders_slice(spark, sf_dir, 3, 0), f"{root}/orders")
+        tbl.append(_orders_slice(spark, sf_dir, 3, 1))
+        tbl.delete_where(F.col("o_orderstatus") == "F")
+        tbl.restore(0)
+        out = None
+        for v in (0, 1, 2, 3):
+            snap = (
+                tbl.read(version=v)
+                .agg(F.count(F.lit(1)).alias("n"), _cents("o_totalprice"))
+                .select(F.lit(v).cast("int").alias("version"), "n", "cents")
+            )
+            out = snap if out is None else out.unionByName(snap)
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_clone",
+    oracle=f"""
+    SELECT 'source' AS side, COUNT(*) AS n,
+           {_CENTS.format(c="o_totalprice")} AS cents,
+           CAST(2 AS BIGINT) AS chunks_total,
+           CAST(2 AS BIGINT) AS chunks_owned
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    UNION ALL
+    SELECT 'clone', COUNT(*), {_CENTS.format(c="o_totalprice")},
+           CAST(3 AS BIGINT), CAST(1 AS BIGINT)
+    FROM orders WHERE o_orderkey % 3 IN (0, 1, 2)
+    """,
+)
+def tf_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE: the clone's v0 references the source's two
+    chunks by absolute path (zero data copied — ``chunks_owned`` pins
+    that only ONE chunk, the clone's own later append, physically
+    lives under the clone root), then diverges with that append while
+    the source is untouched (its n/cents row re-verifies post-clone).
+    At 100 TB this is how a dev/staging copy of a production table
+    costs a manifest write instead of a 100-TB copy."""
+    import os
+
+    root = _tmp()
+    try:
+        src = CowTable.create(
+            spark, _orders_slice(spark, sf_dir, 3, 0), f"{root}/orders")
+        src.append(_orders_slice(spark, sf_dir, 3, 1))
+        cl = src.clone(f"{root}/clone")
+        cl.append(_orders_slice(spark, sf_dir, 3, 2))
+
+        def side(tag: str, tbl: CowTable) -> DataFrame:
+            man = tbl.manifest()
+            owned = sum(1 for c in man["chunks"]
+                        if not os.path.isabs(c))
+            return (
+                tbl.read()
+                .agg(F.count(F.lit(1)).alias("n"), _cents("o_totalprice"))
+                .select(F.lit(tag).alias("side"), "n", "cents",
+                        F.lit(len(man["chunks"])).cast("long")
+                         .alias("chunks_total"),
+                        F.lit(owned).cast("long").alias("chunks_owned"))
+            )
+
+        return (
+            side("source", src).unionByName(side("clone", cl))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1,0 +1,342 @@
+"""Batch event-stream analytics + sketch roll-up + Bloom join pruning.
+
+The reference's event surface is its synthetic activity feed
+(``datagen.py:62-135`` generates id/ts/user/type/value rows for the
+lakehouse refresh loop); the streaming keys consume it live, but a
+warehouse user ALSO runs the classic batch analytics over the same
+table: sessionization, funnel conversion, cohort retention. All three
+are single-shuffle window/agg compositions here — the 100-TB shape is
+"partition by user_id once, chain every per-user computation on that
+partitioning" (Catalyst collapses same-key Window/groupBy chains into
+one Exchange).
+
+Two infrastructure patterns round out the family:
+
+- ``agg_sketch_rollup`` — the mergeable-sketch pre-aggregation
+  pattern: per-day HLL partials (what a 100-TB pipeline would PERSIST
+  alongside each daily partition) union-merged into a monthly distinct
+  count without re-touching raw data. Spark 4's datasketches-backed
+  ``hll_sketch_agg``/``hll_union_agg`` built-ins keep it JVM-side.
+- ``join_bloom_filtered`` — semi-join reduction: a Bloom filter built
+  from the small side's keys prunes the probe side BEFORE its shuffle
+  (the runtime-filter pattern Spark applies to broadcast joins,
+  expressed explicitly so it also covers shuffle joins). False
+  positives are removed by the exact join that follows, so results
+  are byte-identical to the plain semi join the oracle states.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .base import register, t, dec
+
+# Session gap: 30 min, compared in integer microseconds on both
+# engines (Spark unix_micros == DuckDB epoch_us; float seconds would
+# round differently).
+_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM e
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a >30-min silence starts a new
+    session. One shuffle total: the lag, the running session counter,
+    and the per-session aggregate all share the user_id partitioning
+    (the groupBy keys are a superset of the window partition key, so
+    Catalyst reuses the Exchange). No global window — parallelism is
+    #users at any scale."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > _GAP_US), 1).otherwise(0)
+    sess = (
+        ev.withColumn("is_new", is_new)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding,
+                                               W.currentRow)).cast("long"))
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(dec("value")).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "event_funnel",
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN CAST(ts AS TIMESTAMP)
+                 END) AS v_ts
+      FROM events GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, u.v_ts, MIN(CAST(e.ts AS TIMESTAMP)) AS c_ts
+      FROM events e JOIN u ON e.user_id = u.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > u.v_ts
+      GROUP BY e.user_id, u.v_ts
+    ), p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS p_ts
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.c_ts
+      GROUP BY e.user_id
+    ), n AS (
+      SELECT (SELECT COUNT(*) FROM u WHERE v_ts IS NOT NULL) AS n1,
+             (SELECT COUNT(*) FROM c) AS n2,
+             (SELECT COUNT(*) FROM p) AS n3
+    )
+    SELECT 'view' AS stage, n1 AS n_users,
+           CAST(n1 AS DOUBLE) / n1 AS pct_of_entry FROM n
+    UNION ALL
+    SELECT 'view>click', n2, CAST(n2 AS DOUBLE) / n1 FROM n
+    UNION ALL
+    SELECT 'view>click>purchase', n3, CAST(n3 AS DOUBLE) / n1 FROM n
+    """,
+)
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view -> click -> purchase: each stage's timestamp
+    must follow the previous stage's. Implemented as three chained
+    Window mins over ONE user_id partitioning — no self-joins: v_ts is
+    a window min, c_ts a window min over click events conditioned on
+    v_ts, p_ts likewise over c_ts (each references the previous window
+    column, so the specs chain within a single Exchange). The final
+    3-row stage table is driver-size by construction."""
+    w = W.partitionBy("user_id")
+    ev = t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    staged = (
+        ev.withColumn(
+            "v_ts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w))
+        .withColumn(
+            "c_ts",
+            F.min(F.when((F.col("event_type") == "click")
+                         & (F.col("ts") > F.col("v_ts")),
+                         F.col("ts"))).over(w))
+        .withColumn(
+            "p_ts",
+            F.min(F.when((F.col("event_type") == "purchase")
+                         & (F.col("ts") > F.col("c_ts")),
+                         F.col("ts"))).over(w))
+    )
+    per_user = staged.groupBy("user_id").agg(
+        F.min("v_ts").alias("v_ts"), F.min("c_ts").alias("c_ts"),
+        F.min("p_ts").alias("p_ts"))
+    counts = per_user.agg(
+        F.count("v_ts").alias("n1"), F.count("c_ts").alias("n2"),
+        F.count("p_ts").alias("n3"))
+    stage = lambda name, n: F.struct(  # noqa: E731
+        F.lit(name).alias("stage"), F.col(n).alias("n_users"),
+        (F.col(n).cast("double") / F.col("n1")).alias("pct_of_entry"))
+    return (
+        counts.select(F.explode(F.array(
+            stage("view", "n1"), stage("view>click", "n2"),
+            stage("view>click>purchase", "n3"))).alias("s"))
+        .select("s.*")
+    )
+
+
+@register(
+    "retention_cohort",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN(CAST(ts AS TIMESTAMP)) AS first_ts
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(CAST(date_trunc('week', f.first_ts) AS DATE),
+                    '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day',
+                  CAST(date_trunc('week', f.first_ts) AS DATE),
+                  CAST(date_trunc('week', CAST(e.ts AS TIMESTAMP)) AS DATE))
+                // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by the Monday-start week
+    of their first event; n_active counts who came back k weeks later.
+    first_ts is a window min on the same user_id partitioning as the
+    events (no join against a separate firsts table), then one
+    distinct-agg on (cohort_week, week_offset). Output is
+    O(#weeks^2) rows — driver-safe at any corpus size."""
+    w = W.partitionBy("user_id")
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    cohort_wk = F.date_trunc("week", F.col("first_ts")).cast("date")
+    event_wk = F.date_trunc("week", F.col("ts")).cast("date")
+    return (
+        ev.withColumn("first_ts", F.min("ts").over(w))
+        .select(
+            # dates cross the gate as ISO strings: Spark DATE surfaces
+            # as datetime.date, DuckDB DATE as datetime64 — same day,
+            # different canon
+            F.date_format(cohort_wk, "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(F.datediff(event_wk, cohort_wk) / 7)
+             .cast("long").alias("week_offset"),
+            "user_id")
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "agg_sketch_rollup",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day
+      FROM events GROUP BY 1, 2
+    ), exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type, e.exact_users,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM daily d
+            WHERE d.event_type = e.event_type) AS n_partials,
+           TRUE AS sketch_ok
+    FROM exact e
+    """,
+)
+def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch pre-aggregation: per-(event_type, day) HLL
+    partials union-merged into per-type distinct-user counts — the
+    pattern where a 100-TB pipeline persists a KB-size sketch with
+    each daily partition and answers any-window COUNT DISTINCT from
+    sketches alone. Built-in ``hll_sketch_agg``/``hll_union_agg``
+    (Apache DataSketches HLL, lgConfigK=12 -> ~1.6% rel. err) stay
+    JVM-side. Sketch estimates are not SQL-replayable, so the oracle
+    convention for sketch keys applies (see module docstring of
+    ``queries``): exact side columns hash-checked, the estimate
+    asserted against a 5% bound as an oracle-pinned boolean."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", F.col("ts").cast("date").alias("day"), "user_id")
+    daily = ev.groupBy("event_type", "day").agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    merged = daily.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("approx_users"),
+        F.count(F.lit(1)).alias("n_partials"))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"))
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type", "exact_users", "n_partials",
+            (F.abs(F.col("approx_users") - F.col("exact_users"))
+             <= 0.05 * F.col("exact_users")).alias("sketch_ok"))
+    )
+
+
+# Bloom geometry: m = 2^16 bits (1024 longs, 8 KB broadcast), k = 5
+# hash probes. For ~450 build keys the false-positive rate is
+# (1 - e^{-kn/m})^k ~= 2e-7 — the probe side shrinks to ~the true
+# match set before its shuffle.
+_BLOOM_BITS = 1 << 16
+_BLOOM_WORDS = _BLOOM_BITS // 64
+_BLOOM_K = 5
+
+
+@register(
+    "join_bloom_filtered",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    WHERE l_orderkey IN (
+      SELECT o_orderkey FROM orders WHERE o_totalprice > 480000)
+    GROUP BY l_returnflag
+    """,
+)
+def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join reduction. The build side (high-value
+    orders, ~3% of keys) folds into an 8-KB bit array DRIVER-side
+    (1024 longs — metadata scale, like the IVF centroids); the probe
+    side tests k=5 xxhash64 positions against the broadcast literal
+    array BEFORE any shuffle, so only ~matching lineitems ever move.
+    The exact semi join afterwards removes Bloom false positives —
+    results are byte-identical to the plain semi join the oracle
+    states, the Bloom pass only changes WHERE rows die. This is
+    Spark's own runtime-filter pattern made explicit so it applies to
+    shuffle joins too (the built-in one fires only under broadcast)."""
+    hot = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 480000)
+        .select("o_orderkey")
+    )
+
+    def positions(key: F.Column) -> list[F.Column]:
+        return [F.pmod(F.xxhash64(key, F.lit(i)), F.lit(_BLOOM_BITS))
+                for i in range(_BLOOM_K)]
+
+    # Build: explode the k positions per key, OR the bits per 64-bit
+    # word. (shift amounts go through F.expr: the Catalyst shift
+    # expressions take column operands, the PySpark wrappers only a
+    # Python int.) The collect is <= _BLOOM_WORDS rows regardless of
+    # build cardinality.
+    pos = hot.select(
+        F.explode(F.array(*positions(F.col("o_orderkey")))).alias("p"))
+    words_rows = (
+        pos.select(
+            (F.col("p") / 64).cast("int").alias("w"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), "
+                   "CAST(p % 64 AS INT))").alias("b"))
+        .groupBy("w").agg(F.bit_or("b").alias("word"))
+        .collect()
+    )
+    words = [0] * _BLOOM_WORDS
+    for r in words_rows:
+        words[r["w"]] = r["word"]
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice")
+    probed = li.withColumn("_bloom", F.lit(words))  # 8 KB task literal
+    conds = []
+    for i, p in enumerate(positions(F.col("l_orderkey"))):
+        probed = probed.withColumn(f"_p{i}", p)
+        # bit test survives the sign bit: shiftright is arithmetic,
+        # but an odd result (bit set) is nonzero mod 2 either way
+        conds.append(
+            f"(shiftright(element_at(_bloom, CAST(_p{i} / 64 AS INT) + 1),"
+            f" CAST(_p{i} % 64 AS INT)) % 2) != 0")
+    pruned = (
+        probed.filter(F.expr(" AND ".join(conds)))
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    )
+
+    return (
+        pruned.join(hot.withColumnRenamed("o_orderkey", "l_orderkey"),
+                    "l_orderkey", "left_semi")
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+              .alias("cents"))
+    )

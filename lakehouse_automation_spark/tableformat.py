@@ -632,6 +632,49 @@ class CowTable:
                             stats=stats, file_stats=fstats,
                             base_version=man["version"])
 
+    def restore(self, version: int) -> int:
+        """RESTORE TABLE ... TO VERSION (Delta's RESTORE): publish a
+        NEW commit whose chunk list is exactly snapshot ``version``'s.
+        History is preserved — time travel still reaches every
+        intermediate version — and the operation is pure metadata:
+        chunks are re-referenced by name, zero data I/O at any scale.
+        Stats/file-stats are carried from the restored manifest, so
+        data skipping keeps working on the restored tip. Goes through
+        the snapshot-transaction commit: a concurrent writer claiming
+        the next version aborts the restore, never silently drops it."""
+        base = self.version()
+        man = self.manifest(version)
+        return self._commit(list(man["chunks"]), "restore",
+                            stats=dict(man.get("stats", {})),
+                            file_stats=dict(man.get("file_stats", {})),
+                            base_version=base)
+
+    def clone(self, dest: str, version: int | None = None) -> "CowTable":
+        """Shallow zero-copy clone (Delta SHALLOW CLONE): the clone's
+        v0 manifest references the source snapshot's chunks by
+        ABSOLUTE path — no data file is copied, so cloning a 100-TB
+        table is a metadata write. ``chunk_paths``/``read``/``scan``
+        handle absolute refs transparently (``os.path.join`` passes
+        them through), writes to the clone land new chunks under the
+        clone's own root, and the clone's :meth:`vacuum` only reclaims
+        dirs under its root — source-owned chunks are never deleted.
+        The source table is never mutated by clone-side operations."""
+        man = self.manifest(version)
+        out = CowTable(self.spark, dest,
+                       stats_cols=man.get("stats_cols", []))
+        if out.version() >= 0:
+            raise ValueError(f"clone destination {dest} already exists")
+        ab = {c: os.path.join(self.path, c) for c in man["chunks"]}
+        stats = {ab[c]: s for c, s in man.get("stats", {}).items()
+                 if c in ab}
+        fstats = {ab[c]: s for c, s in man.get("file_stats", {}).items()
+                  if c in ab}
+        if not out._try_commit(0, list(ab.values()), "clone",
+                               stats, fstats):
+            raise ConcurrentWriteError(
+                f"clone destination {dest} was created concurrently")
+        return out
+
     def to_delta_manifest(self) -> str:
         """Export this table's log as a Delta Lake ``_delta_log`` —
         the documented interop path while the sandbox ships no Delta
