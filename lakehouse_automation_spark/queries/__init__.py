@@ -69,8 +69,7 @@ _SWEEP_ORDER = [
     "agg_stddev_corr", "agg_pivot",
     "win_rank", "win_analytic", "win_frame_rows", "win_frame_range",
     "sort_multi", "topk", "sample",
-    "set_union_all", "set_union", "set_intersect", "set_except",
-    "dedup", "distinct_proj", "fn_string",
+    "set_union", "set_intersect", "dedup", "fn_string",
     # --- new in round 5 (never officially swept — must be in-fold) ---
     "tf_cdc_updates", "text_decontaminate", "mixture_sample",
     "pack_sequences", "vec_ivf_index_persisted",
@@ -82,6 +81,10 @@ _SWEEP_ORDER = [
     # motivated the tf_merge_cow slot they displaced) ---
     "sessionize_events", "event_funnel", "retention_cohort",
     "agg_sketch_rollup", "join_bloom_filtered", "tf_restore", "tf_clone",
+    # --- new in round 5, third batch (the three displaced r2 slots
+    # were set_union_all / set_except / distinct_proj — the trivial,
+    # unchanged-since-r2 set ops with the least re-confirm value) ---
+    "text_incremental_dedup", "mv_incremental_refresh", "profile_table",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
     # Round-6 queue: the displaced r3 Tier-A / SQL-surface re-confirms
     # (incremental_load, sql_to_pandas, ddl_exec, bulk_load,

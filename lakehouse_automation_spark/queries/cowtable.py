@@ -558,3 +558,88 @@ def tf_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "mv_incremental_refresh",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+    ), upd AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice + 1000 AS o_totalprice
+      FROM orders WHERE o_orderkey % 20 = 1
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 4 = 3
+    ), merged AS (
+      SELECT * FROM base
+      WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+      UNION ALL SELECT * FROM upd
+    )
+    SELECT o_orderstatus, COUNT(*) AS n,
+           {_CENTS.format(c="o_totalprice")} AS cents
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance from the CDC feed —
+    the HeatWave-autopilot-style refresh: the MV (per-status count +
+    cents sum) is materialized once against the pre-merge snapshot,
+    then brought current by applying ONLY the change feed's signed
+    deltas (+row for insert, -row for delete), never re-aggregating
+    the base table. ``changes()`` reads just the symmetric-difference
+    chunks of the COW merge, so refresh cost is proportional to the
+    CHANGE SET at any table size; the oracle is the full recompute the
+    incremental path must equal. Additive aggregates only (count/sum)
+    — the groups a production MV would restrict to."""
+    import os
+    import tempfile
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, orders.filter(F.col("o_orderkey") % 4 == 0),
+            f"{root}/orders")
+        tbl.append(orders.filter(F.col("o_orderkey") % 4 == 1))
+        tbl.append(orders.filter(F.col("o_orderkey") % 4 == 2))
+        v_mv = tbl.version()
+
+        # materialize the MV against the v_mv snapshot
+        mv_path = os.path.join(root, "mv")
+        (tbl.read(version=v_mv).groupBy("o_orderstatus")
+         .agg(F.count(F.lit(1)).alias("n"), _cents("o_totalprice"))
+         .write.parquet(mv_path))
+
+        # the base table moves on: COW merge (updates + inserts)
+        updates = (
+            orders.filter(F.col("o_orderkey") % 20 == 1)
+            .withColumn("o_totalprice", F.col("o_totalprice") + 1000)
+            .unionByName(orders.filter(F.col("o_orderkey") % 4 == 3))
+        )
+        tbl.merge(updates, "o_orderkey")
+
+        # refresh: signed per-group deltas from the change feed only
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        delta = (
+            tbl.changes(v_mv).groupBy("o_orderstatus")
+            .agg(F.sum(sign).alias("dn"),
+                 F.sum(sign * F.round(F.col("o_totalprice") * 100)
+                       .cast("long")).alias("dcents"))
+        )
+        refreshed = (
+            spark.read.parquet(mv_path)
+            .join(delta, "o_orderstatus", "full_outer")
+            .select(
+                "o_orderstatus",
+                (F.coalesce("n", F.lit(0))
+                 + F.coalesce("dn", F.lit(0))).alias("n"),
+                (F.coalesce("cents", F.lit(0))
+                 + F.coalesce("dcents", F.lit(0))).alias("cents"))
+            .filter(F.col("n") > 0)
+        )
+        return refreshed.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -338,3 +338,61 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     )
+
+
+@register(
+    "profile_table",
+    oracle="""
+    SELECT 'l_quantity' AS col_name,
+           COUNT(*) AS n_rows, COUNT(*) - COUNT(l_quantity) AS n_null,
+           COUNT(DISTINCT l_quantity) AS n_distinct,
+           CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS cents
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+           COUNT(DISTINCT l_extendedprice),
+           CAST(MIN(l_extendedprice) AS DOUBLE),
+           CAST(MAX(l_extendedprice) AS DOUBLE),
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
+           COUNT(DISTINCT l_discount),
+           CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+    FROM lineitem
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling (the data-quality report a pipeline
+    runs before trusting a new drop): per-column row/null/distinct
+    counts, min/max, and an integer-cents sum — all numeric columns in
+    a SINGLE aggregation over a single scan (the multi-count-distinct
+    compiles to one Expand + one hash agg, not one job per column),
+    then unpivoted to a row per column. At 100 TB this is one pass
+    over the referenced columns only (ReadSchema prunes the rest)."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+            F.sum(F.round(F.col(c) * 100).cast("long")).alias(f"sm_{c}"),
+        ]
+    one = t(spark, sf_dir, "lineitem").agg(*aggs)
+    rows = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows").alias("n_rows"),
+            (F.col("n_rows") - F.col(f"nn_{c}")).alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            F.col(f"mn_{c}").alias("min_v"),
+            F.col(f"mx_{c}").alias("max_v"),
+            F.col(f"sm_{c}").alias("cents"),
+        ) for c in cols
+    ])
+    return one.select(F.explode(rows).alias("r")).select("r.*")

@@ -852,3 +852,89 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.curation import pack_sequences as _pack
 
     return _pack(t(spark, sf_dir, "documents"), budget=2048, n_buckets=8)
+
+
+# ---------------------------------------------- incremental (cross-run) dedup
+
+@register(
+    "text_incremental_dedup",
+    oracle=f"""
+    WITH buckets AS ({_minhash_buckets_sql()}),
+    h AS (
+      SELECT doc_id,
+             md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS m
+      FROM documents
+    ),
+    exact AS (
+      SELECT DISTINCT b.doc_id FROM h b JOIN h c ON b.m = c.m
+      WHERE b.doc_id % 10 >= 8 AND c.doc_id % 10 < 8
+    ),
+    near AS (
+      SELECT DISTINCT l.doc_id
+      FROM buckets l JOIN buckets r
+        ON l.band_id = r.band_id AND l.band_hash = r.band_hash
+      WHERE l.doc_id % 10 >= 8 AND r.doc_id % 10 < 8
+    )
+    SELECT h.doc_id,
+           CASE WHEN h.doc_id IN (SELECT doc_id FROM exact) THEN 'exact_dup'
+                WHEN h.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup'
+                ELSE 'new' END AS verdict
+    FROM h WHERE h.doc_id % 10 >= 8
+    """,
+)
+def text_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-run incremental dedup: a new batch (doc_id%10>=8) deduped
+    against a PERSISTED index of the existing corpus (doc_id%10<8) —
+    the continuous-ingestion pattern, where re-shingling 100 TB of
+    already-ingested text per day is not an option. The index is two
+    parquet tables written once per corpus generation: the exact tier
+    (distinct content md5, ~16 B/doc) and the fuzzy tier (MinHash-LSH
+    band buckets, 4 rows/doc); the batch run touches ONLY the index —
+    never the corpus text. Verdict precedence exact_dup > near_dup >
+    new. Both tiers are md5-derived, so the oracle replays the whole
+    pipeline, persisted round-trip included."""
+    import shutil
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    def content_md5(df: DataFrame) -> DataFrame:
+        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
+        return df.select("doc_id", F.md5(norm).alias("content_md5"))
+
+    root = tempfile.mkdtemp(prefix="las_dedup_idx_")
+    try:
+        # ---- index build (the once-per-corpus side) ----
+        (content_md5(corpus).select("content_md5").distinct()
+         .write.parquet(f"{root}/md5"))
+        minhash_buckets(corpus, k=3).write.parquet(f"{root}/buckets")
+
+        # ---- batch run (reads the index, not the corpus) ----
+        idx_md5 = spark.read.parquet(f"{root}/md5")
+        idx_buckets = spark.read.parquet(f"{root}/buckets")
+        exact_ids = (
+            content_md5(batch)
+            .join(idx_md5, "content_md5", "left_semi")
+            .select("doc_id").withColumn("is_exact", F.lit(True))
+        )
+        near_ids = (
+            minhash_buckets(batch, k=3)
+            .join(idx_buckets.select("band_id", "band_hash"),
+                  ["band_id", "band_hash"], "left_semi")
+            .select("doc_id").distinct().withColumn("is_near", F.lit(True))
+        )
+        return (
+            batch.select("doc_id")
+            .join(exact_ids, "doc_id", "left")
+            .join(near_ids, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("is_exact"), "exact_dup")
+                 .when(F.col("is_near"), "near_dup")
+                 .otherwise("new").alias("verdict"))
+            .localCheckpoint(eager=True)  # index scratch deleted below
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
