@@ -86,7 +86,11 @@ _SWEEP_ORDER = [
     # unchanged-since-r2 set ops with the least re-confirm value) ---
     "text_incremental_dedup", "mv_incremental_refresh", "profile_table",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-6 queue: the displaced r3 Tier-A / SQL-surface re-confirms
+    # Round-6 queue: FIRST the round-5 keys born after the fold filled
+    # (tf_zorder, agg_sketch_setops, agg_approx_topk,
+    # win_pattern_detect — local oracle greens recorded, never
+    # officially swept), then the displaced r3
+    # Tier-A / SQL-surface re-confirms
     # (incremental_load, sql_to_pandas, ddl_exec, bulk_load,
     # catalog_list, storage_mount, tf_merge_cow), then ledger_insert,
     # ledger_topk, retry_exec, exec_timing, multi_stmt_exec + the

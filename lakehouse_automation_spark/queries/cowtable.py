@@ -643,3 +643,58 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         return refreshed.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_zorder",
+    oracle=f"""
+    SELECT TRUE AS cust_pruned, TRUE AS date_pruned,
+           COUNT(*) AS n,
+           {_CENTS.format(c="o_totalprice")} AS cents
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 199
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    """,
+)
+def tf_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE ZORDER: compact the table on the bit-interleaved
+    (o_custkey, o_orderdate) curve, then prove BOTH dimensions prune —
+    a custkey-range query AND a date-range query each skip files via
+    manifest min/max stats (``pruned_files``), which single-key range
+    clustering cannot give the second column. The booleans are
+    oracle-pinned (robust to a testdata refresh; exact file counts are
+    layout-dependent — the pytest bounds them); n/cents restate the
+    2-dim query's content in SQL. At 100 TB: one clustering write buys
+    file-level skipping on every z-ordered dimension at once."""
+    import datetime as dt
+
+    orders = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    root = _tmp()
+    try:
+        tbl = CowTable.create(spark, orders, f"{root}/orders",
+                              stats_cols=["o_custkey", "o_orderdate"])
+        tbl.compact(n_files=16, zorder_by=["o_custkey", "o_orderdate"])
+        man = tbl.manifest()
+        files_total = sum(len(v) for v in man["file_stats"].values())
+        f_cust = len(tbl.pruned_files("o_custkey", 100, 199))
+        f_date = len(tbl.pruned_files(
+            "o_orderdate",
+            dt.datetime(1997, 1, 1),
+            dt.datetime(1997, 12, 31, 23, 59, 59, 999999)))
+        two_dim = (
+            tbl.scan("o_custkey", 100, 199)
+            .filter((F.col("o_orderdate") >= F.lit(dt.datetime(1997, 1, 1)))
+                    & (F.col("o_orderdate") < F.lit(dt.datetime(1998, 1, 1))))
+            .agg(F.count(F.lit(1)).alias("n"), _cents("o_totalprice"))
+        )
+        return (
+            two_dim.select(
+                F.lit(bool(f_cust < files_total)).alias("cust_pruned"),
+                F.lit(bool(f_date < files_total)).alias("date_pruned"),
+                "n", "cents")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

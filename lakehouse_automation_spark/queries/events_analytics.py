@@ -340,3 +340,139 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
               .alias("cents"))
     )
+
+
+@register(
+    "agg_sketch_setops",
+    oracle="""
+    WITH v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM v) AS exact_view,
+           (SELECT COUNT(*) FROM p) AS exact_purchase,
+           (SELECT COUNT(*) FROM v WHERE user_id IN (SELECT user_id FROM p))
+             AS exact_inter,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM v
+                                  UNION SELECT user_id FROM p))
+             AS exact_union,
+           TRUE AS inter_ok, TRUE AS union_ok
+    """,
+)
+def agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET OPERATIONS on distinct counts — what HLL cannot do:
+    theta sketches (DataSketches, Spark 4 built-ins) support
+    intersection and difference, so "distinct users who did BOTH view
+    and purchase" is answerable from two persisted KB-size sketches
+    with no re-scan and no exact-distinct shuffle. The per-segment
+    sketches aggregate in one pass (map-side partials); estimates are
+    asserted against the exact answers as oracle-pinned booleans (the
+    sketch-key convention), with a 5% bound that theta's ~1.6% rel.
+    err at lgK=12 clears."""
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    sks = (
+        ev.filter(F.col("event_type").isin("view", "purchase"))
+        .groupBy("event_type")
+        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    )
+    ests = sks.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("u_est"),
+        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))")
+         .alias("i_est"))
+    v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .select("user_id").distinct())
+    exacts = (
+        v.withColumn("s", F.lit("v"))
+        .unionByName(p.withColumn("s", F.lit("p")))
+        .groupBy("user_id").agg(F.count(F.lit(1)).alias("k"))
+        .agg(F.count(F.lit(1)).alias("exact_union"),
+             F.sum(F.when(F.col("k") == 2, 1).otherwise(0))
+              .cast("long").alias("exact_inter"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("exact_view"))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("exact_purchase")))
+    )
+    return (
+        counts.crossJoin(exacts).crossJoin(ests)  # all 1-row sides
+        .select(
+            "exact_view", "exact_purchase", "exact_inter", "exact_union",
+            (F.abs(F.col("i_est") - F.col("exact_inter"))
+             <= 0.05 * F.greatest(F.col("exact_inter"), F.lit(1)))
+             .alias("inter_ok"),
+            (F.abs(F.col("u_est") - F.col("exact_union"))
+             <= 0.05 * F.greatest(F.col("exact_union"), F.lit(1)))
+             .alias("union_ok"))
+    )
+
+
+@register(
+    "agg_approx_topk",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n, TRUE AS est_exact
+    FROM events GROUP BY event_type
+    ORDER BY n DESC, event_type
+    LIMIT 3
+    """,
+)
+def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via ``approx_top_k`` (Spark 4 built-in): the
+    frequent-items sketch tracks candidate counters in one pass —
+    at 100 TB the alternative is a full groupBy shuffle of every key.
+    maxItemsTracked=100 >= the column's cardinality here, so the
+    sketch counts are provably exact and the oracle pins est_exact;
+    on a genuinely high-cardinality column the same plan returns
+    epsilon-approximate counts. Exact counts re-verify via one
+    aggregation; ties break on event_type in both engines."""
+    ev = t(spark, sf_dir, "events")
+    approx = (
+        ev.agg(F.expr("approx_top_k(event_type, 3, 100)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(F.col("e.item").alias("event_type"),
+                F.col("e.count").alias("est"))
+    )
+    exact = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        approx.join(exact, "event_type")
+        .select("event_type", "n",
+                (F.col("est") == F.col("n")).alias("est_exact"))
+        .orderBy(F.desc("n"), "event_type")
+    )
+
+
+@register(
+    "win_pattern_detect",
+    oracle=f"""
+    WITH er AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'error'
+    ), g AS (
+      SELECT user_id,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                       <= {10 * 60 * 1_000_000} THEN 1 ELSE 0 END AS burst
+      FROM er WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(burst) AS BIGINT) AS n_bursts
+    FROM g GROUP BY user_id HAVING SUM(burst) > 0
+    """,
+)
+def win_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern detection (MATCH_RECOGNIZE-lite): per user,
+    an 'error' followed by another 'error' within 10 minutes is a
+    burst; emit users with their burst counts. The lag-compare-count
+    plan is the row-pattern kernel every CEP query compiles down to —
+    filter first (the pattern's event classes), ONE user_id shuffle,
+    window lag in integer µs, aggregate on the same partitioning. At
+    100 TB the filter pushes to the scan and the single Exchange is
+    the only data movement."""
+    er = (t(spark, sf_dir, "events")
+          .filter(F.col("event_type") == "error")
+          .select("user_id", "event_id", "ts"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    burst = F.when(us - F.lag(us).over(w) <= 10 * 60 * 1_000_000, 1).otherwise(0)
+    return (
+        er.withColumn("burst", burst)
+        .groupBy("user_id")
+        .agg(F.sum("burst").cast("long").alias("n_bursts"))
+        .filter(F.col("n_bursts") > 0)
+    )

@@ -209,6 +209,14 @@ def vec_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, "q_id", "left")
         .select(
             "q_id", "n_results",
+            # raw n_hits is deliberately NOT emitted: centroid jitter
+            # (distributed float means, partition-order sensitive)
+            # moves it by ±1-2 run to run, so pinning it would make
+            # the gate flaky where the >=6 floor is stable. For
+            # diagnosis when the boolean DOES flip, run
+            # tests/test_vector.py::
+            # test_ivf_kmeans_recall_not_worse_than_seed — it
+            # computes the per-query raw recall.
             (F.coalesce(F.col("n_hits"), F.lit(0)) >= 6).alias("recall_ok"),
         )
     )

@@ -48,7 +48,7 @@ import json
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .operators.upsert import merge_upsert
 
@@ -607,23 +607,38 @@ class CowTable:
                             base_version=man["version"])
 
     def compact(self, n_files: int = 1,
-                sort_by: list[str] | None = None) -> int:
+                sort_by: list[str] | None = None,
+                zorder_by: list[str] | None = None) -> int:
         """OPTIMIZE analog: rewrite the live snapshot into one chunk of
         ``n_files`` files; readers of older manifests are unaffected.
 
         With ``sort_by``, files are range-partitioned and sorted on
-        those columns — the data-clustering half of OPTIMIZE ZORDER:
-        each file covers a narrow key range, so parquet row-group
-        min/max stats prune key-predicate scans to ~1 file instead of
-        all of them. (True Z-order interleaves bits across dimensions
-        to cluster several keys at once; range-cluster the leading
-        query key here.)"""
+        those columns — single-dimension clustering: each file covers
+        a narrow leading-key range, so parquet row-group min/max stats
+        prune leading-key scans to ~1 file, but a predicate on any
+        OTHER column prunes nothing.
+
+        With ``zorder_by`` (mutually exclusive), files are clustered
+        on a true Z-order key — each column is min/max-normalized to
+        16 bits (integer math, deterministic) and the bits interleaved
+        — so EVERY listed dimension gets partial locality: a range
+        predicate on any one of k columns prunes toward
+        files^(1-1/k), the multi-dimensional OPTIMIZE ZORDER
+        trade-off. The z-value is computed, clustered on, and dropped
+        — never persisted into the data files (Delta's behavior)."""
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
         man = self.manifest()
         df = self.spark.read.parquet(
             *[os.path.join(self.path, c) for c in man["chunks"]])
         if sort_by:
             df = (df.repartitionByRange(n_files, *sort_by)
                   .sortWithinPartitions(*sort_by))
+        elif zorder_by:
+            df = (df.withColumn("__z", self._zorder_value(df, zorder_by))
+                  .repartitionByRange(n_files, "__z")
+                  .sortWithinPartitions("__z")
+                  .drop("__z"))  # projection after sort: order survives
         else:
             df = df.repartition(n_files)
         chunk = self._write_chunk(df, "compact")
@@ -631,6 +646,45 @@ class CowTable:
         return self._commit([chunk], "compact",
                             stats=stats, file_stats=fstats,
                             base_version=man["version"])
+
+    _Z_BITS = 16
+
+    def _zorder_value(self, df: DataFrame, cols: list[str]) -> Column:
+        """Interleaved-bit Z-value over ``cols`` (numeric or
+        timestamp). Each column is scaled to [0, 2^16) with integer
+        arithmetic from its ACTUAL min/max — one metadata-scale agg
+        (2 scalars per column, driver-side) — so the curve covers the
+        occupied range, not the type range. Bit interleaving is plain
+        shift/and/or on longs: JVM-side, whole-stage-codegen'd."""
+        def as_long(c: str) -> Column:
+            dt = dict(df.dtypes)[c]
+            col = F.col(c)
+            if dt.startswith("timestamp"):
+                return F.unix_micros(col.cast("timestamp"))
+            return col.cast("long")
+
+        rng = df.agg(*[f for c in cols for f in
+                       (F.min(as_long(c)).alias(f"lo_{c}"),
+                        F.max(as_long(c)).alias(f"hi_{c}"))]).collect()[0]
+        k, bits = len(cols), self._Z_BITS
+        z = F.lit(0).cast("long")
+        for i, c in enumerate(cols):
+            lo, hi = rng[f"lo_{c}"], rng[f"hi_{c}"]
+            span = max(int(hi) - int(lo), 0) + 1
+            # scale THROUGH double: (x-lo)*2^16 overflows int64 for
+            # epoch-micros spans, and int64 step-division would leave
+            # small spans in the low bits (no high-bit discrimination,
+            # no file pruning). double carries 53 mantissa bits — the
+            # quotient lands in [0, 2^16) with ~1e-11 relative error,
+            # far below one z-cell
+            scaled = ((as_long(c) - F.lit(int(lo))).cast("double")
+                      * F.lit(float(1 << bits)) / F.lit(float(span))
+                      ).cast("long")
+            for b in range(bits):
+                z = z.bitwiseOR(
+                    F.shiftleft(F.shiftright(scaled, b).bitwiseAND(F.lit(1)),
+                                b * k + i))
+        return z
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION (Delta's RESTORE): publish a

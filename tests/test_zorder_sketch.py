@@ -1,0 +1,136 @@
+"""Z-order clustering + theta/top-k sketch keys.
+
+The oracle gate hash-checks outputs; these tests pin the physical
+claims — multi-dimensional file pruning actually happens, content
+survives the clustering rewrite, sketch estimates hit their bounds —
+with the diagnostic numbers the oracle booleans compress away.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lakehouse_automation_spark.queries import REGISTRY
+
+SF_SMOKE = "/root/testdata/sf0.001"
+SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def run(key, spark, sf=SF_SMOKE):
+    return REGISTRY[key].fn(spark, sf)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    from lakehouse_automation_spark.engine.catalog import table
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    orders = table(spark, SF_CORRECT, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    tbl = CowTable.create(spark, orders, str(tmp_path / "o"),
+                          stats_cols=["o_custkey", "o_orderdate"])
+    tbl.compact(n_files=16, zorder_by=["o_custkey", "o_orderdate"])
+    man = tbl.manifest()
+    files_total = sum(len(v) for v in man["file_stats"].values())
+    assert files_total >= 8  # the clustering actually fanned out
+    f_cust = len(tbl.pruned_files("o_custkey", 100, 199))
+    f_date = len(tbl.pruned_files(
+        "o_orderdate", dt.datetime(1997, 1, 1), dt.datetime(1997, 12, 31)))
+    # BOTH dimensions skip files — the property single-key range
+    # clustering cannot give the second column
+    assert f_cust < files_total
+    assert f_date < files_total
+    # content survives the rewrite bit-exactly
+    assert tbl.read().count() == orders.count()
+    a = tbl.read().agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                             .cast("long"))).collect()[0][0]
+    b = orders.agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                         .cast("long"))).collect()[0][0]
+    assert a == b
+    # scan() returns exactly the range rows despite reading a subset
+    got = tbl.scan("o_custkey", 100, 199).count()
+    want = orders.filter(F.col("o_custkey").between(100, 199)).count()
+    assert got == want
+
+
+def test_zorder_sortby_mutually_exclusive(spark, tmp_path):
+    import pytest
+
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    tbl = CowTable.create(
+        spark, spark.range(10).withColumn("v", F.col("id")),
+        str(tmp_path / "t"))
+    with pytest.raises(ValueError):
+        tbl.compact(sort_by=["id"], zorder_by=["v"])
+
+
+def test_zorder_single_dim_beats_second_column_of_sortby(spark, tmp_path):
+    """sort_by(custkey) gives the DATE query nothing; zorder gives it
+    real pruning on the same data and file count."""
+    from lakehouse_automation_spark.engine.catalog import table
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    orders = table(spark, SF_CORRECT, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice")
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 6, 30)
+
+    s = CowTable.create(spark, orders, str(tmp_path / "s"),
+                        stats_cols=["o_custkey", "o_orderdate"])
+    s.compact(n_files=16, sort_by=["o_custkey"])
+    z = CowTable.create(spark, orders, str(tmp_path / "z"),
+                        stats_cols=["o_custkey", "o_orderdate"])
+    z.compact(n_files=16, zorder_by=["o_custkey", "o_orderdate"])
+
+    s_total = sum(len(v) for v in s.manifest()["file_stats"].values())
+    s_date = len(s.pruned_files("o_orderdate", lo, hi))
+    z_total = sum(len(v) for v in z.manifest()["file_stats"].values())
+    z_date = len(z.pruned_files("o_orderdate", lo, hi))
+    # custkey-sorted layout: every file spans ~the whole date range
+    assert s_date == s_total
+    # z-ordered layout: date range genuinely prunes
+    assert z_date < z_total
+
+
+def test_theta_setops_bounds_and_identities(spark):
+    r = run("agg_sketch_setops", spark, SF_CORRECT).collect()[0]
+    assert r["inter_ok"] and r["union_ok"]
+    # inclusion-exclusion on the exact side
+    assert (r["exact_view"] + r["exact_purchase"]
+            == r["exact_union"] + r["exact_inter"])
+    assert r["exact_inter"] <= min(r["exact_view"], r["exact_purchase"])
+    assert r["exact_union"] >= max(r["exact_view"], r["exact_purchase"])
+
+
+def test_approx_topk_matches_exact(spark):
+    rows = run("agg_approx_topk", spark, SF_CORRECT).collect()
+    assert len(rows) == 3
+    assert all(r["est_exact"] for r in rows)
+    # descending and tie-broken deterministically
+    ns = [r["n"] for r in rows]
+    assert ns == sorted(ns, reverse=True)
+
+
+def test_pattern_detect_bursts_verified_by_pairs(spark):
+    got = {r["user_id"]: r["n_bursts"]
+           for r in run("win_pattern_detect", spark, SF_CORRECT).collect()}
+    from lakehouse_automation_spark.engine.catalog import table
+    ev = (table(spark, SF_CORRECT, "events")  # catalog: ns-ts normalized
+          .filter(F.col("event_type") == "error")
+          .select("user_id", "event_id", "ts"))
+    # independent construction: self-join consecutive errors via
+    # row_number instead of lag
+    from pyspark.sql import Window as W
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    idx = ev.withColumn("rn", F.row_number().over(w))
+    a, b = idx.alias("a"), idx.alias("b")
+    pairs = a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                   & (F.col("a.rn") + 1 == F.col("b.rn")))
+    gap_us = (F.unix_micros(F.col("b.ts").cast("timestamp"))
+              - F.unix_micros(F.col("a.ts").cast("timestamp")))
+    want = {r["user_id"]: r["n"] for r in
+            pairs.filter(gap_us <= 600_000_000)
+            .groupBy(F.col("a.user_id").alias("user_id"))
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
