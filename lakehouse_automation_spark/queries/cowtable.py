@@ -698,3 +698,133 @@ def tf_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_constraints",
+    oracle=f"""
+    SELECT CAST(1 AS INT) AS tip_version,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 3
+              AND NOT (o_totalprice - 1000000 >= 0)) AS violations_blocked,
+           COUNT(*) AS n, {_CENTS.format(c="o_totalprice")} AS cents
+    FROM orders WHERE o_orderkey % 4 IN (0, 1)
+    """,
+)
+def tf_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECK constraint enforcement (Delta ADD CONSTRAINT): the table
+    is created with ``o_totalprice >= 0`` and a NOT-NULL check; a
+    valid append lands (v1), then an append whose rows were shifted
+    negative is REFUSED — the commit never happens, the tip stays at
+    v1 and rereads bit-identical. The violation count surfaces from
+    the raised error; the oracle recomputes it as the rows the
+    corrupted batch would have contained. Enforcement is one
+    filter+count over the incoming batch only (never a base re-scan),
+    so the cost is proportional to the write at any table size."""
+    from ..tableformat import ConstraintViolationError
+
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, _orders_slice(spark, sf_dir, 4, 0), f"{root}/orders",
+            constraints={
+                "price_nonneg": "o_totalprice >= 0",
+                "status_notnull": "o_orderstatus IS NOT NULL",
+            })
+        tbl.append(_orders_slice(spark, sf_dir, 4, 1))
+        blocked = 0
+        try:
+            bad = (_orders_slice(spark, sf_dir, 4, 3)
+                   .withColumn("o_totalprice",
+                               F.col("o_totalprice") - 1_000_000))
+            tbl.append(bad)
+        except ConstraintViolationError as e:
+            blocked = e.violations
+        return (
+            tbl.read()
+            .agg(F.count(F.lit(1)).alias("n"), _cents("o_totalprice"))
+            .select(F.lit(tbl.version()).cast("int").alias("tip_version"),
+                    F.lit(blocked).cast("long").alias("violations_blocked"),
+                    "n", "cents")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_verify",
+    oracle=f"""
+    SELECT TRUE AS clean_ok, CAST(0 AS BIGINT) AS clean_missing,
+           FALSE AS tampered_ok, CAST(1 AS BIGINT) AS tampered_missing,
+           COUNT(*) AS n, {_CENTS.format(c="o_totalprice")} AS cents
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def tf_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integrity audit (table fsck): per-file row counts are recorded
+    in the manifest at write time, so ``verify()`` can prove a
+    snapshot is complete — existence from a driver-side listing,
+    row counts in ONE Spark job over all audited files. A clean table
+    verifies ok; deleting one data file out from under the manifest is
+    detected as missing. The surviving content restates in SQL (the
+    reader below uses only intact chunks)."""
+    import glob
+    import os
+
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, _orders_slice(spark, sf_dir, 3, 0), f"{root}/orders")
+        tbl.append(_orders_slice(spark, sf_dir, 3, 1))
+        clean = tbl.verify(deep=True)
+        # the content row is computed BEFORE tampering
+        content = (
+            tbl.read()
+            .agg(F.count(F.lit(1)).alias("n"), _cents("o_totalprice"))
+            .localCheckpoint(eager=True)
+        )
+        victim = sorted(glob.glob(f"{root}/orders/d*/*.parquet"))[0]
+        os.unlink(victim)
+        tampered = tbl.verify(deep=False)  # existence alone catches it
+        return content.select(
+            F.lit(clean["ok"]).alias("clean_ok"),
+            F.lit(len(clean["missing"])).cast("long").alias("clean_missing"),
+            F.lit(tampered["ok"]).alias("tampered_ok"),
+            F.lit(len(tampered["missing"])).cast("long")
+             .alias("tampered_missing"),
+            "n", "cents")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_history",
+    oracle="""
+    SELECT * FROM (VALUES
+      (0, 'create',  CAST(1 AS BIGINT)),
+      (1, 'append',  CAST(2 AS BIGINT)),
+      (2, 'merge',   CAST(3 AS BIGINT)),
+      (3, 'restore', CAST(1 AS BIGINT))
+    ) AS t(version, op, n_chunks)
+    """,
+)
+def tf_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY: the commit log as a queryable DataFrame —
+    version, operation, chunk count per retained snapshot (manifests
+    also carry a wall-clock ``committed_at``, excluded here for
+    determinism). Driver cost is O(#versions) manifest reads; no data
+    is touched."""
+    root = _tmp()
+    try:
+        tbl = CowTable.create(
+            spark, _orders_slice(spark, sf_dir, 4, 0), f"{root}/orders")
+        tbl.append(_orders_slice(spark, sf_dir, 4, 1))
+        tbl.merge(
+            _orders_slice(spark, sf_dir, 4, 2), "o_orderkey")
+        tbl.restore(0)
+        hist = [(m["version"], m["op"], m["n_chunks"])
+                for m in tbl.history()]
+        return spark.createDataFrame(
+            hist, "version int, op string, n_chunks long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

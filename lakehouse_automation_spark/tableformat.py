@@ -62,6 +62,26 @@ class ConcurrentWriteError(RuntimeError):
     since advanced. Re-run the operation against the new tip."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write contained rows failing a table CHECK constraint; the
+    commit was refused and the table is unchanged. ``.violations``
+    carries the offending row count, ``.constraint`` the first
+    violated expression."""
+
+    def __init__(self, constraint: str, violations: int):
+        super().__init__(
+            f"CHECK constraint violated by {violations} row(s): "
+            f"{constraint}")
+        self.constraint = constraint
+        self.violations = violations
+
+
+# reserved key inside per-file stats entries holding the file's row
+# count (integrity audits + Delta-export numRecords); a stats column
+# may not use this name
+ROWS_KEY = "__rows__"
+
+
 def _vname(v: int) -> str:
     return f"v{v:0{_PAD}d}.json"
 
@@ -117,16 +137,41 @@ class CowTable:
     manifest, so reopening a table by path recovers it."""
 
     def __init__(self, spark: SparkSession, path: str,
-                 stats_cols: list[str] | None = None):
+                 stats_cols: list[str] | None = None,
+                 constraints: dict[str, str] | None = None):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._stats_cols_arg = list(stats_cols or [])
+        self._constraints_arg = dict(constraints or {})
 
     @property
     def stats_cols(self) -> list[str]:
         if self.version() >= 0:
             return self.manifest().get("stats_cols", [])
         return self._stats_cols_arg
+
+    @property
+    def constraints(self) -> dict[str, str]:
+        """Named CHECK constraints (Delta's ADD CONSTRAINT): SQL
+        boolean expressions every written row must satisfy. Recorded
+        in the manifest, so reopening by path recovers them and every
+        later writer enforces them."""
+        if self.version() >= 0:
+            return self.manifest().get("constraints", {})
+        return self._constraints_arg
+
+    def _enforce(self, df: DataFrame) -> None:
+        """Refuse the write if any row violates a CHECK constraint.
+        SQL CHECK semantics: only rows where the expression evaluates
+        to FALSE violate (NULL/unknown passes — express NOT NULL as
+        ``col IS NOT NULL``). One filter+count job over the incoming
+        batch, the same scan-validate Delta performs; the base table
+        is never re-validated."""
+        for name, expr in self.constraints.items():
+            bad = df.filter(
+                ~F.coalesce(F.expr(expr), F.lit(True))).count()
+            if bad:
+                raise ConstraintViolationError(f"{name}: {expr}", bad)
 
     # ------------------------------------------------------------ log
 
@@ -172,9 +217,10 @@ class CowTable:
         paying nothing extra; the manifest protocol is identical.)"""
         df = self.spark.read.parquet(os.path.join(self.path, chunk))
         cols = [c for c in self.stats_cols if c in df.columns]
-        if not cols:
-            return {}, {}
-        aggs = []
+        # per-file row counts ride the same aggregation (integrity
+        # audits via verify(); Delta-export numRecords) — recorded
+        # even for tables with no stats columns
+        aggs = [F.count(F.lit(1)).alias("__nr")]
         for c in cols:
             aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
         rows = (df.withColumn("_f", F.input_file_name())
@@ -188,6 +234,7 @@ class CowTable:
             fstats[fname] = {
                 c: [_js(r[f"lo_{c}"]), _js(r[f"hi_{c}"])] for c in cols
             }
+            fstats[fname][ROWS_KEY] = int(r["__nr"])
         cstats = {}
         for c in cols:
             los = [s[c][0] for s in fstats.values() if s[c][0] is not None]
@@ -210,11 +257,15 @@ class CowTable:
         manifest to a temp name, publish with ``os.link`` — an atomic
         create-if-absent on POSIX (a conditional PUT on object
         stores). False = another writer claimed ``v`` first."""
+        import time
+
         os.makedirs(self._log_dir(), exist_ok=True)
         doc = {"version": v, "op": op, "chunks": sorted(chunks),
                "n_chunks": len(chunks), "stats": stats or {},
                "file_stats": file_stats or {},
-               "stats_cols": self.stats_cols}
+               "stats_cols": self.stats_cols,
+               "constraints": self.constraints,
+               "committed_at": time.time()}
         tmp = os.path.join(self._log_dir(),
                            f".tmp-{os.getpid()}-{id(doc)}-{v}")
         with open(tmp, "w") as fh:
@@ -477,10 +528,13 @@ class CowTable:
 
     @classmethod
     def create(cls, spark: SparkSession, df: DataFrame, path: str,
-               stats_cols: list[str] | None = None) -> "CowTable":
-        tbl = cls(spark, path, stats_cols=stats_cols)
+               stats_cols: list[str] | None = None,
+               constraints: dict[str, str] | None = None) -> "CowTable":
+        tbl = cls(spark, path, stats_cols=stats_cols,
+                  constraints=constraints)
         if tbl.version() >= 0:
             raise FileExistsError(f"table exists at {path}")
+        tbl._enforce(df)
         chunk = tbl._write_chunk(df, "create")
         stats, fstats = tbl._new_stats(chunk)
         tbl._commit([chunk], "create", stats=stats, file_stats=fstats,
@@ -510,6 +564,7 @@ class CowTable:
         read (version + chunk list must come from the same snapshot or
         a concurrent commit between the two reads is silently dropped)
         and retry with the new chunk list."""
+        self._enforce(df)
         chunk = self._write_chunk(df, "append")
         # the new chunk's stats are loop-invariant: one agg job here,
         # never one per lost race
@@ -550,6 +605,7 @@ class CowTable:
         against ONE manifest read; a commit that lands meanwhile makes
         :meth:`_commit` abort rather than lose it."""
         keys = [key] if isinstance(key, str) else list(key)
+        self._enforce(updates)  # only the incoming rows re-validate
         man = self.manifest()
         base = (self.spark.read.parquet(
                     *[os.path.join(self.path, c) for c in man["chunks"]])
@@ -718,6 +774,7 @@ class CowTable:
                        stats_cols=man.get("stats_cols", []))
         if out.version() >= 0:
             raise ValueError(f"clone destination {dest} already exists")
+        out._constraints_arg = dict(man.get("constraints", {}))
         ab = {c: os.path.join(self.path, c) for c in man["chunks"]}
         stats = {ab[c]: s for c, s in man.get("stats", {}).items()
                  if c in ab}
@@ -819,9 +876,11 @@ class CowTable:
                                  man.get("file_stats", {}).get(chunk, {})
                                     .get(chunk_rel))
                 stats = {"numRecords": n_rows}
-                if fstats:
-                    stats["minValues"] = {c: v[0] for c, v in fstats.items()}
-                    stats["maxValues"] = {c: v[1] for c, v in fstats.items()}
+                ranges = {c: v for c, v in (fstats or {}).items()
+                          if c != ROWS_KEY}
+                if ranges:
+                    stats["minValues"] = {c: v[0] for c, v in ranges.items()}
+                    stats["maxValues"] = {c: v[1] for c, v in ranges.items()}
                 add["stats"] = json.dumps(stats)
                 actions.append({"add": add})
             for rel in sorted(set(prev_files) - set(files)):
@@ -874,3 +933,67 @@ class CowTable:
             except FileNotFoundError:
                 pass
         return len(live), removed
+
+    def verify(self, deep: bool = True,
+               version: int | None = None) -> dict:
+        """Integrity audit of a snapshot against its manifest — the
+        fsck a lakehouse runs after a storage incident or before
+        promoting a clone. Two levels:
+
+        - existence (always): every manifest-listed chunk dir and
+          every file with recorded stats is present on storage.
+          Driver-side listing, O(#files) metadata.
+        - ``deep``: re-count rows of every present file carrying a
+          recorded ``__rows__`` and compare. ONE Spark job for the
+          whole table (read all audited files, group by
+          ``input_file_name``) — never a job per file.
+
+        Returns ``{"ok", "missing", "mismatched", "files_checked"}``;
+        ``missing``/``mismatched`` list offending paths. Files written
+        before row counts were recorded are existence-checked only."""
+        man = self.manifest(version)
+        missing: list[str] = []
+        expected: dict[str, int] = {}
+        for c in man["chunks"]:
+            cdir = os.path.join(self.path, c)
+            if not os.path.isdir(cdir):
+                missing.append(c)
+                continue
+            for fname, st in man.get("file_stats", {}).get(c, {}).items():
+                fp = os.path.join(cdir, fname)
+                if not os.path.exists(fp):
+                    missing.append(fp)
+                    continue
+                if isinstance(st, dict) and ROWS_KEY in st:
+                    expected[fp] = int(st[ROWS_KEY])
+        mismatched: list[str] = []
+        if deep and expected:
+            def counts_of(paths: list[str]) -> dict[str, int]:
+                return {
+                    _local_path(r["_f"]): r["n"]
+                    for r in (self.spark.read.parquet(*paths)
+                              .withColumn("_f", F.input_file_name())
+                              .groupBy("_f")
+                              .agg(F.count(F.lit(1)).alias("n")).collect())
+                }
+
+            try:
+                counted = counts_of(sorted(expected))
+            except Exception:
+                # a file so damaged it aborts the batch read (checksum
+                # failure, truncated footer) IS the corruption this
+                # audit exists to find — isolate it per file; the
+                # per-file fallback runs only on the corruption path
+                counted = {}
+                for fp in sorted(expected):
+                    try:
+                        counted.update(counts_of([fp]))
+                    except Exception:
+                        counted[fp] = -1  # unreadable: never matches
+            for fp, want in expected.items():
+                if counted.get(fp, 0) != want:
+                    mismatched.append(fp)
+        return {"ok": not missing and not mismatched,
+                "missing": sorted(missing),
+                "mismatched": sorted(mismatched),
+                "files_checked": len(expected) if deep else 0}

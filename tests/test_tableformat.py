@@ -414,3 +414,124 @@ def test_changes_across_schema_evolution(spark, tmp_path):
     types = {(r["k"], r["_change_type"], r["extra"])
              for r in t2.changes(0).collect()}
     assert types == {(1, "delete", "x"), (1, "insert", None)}
+
+
+# ------------------------------------------- constraints / verify / history
+
+def test_constraints_block_and_preserve_tip(spark, tmp_path):
+    import pytest
+
+    from lakehouse_automation_spark.tableformat import (
+        ConstraintViolationError, CowTable)
+
+    tbl = CowTable.create(
+        spark, spark.range(10).withColumn("v", F.col("id") * 2),
+        str(tmp_path / "t"), constraints={"v_nonneg": "v >= 0"})
+    tbl.append(spark.range(10, 20).withColumn("v", F.col("id")))
+    v_before = tbl.version()
+    with pytest.raises(ConstraintViolationError) as ei:
+        tbl.append(spark.range(3).withColumn("v", F.lit(-1)))
+    assert ei.value.violations == 3
+    assert tbl.version() == v_before          # commit never happened
+    assert tbl.read().count() == 20
+    # constraints survive a reopen by path
+    reopened = CowTable(spark, str(tmp_path / "t"))
+    assert "v_nonneg" in reopened.constraints
+    with pytest.raises(ConstraintViolationError):
+        reopened.append(spark.range(1).withColumn("v", F.lit(-5)))
+
+
+def test_constraints_null_passes_check_but_not_notnull(spark, tmp_path):
+    import pytest
+
+    from lakehouse_automation_spark.tableformat import (
+        ConstraintViolationError, CowTable)
+
+    df = spark.range(5).withColumn(
+        "v", F.when(F.col("id") < 3, F.col("id")).otherwise(F.lit(None)))
+    # SQL CHECK: NULL passes a plain predicate...
+    CowTable.create(spark, df, str(tmp_path / "a"),
+                    constraints={"v_pos": "v >= 0"})
+    # ...but an explicit NOT NULL constraint rejects it
+    with pytest.raises(ConstraintViolationError):
+        CowTable.create(spark, df, str(tmp_path / "b"),
+                        constraints={"v_nn": "v IS NOT NULL"})
+
+
+def test_constraints_enforced_on_merge_and_carried_by_clone(spark, tmp_path):
+    import pytest
+
+    from lakehouse_automation_spark.tableformat import (
+        ConstraintViolationError, CowTable)
+
+    tbl = CowTable.create(
+        spark, spark.range(10).withColumn("v", F.col("id")),
+        str(tmp_path / "t"), constraints={"v_nonneg": "v >= 0"})
+    with pytest.raises(ConstraintViolationError):
+        tbl.merge(spark.range(2).withColumn("v", F.lit(-1)), "id")
+    cl = tbl.clone(str(tmp_path / "cl"))
+    assert cl.constraints == {"v_nonneg": "v >= 0"}
+    with pytest.raises(ConstraintViolationError):
+        cl.append(spark.range(1).withColumn("v", F.lit(-9)))
+
+
+def test_verify_clean_and_detects_missing_and_truncated(spark, tmp_path):
+    import glob
+    import os
+
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    tbl = CowTable.create(
+        spark, spark.range(100).withColumn("v", F.col("id")),
+        str(tmp_path / "t"))
+    tbl.append(spark.range(100, 200).withColumn("v", F.col("id")))
+    r = tbl.verify(deep=True)
+    assert r["ok"] and not r["missing"] and not r["mismatched"]
+    assert r["files_checked"] >= 2
+    # missing file detected by the existence pass
+    victim = sorted(glob.glob(str(tmp_path / "t" / "d*" / "*.parquet")))[0]
+    os.unlink(victim)
+    r2 = tbl.verify(deep=False)
+    assert not r2["ok"] and len(r2["missing"]) == 1
+
+
+def test_verify_detects_row_count_mismatch(spark, tmp_path):
+    import glob
+    import shutil
+
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    # single-file chunks: the two data files then provably hold 50
+    # and 10 rows, so the swap below guarantees a count mismatch
+    tbl = CowTable.create(
+        spark, spark.range(50).withColumn("v", F.col("id")).coalesce(1),
+        str(tmp_path / "t"))
+    tbl.append(spark.range(50, 60).withColumn("v", F.col("id")).coalesce(1))
+    files = sorted(glob.glob(str(tmp_path / "t" / "d*" / "*.parquet")))
+    # swap one data file for another (valid parquet, wrong contents) —
+    # including the Hadoop .crc sidecar, so the filesystem checksum
+    # passes and only the manifest row-count audit can notice
+    import os
+    a, b = files[0], files[-1]
+    shutil.copyfile(b, a)
+    crc = lambda p: os.path.join(  # noqa: E731
+        os.path.dirname(p), f".{os.path.basename(p)}.crc")
+    if os.path.exists(crc(b)):
+        shutil.copyfile(crc(b), crc(a))
+    r = tbl.verify(deep=True)
+    assert not r["ok"] and a in r["mismatched"]
+
+
+def test_history_ops_and_timestamps(spark, tmp_path):
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    tbl = CowTable.create(
+        spark, spark.range(10).withColumn("v", F.col("id")),
+        str(tmp_path / "t"))
+    tbl.append(spark.range(10, 20).withColumn("v", F.col("id")))
+    tbl.compact()
+    hist = tbl.history()
+    assert [m["op"] for m in hist] == ["create", "append", "compact"]
+    ts = [m["committed_at"] for m in hist]
+    assert all(isinstance(x, float) for x in ts)
+    assert ts == sorted(ts)
