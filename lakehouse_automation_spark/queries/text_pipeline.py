@@ -938,3 +938,64 @@ def text_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ------------------------------------------------------- chunking (RAG prep)
+
+# chunk geometry: 64-token windows, 16-token overlap (stride 48) —
+# shared between the Spark impl and the oracle
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+_CHUNK_OVERLAP = _CHUNK_LEN - _CHUNK_STRIDE
+
+
+@register(
+    "text_chunk_split",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, toks, n, unnest(range(0, n, {_CHUNK_STRIDE})) AS s
+      FROM d
+    )
+    SELECT doc_id, CAST(s / {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(least(s + {_CHUNK_LEN}, n) - s AS BIGINT) AS n_tokens,
+           md5(array_to_string(
+                 list_slice(toks, s + 1, least(s + {_CHUNK_LEN}, n)),
+                 ' ')) AS chunk_md5
+    FROM starts
+    WHERE s = 0 OR s + {_CHUNK_OVERLAP} < n
+    """,
+)
+def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window document chunking (RAG / long-context prep):
+    64-token windows at stride 48, tail windows that would contain
+    only the previous chunk's overlap are dropped. Pure JVM array ops
+    — tokens materialized ONCE per doc (the re-tokenization trap), a
+    single explode of the start offsets, no Python path, parallelism =
+    #docs. Chunk text crosses the gate as md5 so the output stays
+    narrow at any document size."""
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("toks"))
+        .withColumn("n", F.size("toks"))
+    )
+    starts = d.select(
+        "doc_id", "toks", "n",
+        F.explode(F.sequence(
+            F.lit(0), F.col("n") - 1, F.lit(_CHUNK_STRIDE))).alias("s"))
+    return (
+        starts
+        .filter((F.col("s") == 0)
+                | (F.col("s") + _CHUNK_OVERLAP < F.col("n")))
+        .select(
+            "doc_id",
+            (F.col("s") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            (F.least(F.col("s") + _CHUNK_LEN, F.col("n")) - F.col("s"))
+             .cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(
+                " ", F.slice("toks", F.col("s") + 1, F.lit(_CHUNK_LEN))))
+             .alias("chunk_md5"))
+    )

@@ -103,3 +103,33 @@ def test_minhash_no_false_positives_on_corpus(spark, sf_dir):
                     .select("id_a", "id_b").collect()))
     assert cand, "corpus should contain planted near-dups"
     assert cand <= truth, f"false positives: {cand - truth}"
+
+
+def test_chunk_split_covers_all_tokens_with_overlap(spark):
+    from lakehouse_automation_spark.queries import REGISTRY
+    from lakehouse_automation_spark.queries.text_pipeline import (
+        _CHUNK_LEN, _CHUNK_OVERLAP, _CHUNK_STRIDE)
+
+    rows = (REGISTRY["text_chunk_split"].fn(spark, "/root/testdata/sf0.001")
+            .collect())
+    docs = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .collect()}
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        n = len(docs[doc_id].split(" "))
+        chunks.sort(key=lambda r: r["chunk_idx"])
+        # contiguous indices from 0
+        assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+        # full coverage: last chunk reaches the final token
+        last = chunks[-1]
+        assert last["chunk_idx"] * _CHUNK_STRIDE + last["n_tokens"] == n
+        # every chunk except a short-doc first one is longer than the
+        # overlap (no chunk is pure repetition of its predecessor)
+        for c in chunks[1:]:
+            assert c["n_tokens"] > _CHUNK_OVERLAP
+        for c in chunks[:-1]:
+            assert c["n_tokens"] == _CHUNK_LEN

@@ -5,7 +5,7 @@ each example runs real Spark jobs."""
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 from lakehouse_automation_spark.operators.asof import asof_join
 from lakehouse_automation_spark.operators.dedup import neardup_clusters
@@ -175,3 +175,38 @@ def test_cowtable_matches_dict_model(ops, tmp_path_factory):
                            if r["_change_type"] == "delete")
             replay = Counter(snapshots[v - 1]) - dels + ins
             assert replay == Counter(want), f"changes v{v - 1}->v{v}"
+
+
+# ----------------------------------------------------------- z-order curve
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(-500, 500)),
+        min_size=4, max_size=60),
+    n_files=st.integers(2, 6),
+)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zorder_compact_preserves_multiset_and_never_loses_rows(
+        spark, tmp_path_factory, rows, n_files):
+    """compact(zorder_by=...) is a pure re-layout: the row multiset is
+    identical before/after, and stats-pruned scans on either z-ordered
+    column return exactly the filter's rows."""
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    root = tmp_path_factory.mktemp("zprop")
+    df = spark.createDataFrame(rows, "a long, b long")
+    tbl = CowTable.create(spark, df, str(root / "t"),
+                          stats_cols=["a", "b"])
+    tbl.compact(n_files=n_files, zorder_by=["a", "b"])
+    got = sorted(map(tuple, tbl.read().collect()))
+    assert got == sorted(rows)
+    # pruning must never lose rows, for any probe range on either dim
+    a_vals = sorted({a for a, _ in rows})
+    lo, hi = a_vals[0], a_vals[len(a_vals) // 2]
+    want = sorted((a, b) for a, b in rows if lo <= a <= hi)
+    assert sorted(map(tuple, tbl.scan("a", lo, hi).collect())) == want
+    b_vals = sorted({b for _, b in rows})
+    blo, bhi = b_vals[len(b_vals) // 3], b_vals[-1]
+    wantb = sorted((a, b) for a, b in rows if blo <= b <= bhi)
+    assert sorted(map(tuple, tbl.scan("b", blo, bhi).collect())) == wantb
