@@ -101,3 +101,27 @@ def test_ingest_pipeline_exactly_once(spark, tmp_path):
 
     led = Ledger(spark, ledger)
     assert led.read().filter(F.col("is_apply") == 1).count() >= 2
+
+
+def test_ingest_pipeline_survives_process_restart(spark, tmp_path):
+    """A NEW IngestPipeline instance on the same checkpoint (process
+    restart) resumes without re-loading or skipping: rows stay
+    exactly-once across the restart boundary."""
+    landing, table_dir = str(tmp_path / "landing"), str(tmp_path / "table")
+    ckpt, ledger = str(tmp_path / "ckpt"), str(tmp_path / "ledger")
+
+    write_survey_csv(generate_survey(spark, 250, seed=5), landing,
+                     stamp="datagen_t0")
+    IngestPipeline(spark, landing, table_dir, ckpt,
+                   ledger_path=ledger).run_available()
+
+    # "restart": a brand-new pipeline object, same checkpoint
+    pipe2 = IngestPipeline(spark, landing, table_dir, ckpt,
+                           ledger_path=ledger)
+    pipe2.run_available()  # nothing new landed: must be a no-op
+    assert pipe2.table().count() == 250
+
+    write_survey_csv(generate_survey(spark, 100, seed=6), landing,
+                     stamp="datagen_t1")
+    pipe2.run_available()
+    assert pipe2.table().count() == 350
