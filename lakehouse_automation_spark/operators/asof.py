@@ -38,13 +38,26 @@ def asof_join(
     right_ts: str,
     right_value: str | None = None,
     right_value_as: str = "asof_value",
+    direction: str = "backward",
+    tolerance_s: float | None = None,
 ) -> DataFrame:
-    """Left as-of join: attach the latest right-side value at-or-before
-    each left row's timestamp, per key.
+    """Left as-of join: attach the nearest right-side value per key —
+    latest at-or-before the left timestamp (``direction="backward"``,
+    default, DuckDB ``l.ts >= r.ts``) or earliest at-or-after it
+    (``"forward"``, DuckDB ``l.ts <= r.ts``; pandas merge_asof
+    parity). Forward is the same single-shuffle union-scan with the
+    scan order reversed — cost is identical.
+
+    ``tolerance_s`` (pandas merge_asof's ``tolerance``): a match
+    farther than this many seconds from the left timestamp is nulled
+    out. The matched right timestamp rides the same carried struct, so
+    tolerance adds no extra shuffle or join.
 
     ``right_value`` defaults to the right timestamp itself (the common
     "when did X last happen" case).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
     keys = [on] if isinstance(on, str) else list(on)
     rv = right_value or right_ts
 
@@ -56,11 +69,38 @@ def asof_join(
     )
     l = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
     unioned = l.unionByName(r, allowMissingColumns=True)
+    # right rows carry (matched_ts, value) as ONE struct so tolerance
+    # can see how far the match is; left rows contribute null and
+    # last(ignorenulls) skips them
+    unioned = unioned.withColumn(
+        "__pair",
+        F.when(F.col("__side") == 0,
+               F.struct(F.col("__ts").alias("mts"),
+                        F.col("__rv").alias("mv"))))
 
+    ts_order = (F.col("__ts").asc() if direction == "backward"
+                else F.col("__ts").desc())
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.withColumn(right_value_as, F.last("__rv", ignorenulls=True).over(w))
-    return carried.filter(F.col("__side") == 1).drop("__ts", "__side", "__rv")
+    carried = unioned.withColumn(
+        "__m", F.last("__pair", ignorenulls=True).over(w))
+    val = F.col("__m.mv")
+    if tolerance_s is not None:
+        # seconds for timestamps (ntz needs the two-step cast),
+        # identity for numerics
+        is_ts = dict(unioned.dtypes)["__ts"].startswith("timestamp")
+
+        def secs(c: Column) -> Column:
+            return (c.cast("timestamp").cast("double") if is_ts
+                    else c.cast("double"))
+
+        gap = F.abs(secs(F.col("__ts")) - secs(F.col("__m.mts")))
+        val = F.when(gap <= float(tolerance_s), val)
+    return (
+        carried.filter(F.col("__side") == 1)
+        .withColumn(right_value_as, val)
+        .drop("__ts", "__side", "__rv", "__pair", "__m")
+    )

@@ -531,3 +531,78 @@ def join_interval_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("err_id")
         .agg(F.count(F.lit(1)).alias("n_purchases"))
     )
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH errors    AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events WHERE event_type = 'error'),
+         purchases AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                       FROM events WHERE event_type = 'purchase')
+    SELECT e.event_id, e.user_id, e.ts AS error_ts,
+           p.ts AS next_purchase_ts
+    FROM errors e ASOF LEFT JOIN purchases p
+      ON e.user_id = p.user_id AND e.ts <= p.ts
+    """,
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (pandas merge_asof direction='forward'):
+    for each error, the EARLIEST purchase at-or-after it by the same
+    user — did the error precede a conversion? Same union-scan shape
+    as the backward key with the in-partition scan order reversed;
+    still exactly one shuffle, zero row multiplication. Matches
+    DuckDB's ``ASOF ... ON l.ts <= r.ts`` inclusive semantics."""
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts")
+    return (
+        asof_join(errors, purchases, on="user_id",
+                  left_ts="ts", right_ts="ts",
+                  right_value_as="next_purchase_ts",
+                  direction="forward")
+        .select("event_id", "user_id", F.col("ts").alias("error_ts"),
+                "next_purchase_ts")
+    )
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH errors  AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events WHERE event_type = 'error'),
+         signups AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events WHERE event_type = 'signup')
+    SELECT e.event_id, e.user_id, e.ts AS error_ts,
+           CASE WHEN epoch_us(e.ts) - epoch_us(s.ts) <= 86400000000
+                THEN s.ts END AS recent_signup_ts
+    FROM errors e ASOF LEFT JOIN signups s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a match tolerance (pandas merge_asof
+    ``tolerance``): the latest signup at-or-before each error, but
+    only if it happened within the last 24 h — staler matches null
+    out. The matched timestamp rides the carried struct, so the
+    tolerance costs no extra shuffle; the oracle restates it as ASOF
+    plus a CASE on the epoch gap."""
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts")
+    return (
+        asof_join(errors, signups, on="user_id",
+                  left_ts="ts", right_ts="ts",
+                  right_value_as="recent_signup_ts",
+                  direction="backward", tolerance_s=86400.0)
+        .select("event_id", "user_id", F.col("ts").alias("error_ts"),
+                "recent_signup_ts")
+    )

@@ -105,3 +105,45 @@ def test_matches_duckdb_asof_on_events(spark):
         """).fetchall()
     }
     assert ours == theirs
+
+
+def test_asof_forward_and_tolerance_semantics(spark):
+    from lakehouse_automation_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10), (1, 50), (2, 5)], "k long, ts long")
+    right = spark.createDataFrame(
+        [(1, 12, "a"), (1, 40, "b"), (2, 100, "c")],
+        "k long, ts long, v string")
+
+    fwd = {(r["k"], r["ts"]): r["m"] for r in
+           asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     right_value="v", right_value_as="m",
+                     direction="forward").collect()}
+    # earliest right at-or-after
+    assert fwd == {(1, 10): "a", (1, 50): None, (2, 5): "c"}
+
+    tol = {(r["k"], r["ts"]): r["m"] for r in
+           asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                     right_value="v", right_value_as="m",
+                     direction="forward", tolerance_s=10).collect()}
+    # (1,10)->12 gap 2 ok; (2,5)->100 gap 95 nulled
+    assert tol == {(1, 10): "a", (1, 50): None, (2, 5): None}
+
+    back = {(r["k"], r["ts"]): r["m"] for r in
+            asof_join(left, right, on="k", left_ts="ts", right_ts="ts",
+                      right_value="v", right_value_as="m",
+                      tolerance_s=5).collect()}
+    # backward: (1,50)->40 gap 10 > 5 nulled; (1,10) no earlier right
+    assert back == {(1, 10): None, (1, 50): None, (2, 5): None}
+
+
+def test_asof_direction_validation(spark):
+    import pytest
+
+    from lakehouse_automation_spark.operators.asof import asof_join
+
+    df = spark.range(1).withColumn("ts", F.col("id"))
+    with pytest.raises(ValueError):
+        asof_join(df, df, on="id", left_ts="ts", right_ts="ts",
+                  direction="nearest")
