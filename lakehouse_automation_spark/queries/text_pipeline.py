@@ -999,3 +999,62 @@ def text_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ", F.slice("toks", F.col("s") + 1, F.lit(_CHUNK_LEN))))
              .alias("chunk_md5"))
     )
+
+
+# ---------------------------------------- unigram LM scoring (CCNet-style)
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY doc_id, tok
+    ), cnt AS (
+      SELECT tok, SUM(tf) AS c FROM tf GROUP BY tok
+    ), tot AS (
+      SELECT SUM(c) AS total FROM cnt
+    )
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+           round(SUM(tf.tf * ln(cnt.c / tot.total)) / SUM(tf.tf), 6)
+             AS avg_logprob
+    FROM tf JOIN cnt USING (tok) CROSS JOIN tot
+    GROUP BY tf.doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring, unigram tier (the CCNet /
+    Gopher perplexity-filter pattern with the LM trained on the corpus
+    itself — fully deterministic, no external model): per-doc mean
+    token log-probability under the corpus unigram distribution.
+    Low-scoring docs are gibberish / rare-token soup; high scorers are
+    stopword-heavy boilerplate — both ends get filtered in a real
+    pipeline. Shape at 100 TB: one tf aggregation (doc_id, tok), one
+    vocabulary aggregation, a shuffle join on tok (vocab ≪ corpus),
+    one doc_id agg. ln() is rounded at 6 dp in both engines (the
+    text_bm25_rank convention) so libm last-ulp noise never reaches
+    the hash."""
+    from ..operators.cache import tracked_persist
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks"))
+    # tf feeds BOTH the vocabulary agg and the per-doc join — persist
+    # or the explode+agg runs twice (the shingle-table rule)
+    tf = tracked_persist(
+        d.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cnt = tf.groupBy("tok").agg(F.sum("tf").alias("c"))
+    tot = cnt.agg(F.sum("c").alias("total"))
+    return (
+        tf.join(cnt, "tok").crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("tf")
+                      * F.log(F.col("c") / F.col("total")))
+                / F.sum("tf"), 6).alias("avg_logprob"))
+    )
