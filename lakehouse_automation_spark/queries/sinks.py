@@ -396,3 +396,63 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) for c in cols
     ])
     return one.select(F.explode(rows).alias("r")).select("r.*")
+
+
+@register(
+    "sink_dynamic_overwrite",
+    oracle="""
+    SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d')
+             AS event_date,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(
+             CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE)
+                       = DATE '2024-01-05'
+                  THEN value * 2 ELSE value END * 100) AS BIGINT))
+             AS BIGINT) AS cents
+    FROM events
+    WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-08'
+    GROUP BY 1
+    """,
+)
+def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition overwrite (INSERT OVERWRITE ... PARTITION):
+    ``partitionOverwriteMode=dynamic`` replaces ONLY the partitions
+    the incoming frame touches — here one day is re-stated with
+    corrected values while every other day's files are untouched (the
+    static default would wipe the whole table). The daily-restatement
+    pattern: at 100 TB, re-publishing one day costs one day's write,
+    not a table rewrite. The writer-level option avoids mutating the
+    session conf."""
+    import shutil
+    import tempfile
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .withColumn("event_date", F.col("ts").cast("date"))
+        .filter(F.col("event_date") <= F.lit("2024-01-08").cast("date"))
+        .select("event_id", "event_date", "value")
+    )
+    root = tempfile.mkdtemp(prefix="las_dynow_")
+    path = f"{root}/events"
+    try:
+        ev.write.partitionBy("event_date").parquet(path)
+        restated = (
+            ev.filter(F.col("event_date") == F.lit("2024-01-05").cast("date"))
+            .withColumn("value", F.col("value") * 2)
+        )
+        (restated.write
+         .partitionBy("event_date")
+         .option("partitionOverwriteMode", "dynamic")
+         .mode("overwrite")
+         .parquet(path))
+        return (
+            spark.read.parquet(path)
+            .groupBy(F.date_format("event_date", "yyyy-MM-dd")
+                     .alias("event_date"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .alias("cents"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -142,3 +142,41 @@ def test_udf_keys_smoke(spark, sf_dir, key):
     """Exact values are oracle-gated; here: the keys run and return rows
     on the smoke fixture."""
     assert REGISTRY[key].fn(spark, sf_dir).count() > 0
+
+
+def test_dynamic_overwrite_leaves_other_partitions_untouched(spark, tmp_path):
+    """The dynamic mode's physical claim: only the restated partition's
+    files change — other partition dirs keep their exact files."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}", float(i)) for i in range(30)],
+        "id long, d string, v double").withColumn("d", F.col("d").cast("date"))
+    path = str(tmp_path / "t")
+    df.write.partitionBy("d").parquet(path)
+    before = {p: os.path.getmtime(p)
+              for p in glob.glob(f"{path}/d=*/**/*.parquet", recursive=True)}
+
+    (df.filter(F.col("d") == F.lit("2024-01-02").cast("date"))
+     .withColumn("v", F.col("v") + 1000)
+     .write.partitionBy("d")
+     .option("partitionOverwriteMode", "dynamic")
+     .mode("overwrite").parquet(path))
+
+    after_files = set(glob.glob(f"{path}/d=*/**/*.parquet", recursive=True))
+    untouched = {p for p in before if "d=2024-01-02" not in p}
+    # untouched partitions: same files, same mtimes
+    assert untouched <= after_files
+    for p in untouched:
+        assert os.path.getmtime(p) == before[p]
+    # restated partition: new files
+    old_restated = {p for p in before if "d=2024-01-02" in p}
+    assert not (old_restated & after_files)
+    # content: only the restated day shifted
+    got = {str(r["d"]): r["s"] for r in
+           spark.read.parquet(path).groupBy("d")
+           .agg(F.sum("v").alias("s")).collect()}
+    assert got["2024-01-02"] > 1000
