@@ -90,8 +90,8 @@ _SWEEP_ORDER = [
     # (tf_zorder, agg_sketch_setops, agg_approx_topk,
     # win_pattern_detect, tf_constraints, tf_verify, tf_history,
     # text_chunk_split, join_asof_forward, join_asof_tolerance,
-    # text_unigram_logprob, sink_dynamic_overwrite — local oracle
-    # greens recorded, never
+    # text_unigram_logprob, sink_dynamic_overwrite,
+    # stream_static_join — local oracle greens recorded, never
     # officially swept), then the displaced r3
     # Tier-A / SQL-surface re-confirms
     # (incremental_load, sql_to_pandas, ddl_exec, bulk_load,

@@ -275,3 +275,35 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")))
         .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts")
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join (the enrichment pattern): each micro-batch
+    of the event stream joins a STATIC dimension — no state, no
+    watermark, the dim is broadcast to every batch. The batch
+    restatement here is plan-identical (broadcast hash join under the
+    streaming micro-batch); the LIVE run — readStream + broadcast dim
+    + availableNow — is asserted against this result in
+    tests/test_streaming.py. At 100 TB the dim refresh cadence is the
+    knob: re-broadcast per batch (Spark's default behavior for a
+    re-read dim) or pin a snapshot for the run."""
+    ev = t(spark, sf_dir, "events").select("user_id", "value")
+    dim = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment"))
+    return (
+        ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )

@@ -246,3 +246,30 @@ def test_stream_lands_one_acid_commit_per_microbatch(spark, tmp_path):
     assert tbl.read().count() == 9
     # each snapshot is a complete batch boundary: row counts step by 3
     assert [tbl.read(version=v).count() for v in (0, 1, 2)] == [3, 6, 9]
+
+
+def test_stream_static_join_matches_batch(spark, tmp_path):
+    """Live stream-static enrichment: each micro-batch broadcast-joins
+    the same static dim; the union of batch outputs equals the batch
+    join. Three files -> three micro-batches, so the dim provably
+    serves multiple batches."""
+    src = str(tmp_path / "src")
+    rows = [(i, T0 + dt.timedelta(minutes=i), float(i % 4)) for i in range(12)]
+    _land(spark, os.path.join(src, "a"), rows[:4])
+    _land(spark, os.path.join(src, "b"), rows[4:8])
+    _land(spark, os.path.join(src, "c"), rows[8:])
+
+    dim = spark.createDataFrame(
+        [(float(k), f"seg{k}") for k in range(4)], "k double, seg string")
+
+    def build(stream):
+        return (stream.join(F.broadcast(dim),
+                            stream.value == dim.k)
+                .select("event_id", "seg"))
+
+    captured = _run_stream(spark, src, tmp_path, build, "append")
+    assert len([1 for _, rows_ in captured if rows_]) >= 3
+    got = sorted((r["event_id"], r["seg"])
+                 for _, rows_ in captured for r in rows_)
+    want = sorted((i, f"seg{i % 4}") for i in range(12))
+    assert got == want
