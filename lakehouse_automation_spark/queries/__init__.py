@@ -46,59 +46,54 @@ from . import events_analytics  # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). After round 4 every key has an
-# official green; round 5 re-confirms the oldest cohort: all 37 keys
-# whose latest green is r2, plus the four round-5-new keys
-# (tf_cdc_updates + the curation trio), plus call_proc (limit-guard
-# change this round), plus the 8 oldest-r3 Tier-A / SQL-surface keys
-# including tf_merge_cow (tableformat.py churn this round).
-# vec_neardup_lsh was
-# considered (VERDICT r4 watch item) but measurement showed the 2.03 s
-# was host noise — min-of-6 re-run: 1.47 s vs 1.49 s baseline, no code
-# change, r4 green still covers it. All 50 are pure batch keys — the
-# wedge-isolation tail rule (live-stream keys last) is vacuously
-# satisfied this round.
+# derives it — never hand-count). Round-5 priority, in order:
+#
+#   1. EVERY never-officially-swept key (32 of them — the round-5 new
+#      operator batches plus the five late-round-4 keys). A key with
+#      no official green at all is strictly higher risk than one whose
+#      green is merely two rounds old, so these take the fold first.
+#   2. call_proc — its implementation changed this round (limit
+#      guard), so its r3 green no longer covers the shipped code.
+#   3. The 17 highest-traffic r2-cohort re-confirms (flagship, core
+#      joins/aggs/windows). The remaining 20 r2 keys and the r3
+#      cohort queue for round 6 — derive with tools/sweep_plan.py.
+#
+# vec_neardup_lsh (VERDICT r4 watch item) stays out: measurement
+# showed the 2.03 s was host noise — min-of-6 re-run 1.47 s vs 1.49 s
+# baseline, no code change, r4 green still covers it. All 50 fold
+# keys are pure batch — the wedge-isolation tail rule (live-stream
+# keys last) is vacuously satisfied.
 _SWEEP_ORDER = [
-    # --- 37 r2-cohort re-confirms (oldest official greens) ---
-    "flagship_pricing_summary", "scan_parquet", "project_rename_cast",
-    "filter_pred", "filter_in_between_like", "case_when",
-    "join_inner_equi", "join_broadcast", "join_outer", "join_semi",
-    "join_anti", "join_self", "join_theta_range",
-    "agg_hash_basic", "agg_distinct", "agg_percentile", "agg_rollup",
-    "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect",
-    "agg_stddev_corr", "agg_pivot",
-    "win_rank", "win_analytic", "win_frame_rows", "win_frame_range",
-    "sort_multi", "topk", "sample",
-    "set_union", "set_intersect", "dedup", "fn_string",
-    # --- new in round 5 (never officially swept — must be in-fold) ---
+    # --- 1: never-officially-swept (registration order) ---
     "tf_cdc_updates", "text_decontaminate", "mixture_sample",
     "pack_sequences", "vec_ivf_index_persisted",
-    # --- key whose implementation changed in round 5 ---
-    "call_proc",
-    # --- new in round 5, second batch (never officially swept; brand-
-    # new keys outrank r3 re-confirms for fold slots — tf_restore /
-    # tf_clone also re-exercise the round-5 tableformat churn that had
-    # motivated the tf_merge_cow slot they displaced) ---
     "sessionize_events", "event_funnel", "retention_cohort",
     "agg_sketch_rollup", "join_bloom_filtered", "tf_restore", "tf_clone",
-    # --- new in round 5, third batch (the three displaced r2 slots
-    # were set_union_all / set_except / distinct_proj — the trivial,
-    # unchanged-since-r2 set ops with the least re-confirm value) ---
     "text_incremental_dedup", "mv_incremental_refresh", "profile_table",
+    "join_asof_forward", "join_asof_tolerance", "join_null_safe",
+    "set_intersect_all", "set_except_all", "fn_try_arith",
+    "stream_static_join", "text_chunk_split", "text_unigram_logprob",
+    "sink_dynamic_overwrite", "tf_zorder", "tf_constraints",
+    "tf_verify", "tf_history", "agg_sketch_setops", "agg_approx_topk",
+    "win_pattern_detect",
+    # --- 2: implementation changed this round ---
+    "call_proc",
+    # --- 3: r2-cohort re-confirms (17 highest-traffic of the 37) ---
+    "flagship_pricing_summary", "scan_parquet", "project_rename_cast",
+    "filter_pred", "case_when",
+    "join_inner_equi", "join_broadcast", "join_outer", "join_semi",
+    "join_anti", "join_self",
+    "agg_hash_basic", "agg_distinct", "agg_rollup",
+    "win_rank", "sort_multi", "dedup",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-6 queue: FIRST the round-5 keys born after the fold filled
-    # (tf_zorder, agg_sketch_setops, agg_approx_topk,
-    # win_pattern_detect, tf_constraints, tf_verify, tf_history,
-    # text_chunk_split, join_asof_forward, join_asof_tolerance,
-    # text_unigram_logprob, sink_dynamic_overwrite,
-    # stream_static_join — local oracle greens recorded, never
-    # officially swept), then the displaced r3
-    # Tier-A / SQL-surface re-confirms
-    # (incremental_load, sql_to_pandas, ddl_exec, bulk_load,
-    # catalog_list, storage_mount, tf_merge_cow), then ledger_insert,
-    # ledger_topk, retry_exec, exec_timing, multi_stmt_exec + the
-    # remaining r3 cohort (streaming_batch, text/vec pipeline, sinks,
-    # udfs); derive the list with tools/sweep_plan.py.
+    # Round-6 queue: the 20 remaining r2 re-confirms
+    # (filter_in_between_like, join_theta_range, agg_percentile,
+    # agg_cube, agg_grouping_sets, agg_having, agg_collect,
+    # agg_stddev_corr, agg_pivot, win_analytic, win_frame_rows,
+    # win_frame_range, topk, sample, set_union_all, set_union,
+    # set_intersect, set_except, distinct_proj, fn_string), then the
+    # r3 cohort (Tier-A/SQL surface, streaming_batch, text/vec
+    # pipeline, sinks, udfs); derive with tools/sweep_plan.py.
 ]
 
 

@@ -606,3 +606,38 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", F.col("ts").alias("error_ts"),
                 "recent_signup_ts")
     )
+
+
+@register(
+    "join_null_safe",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, nullif(o_custkey % 50, 7) AS grp
+      FROM orders
+    ), d AS (
+      SELECT DISTINCT nullif(o_custkey % 50, 7) AS grp FROM orders
+    )
+    SELECT COALESCE(CAST(d.grp AS VARCHAR), 'NULL') AS grp_key,
+           COUNT(l.o_orderkey) AS n
+    FROM d JOIN l ON l.grp IS NOT DISTINCT FROM d.grp
+    GROUP BY 1
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of vanishing — the semantics SCD
+    lookups and sentinel-coded dimensions need. One of fifty groups is
+    nulled via nullif; the plain equi-join would silently drop every
+    such row, the null-safe join accounts for all of them (the n sum
+    equals the table count, pytest-pinned). Plans as a normal hash
+    join — ``<=>`` is a valid equi-join key, no nested loop."""
+    o = t(spark, sf_dir, "orders")
+    grp = F.nullif(F.col("o_custkey") % 50, F.lit(7))
+    l = o.select("o_orderkey", grp.alias("grp"))
+    d = o.select(grp.alias("d_grp")).distinct()
+    return (
+        d.join(l, l["grp"].eqNullSafe(d["d_grp"]))
+        .groupBy(F.coalesce(F.col("d_grp").cast("string"), F.lit("NULL"))
+                 .alias("grp_key"))
+        .agg(F.count("o_orderkey").alias("n"))
+    )

@@ -227,3 +227,36 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(F.col("c_name"), 256).alias("name_sha256"),
         F.length("c_name").cast("bigint").alias("name_len"),
     )
+
+
+@register(
+    "fn_try_arith",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_quantity - l_quantity = 0 THEN NULL
+                ELSE l_extendedprice / (l_quantity - l_quantity)
+           END AS div_by_zero,
+           try_cast(l_returnflag AS INT) AS flag_as_int,
+           CASE WHEN l_linenumber - 1 = 0 THEN NULL
+                ELSE CAST(floor(CAST(l_quantity AS BIGINT)
+                          / (l_linenumber - 1)) AS BIGINT) END AS qty_per_prev
+    FROM lineitem
+    """,
+)
+def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic under ANSI mode (Spark 4 default): plain
+    ``/ 0`` and bad casts THROW; ``try_divide``/``try_cast`` return
+    NULL instead — the difference between a 100-TB job dying at hour
+    three on one malformed row and the row nulling out. The oracle
+    restates each try_* as its CASE-guarded equivalent."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"),
+                     F.col("l_quantity") - F.col("l_quantity"))
+         .alias("div_by_zero"),
+        F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
+        F.floor(F.try_divide(F.col("l_quantity").cast("long"),
+                             F.col("l_linenumber") - 1))
+         .cast("long").alias("qty_per_prev"),
+    )

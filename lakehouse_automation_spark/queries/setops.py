@@ -118,3 +118,44 @@ def dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def distinct_proj(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT over a projection."""
     return t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — the multiset variant: a customer with 3 open
+    and 2 filled orders appears twice (min of multiplicities), where
+    plain INTERSECT collapses to one. Spark's ``intersectAll`` plans
+    as a count-compare aggregate + generate, one shuffle per side."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        .intersectAll(
+            o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: multiplicities subtract
+    (3 open − 2 filled leaves the customer once), where plain EXCEPT
+    removes the customer entirely."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+        .exceptAll(
+            o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
