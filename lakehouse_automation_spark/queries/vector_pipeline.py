@@ -17,7 +17,7 @@ approximate tier (SURVEY §5).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.vector import (
     BITS_PER_BAND,
@@ -526,3 +526,88 @@ def vec_semantic_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cluster_size"),
         )
     )
+
+
+_MRL_D = 16       # coarse prefix dims (matryoshka truncation)
+_MRL_SHORT = 50   # shortlist size reranked at full dimension
+
+
+@register(
+    "vec_matryoshka_topk",
+    oracle=f"""
+    WITH n AS ({_VNORM}),
+    n16 AS (
+      SELECT vec_id, v, nrm,
+             sqrt(list_sum(list_transform(range(1, {_MRL_D + 1}),
+                                          i -> v[i] * v[i]))) AS nrm16
+      FROM n
+    ),
+    q AS (
+      SELECT vec_id AS q_id, v AS qv, nrm AS qn, nrm16 AS qn16
+      FROM n16 WHERE vec_id < 5
+    ),
+    coarse AS (
+      SELECT q.q_id, c.vec_id,
+             round(list_sum(list_transform(range(1, {_MRL_D + 1}),
+                                           i -> q.qv[i] * c.v[i]))
+                   / (q.qn16 * c.nrm16), {SIM_DECIMALS}) AS s16
+      FROM q JOIN n16 c ON q.q_id != c.vec_id
+    ),
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY s16 DESC, vec_id) AS crk
+        FROM coarse) WHERE crk <= {_MRL_SHORT}
+    ),
+    rr AS (
+      SELECT s.q_id, s.vec_id,
+             {_sim('q.qv', 'c.v', 'q.qn', 'c.nrm')} AS sim_r
+      FROM short s
+      JOIN q ON s.q_id = q.q_id
+      JOIN n16 c ON s.vec_id = c.vec_id
+    )
+    SELECT q_id, vec_id, sim_r, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rk
+      FROM rr) WHERE rk <= 10
+    """,
+)
+def vec_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka (MRL) two-stage ANN: score EVERY vector on only the
+    first 16 dimensions (4x less arithmetic and — with the prefix
+    stored as its own column — 4x less I/O), shortlist 50 per query,
+    rerank the shortlist at the full 64 dims. The coarse stage carries
+    IDS ONLY through its shuffle; full vectors re-attach to just the
+    50-per-query shortlist. Unlike IVF this prunes computation without
+    training or partitioning — the accuracy knob is the prefix length
+    MRL-trained embeddings are built for. Fully deterministic, so the
+    oracle replays both stages (same fold order, 9-dp rounding,
+    vec_id tiebreak)."""
+    from ..operators.vector import cosine_sim, dot, norm, with_vnorm
+
+    n = (with_vnorm(t(spark, sf_dir, "embeddings"))
+         .withColumn("nrm16", norm("v", _MRL_D)))
+    q = F.broadcast(
+        n.filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"), F.col("nrm16").alias("qn16")))
+
+    s16 = F.round(dot("qv", "v", _MRL_D) / (F.col("qn16") * F.col("nrm16")),
+                  SIM_DECIMALS)
+    wc = Window.partitionBy("q_id").orderBy(F.desc("s16"), F.asc("vec_id"))
+    short = (
+        q.join(n, F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", s16.alias("s16"))  # ids only past here
+        .withColumn("crk", F.row_number().over(wc))
+        .filter(F.col("crk") <= _MRL_SHORT)
+        .select("q_id", "vec_id")
+    )
+    rr = (
+        short.join(q, "q_id")
+        .join(n.select("vec_id", "v", "nrm"), "vec_id")
+        .select("q_id", "vec_id",
+                cosine_sim("qv", "v", "qn", "nrm").alias("sim_r"))
+    )
+    wr = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    return (rr.withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= 10))

@@ -240,3 +240,29 @@ def test_adaptive_banding_never_leaves_runt_bands():
     # monotone: a bigger corpus never gets a smaller signature
     widths = [adaptive_bits_per_band(n) for n in range(1, 50_000, 997)]
     assert widths == sorted(widths)
+
+
+def test_matryoshka_recall_vs_exact(spark, emb):
+    """The 16-of-64-dim coarse stage must carry real signal: recall@10
+    of the 50-wide shortlist far above the random-shortlist baseline.
+    The testdata embeddings are random (not MRL-trained), so the
+    prefix/full-sim correlation is only ~sqrt(16/64)=0.5 — measured
+    recall ~0.44 vs a 50/499~0.10 baseline. MRL-trained embeddings
+    concentrate the signal in the prefix and push this toward 1."""
+    from lakehouse_automation_spark.queries import REGISTRY
+    from lakehouse_automation_spark.queries.vector_pipeline import _MRL_SHORT
+
+    k = 10
+    exact = _exact_topk_sets(emb, 5, k)
+    approx = {}
+    rows = REGISTRY["vec_matryoshka_topk"].fn(
+        spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+    assert all(len(v) == k for v in approx.values())
+    recall = (sum(len(exact[q] & approx.get(q, set())) for q in exact)
+              / (len(exact) * k))
+    n_corpus = emb.count()
+    baseline = _MRL_SHORT / (n_corpus - 1)
+    assert recall >= 3 * baseline, (
+        f"matryoshka recall {recall:.2f} vs random baseline {baseline:.2f}")
