@@ -48,14 +48,14 @@ from . import events_analytics  # noqa: E402,F401
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
 # derives it — never hand-count). Round-5 priority, in order:
 #
-#   1. EVERY never-officially-swept key (33 of them — the round-5 new
+#   1. EVERY never-officially-swept key (34 of them — the round-5 new
 #      operator batches plus the five late-round-4 keys). A key with
 #      no official green at all is strictly higher risk than one whose
 #      green is merely two rounds old, so these take the fold first.
 #   2. call_proc — its implementation changed this round (limit
 #      guard), so its r3 green no longer covers the shipped code.
-#   3. The 16 highest-traffic r2-cohort re-confirms (flagship, core
-#      joins/aggs/windows). The remaining 21 r2 keys and the r3
+#   3. The 15 highest-traffic r2-cohort re-confirms (flagship, core
+#      joins/aggs/windows). The remaining 22 r2 keys and the r3
 #      cohort queue for round 6 — derive with tools/sweep_plan.py.
 #
 # vec_neardup_lsh (VERDICT r4 watch item) stays out: measurement
@@ -75,23 +75,24 @@ _SWEEP_ORDER = [
     "stream_static_join", "text_chunk_split", "text_unigram_logprob",
     "sink_dynamic_overwrite", "tf_zorder", "tf_constraints",
     "tf_verify", "tf_history", "agg_sketch_setops", "agg_approx_topk",
-    "win_pattern_detect", "vec_matryoshka_topk",
+    "win_pattern_detect", "vec_matryoshka_topk", "udf_grouped_agg",
     # --- 2: implementation changed this round ---
     "call_proc",
-    # --- 3: r2-cohort re-confirms (16 highest-traffic of the 37) ---
+    # --- 3: r2-cohort re-confirms (15 highest-traffic of the 37) ---
     "flagship_pricing_summary", "scan_parquet", "project_rename_cast",
     "filter_pred", "case_when",
     "join_inner_equi", "join_broadcast", "join_outer", "join_semi",
     "join_anti", "join_self",
     "agg_hash_basic", "agg_distinct", "agg_rollup",
-    "win_rank", "sort_multi",
+    "win_rank",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-6 queue: the 21 remaining r2 re-confirms
+    # Round-6 queue: the 22 remaining r2 re-confirms
     # (filter_in_between_like, join_theta_range, agg_percentile,
     # agg_cube, agg_grouping_sets, agg_having, agg_collect,
     # agg_stddev_corr, agg_pivot, win_analytic, win_frame_rows,
-    # win_frame_range, topk, sample, set_union_all, set_union,
-    # set_intersect, set_except, dedup, distinct_proj, fn_string),
+    # win_frame_range, sort_multi, topk, sample, set_union_all,
+    # set_union, set_intersect, set_except, dedup, distinct_proj,
+    # fn_string),
     # then the
     # r3 cohort (Tier-A/SQL surface, streaming_batch, text/vec
     # pipeline, sinks, udfs); derive with tools/sweep_plan.py.

@@ -157,3 +157,40 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM documents_v d, LATERAL las_tokenize(d.text) tk "
         "WHERE d.doc_id < 5"
     )
+
+
+@register(
+    "udf_grouped_agg",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           round(exp(avg(ln(l_quantity))), 6) AS geo_mean_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE via a pandas GROUPED_AGG UDF — the last cell
+    of the UDF matrix (scalar / grouped-map / UDTF / SQL-registered
+    are the other keys): a geometric mean, which no built-in provides.
+    Arrow ships each group's column once; the Python function reduces
+    it to a scalar (series-to-scalar contract), so this behaves like
+    a first-class agg in groupBy/agg — including partial application
+    to window frames. 6-dp rounding absorbs the summation-order drift
+    between numpy's mean and the oracle's sequential avg."""
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.astype("float64")).mean()))
+
+    li = t(spark, sf_dir, "lineitem")
+    # Spark refuses pandas + JVM aggregates in ONE agg
+    # (INVALID_PANDAS_UDF_PLACEMENT): the exact count joins back from
+    # its own aggregation — both group on the same key, and the join
+    # sides are #groups-sized.
+    geo = (li.groupBy("l_returnflag")
+           .agg(F.round(geo_mean("l_quantity"), 6).alias("geo_mean_qty")))
+    cnt = (li.groupBy("l_returnflag")
+           .agg(F.count(F.lit(1)).alias("n")))
+    return cnt.join(geo, "l_returnflag").select(
+        "l_returnflag", "n", "geo_mean_qty")
