@@ -89,12 +89,14 @@ def asof_join(
         "__m", F.last("__pair", ignorenulls=True).over(w))
     val = F.col("__m.mv")
     if tolerance_s is not None:
-        # seconds for timestamps (ntz needs the two-step cast),
-        # identity for numerics
-        is_ts = dict(unioned.dtypes)["__ts"].startswith("timestamp")
+        # seconds for temporal types (ntz and DATE both need the
+        # two-step cast — neither casts to double directly), identity
+        # for numerics
+        dt_ts = dict(unioned.dtypes)["__ts"]
+        is_temporal = dt_ts.startswith("timestamp") or dt_ts == "date"
 
         def secs(c: Column) -> Column:
-            return (c.cast("timestamp").cast("double") if is_ts
+            return (c.cast("timestamp").cast("double") if is_temporal
                     else c.cast("double"))
 
         gap = F.abs(secs(F.col("__ts")) - secs(F.col("__m.mts")))

@@ -421,11 +421,15 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     maxItemsTracked=100 >= the column's cardinality here, so the
     sketch counts are provably exact and the oracle pins est_exact;
     on a genuinely high-cardinality column the same plan returns
-    epsilon-approximate counts. Exact counts re-verify via one
-    aggregation; ties break on event_type in both engines."""
+    epsilon-approximate counts. The sketch is asked for MORE items
+    than the final cut and the top-3 is taken by an explicit
+    (count desc, event_type) sort on the verified exact counts — the
+    sketch's own ordering among tied counts is unspecified, so cutting
+    inside the sketch would flake against the oracle on a tie at the
+    boundary."""
     ev = t(spark, sf_dir, "events")
     approx = (
-        ev.agg(F.expr("approx_top_k(event_type, 3, 100)").alias("tk"))
+        ev.agg(F.expr("approx_top_k(event_type, 10, 100)").alias("tk"))
         .select(F.explode("tk").alias("e"))
         .select(F.col("e.item").alias("event_type"),
                 F.col("e.count").alias("est"))
@@ -436,6 +440,7 @@ def agg_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n",
                 (F.col("est") == F.col("n")).alias("est_exact"))
         .orderBy(F.desc("n"), "event_type")
+        .limit(3)
     )
 
 

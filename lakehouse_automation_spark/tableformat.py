@@ -173,6 +173,16 @@ class CowTable:
             if bad:
                 raise ConstraintViolationError(f"{name}: {expr}", bad)
 
+    def _read_chunks(self, chunks: list[str]) -> DataFrame:
+        """Snapshot-REWRITE read: always mergeSchema, because a rewrite
+        (merge/delete/compact) REPLACES chunks — a plain multi-chunk
+        read infers the schema from one file's footer and can silently
+        drop a column only some chunks carry (additive evolution),
+        making the loss permanent. Plain snapshot READS keep
+        mergeSchema opt-in (:meth:`read`) since they can't lose data."""
+        return (self.spark.read.option("mergeSchema", "true")
+                .parquet(*[os.path.join(self.path, c) for c in chunks]))
+
     # ------------------------------------------------------------ log
 
     def _log_dir(self) -> str:
@@ -520,8 +530,14 @@ class CowTable:
                 ins.join(del_keys, keys, "left_semi")
                 .withColumn("_change_type", F.lit("update_postimage")))
         )
-        publish_ts = dt.datetime.fromtimestamp(os.path.getmtime(
-            os.path.join(self._log_dir(), _vname(v_to))))
+        # committed_at is recorded INSIDE the manifest at publish time,
+        # so it survives rsync/cp/object-store gateways that rewrite
+        # file mtimes; mtime is only the fallback for pre-committed_at
+        # manifests
+        man_v_to = self.manifest(v_to)
+        epoch = man_v_to.get("committed_at") or os.path.getmtime(
+            os.path.join(self._log_dir(), _vname(v_to)))
+        publish_ts = dt.datetime.fromtimestamp(epoch)
         return (out.withColumn("_commit_version", F.lit(v_to))
                    .withColumn("_commit_timestamp",
                                F.lit(publish_ts).cast("timestamp")))
@@ -607,16 +623,14 @@ class CowTable:
         keys = [key] if isinstance(key, str) else list(key)
         self._enforce(updates)  # only the incoming rows re-validate
         man = self.manifest()
-        base = (self.spark.read.parquet(
-                    *[os.path.join(self.path, c) for c in man["chunks"]])
+        base = (self._read_chunks(man["chunks"])
                 .withColumn("_file", F.input_file_name()))
         matched = base.join(F.broadcast(updates.select(*keys).distinct()),
                             on=keys, how="left_semi")
         touched = self._touched_chunks(matched, man)
         untouched = [c for c in man["chunks"] if c not in touched]
         to_rewrite = (
-            self.spark.read.parquet(
-                *[os.path.join(self.path, c) for c in touched])
+            self._read_chunks(touched)
             if touched else base.drop("_file").limit(0)
         )
         merged = merge_upsert(to_rewrite, updates, keys)
@@ -637,8 +651,7 @@ class CowTable:
         evaluates to NULL (e.g. a null column), losing rows that no
         DELETE statement would touch."""
         man = self.manifest()
-        base = (self.spark.read.parquet(
-                    *[os.path.join(self.path, c) for c in man["chunks"]])
+        base = (self._read_chunks(man["chunks"])
                 .withColumn("_file", F.input_file_name()))
         touched = self._touched_chunks(base.filter(cond), man)
         untouched = [c for c in man["chunks"] if c not in touched]
@@ -647,8 +660,7 @@ class CowTable:
         fstats = self._carry_stats(untouched, man, "file_stats")
         if touched:
             keep = (
-                self.spark.read.parquet(
-                    *[os.path.join(self.path, c) for c in touched])
+                self._read_chunks(touched)
                 .filter(cond.isNull() | ~cond)
             )
             chunk = self._write_chunk(keep, "delete")
@@ -685,8 +697,7 @@ class CowTable:
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
         man = self.manifest()
-        df = self.spark.read.parquet(
-            *[os.path.join(self.path, c) for c in man["chunks"]])
+        df = self._read_chunks(man["chunks"])
         if sort_by:
             df = (df.repartitionByRange(n_files, *sort_by)
                   .sortWithinPartitions(*sort_by))
@@ -726,6 +737,10 @@ class CowTable:
         z = F.lit(0).cast("long")
         for i, c in enumerate(cols):
             lo, hi = rng[f"lo_{c}"], rng[f"hi_{c}"]
+            if lo is None or hi is None:
+                # all-NULL column (or empty table): no discriminating
+                # bits to contribute — constant 0, like a constant col
+                continue
             span = max(int(hi) - int(lo), 0) + 1
             # scale THROUGH double: (x-lo)*2^16 overflows int64 for
             # epoch-micros spans, and int64 step-division would leave
@@ -840,7 +855,17 @@ class CowTable:
                     if n_rows == 0:
                         continue  # Spark's empty part files: no-op adds
                     st = os.stat(full)
-                    out[os.path.relpath(full, self.path)] = (
+                    # chunks under the table root export as relative
+                    # paths; a shallow clone's source-owned chunks live
+                    # OUTSIDE the root, and a '../'-relative path would
+                    # break as soon as the clone directory moves — the
+                    # Delta protocol allows absolute URIs for exactly
+                    # this (its own shallow clones use them)
+                    inside = (os.path.commonpath([full, self.path])
+                              == self.path)
+                    key = (os.path.relpath(full, self.path) if inside
+                           else "file://" + full)
+                    out[key] = (
                         chunk, os.path.relpath(full, cdir),
                         st.st_size, int(st.st_mtime * 1000), n_rows)
             chunk_files[chunk] = out

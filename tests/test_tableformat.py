@@ -535,3 +535,67 @@ def test_history_ops_and_timestamps(spark, tmp_path):
     ts = [m["committed_at"] for m in hist]
     assert all(isinstance(x, float) for x in ts)
     assert ts == sorted(ts)
+
+
+def test_rewrites_preserve_evolved_columns(spark, tmp_path):
+    """compact/merge/delete after additive schema evolution must carry
+    the evolved column: a plain multi-chunk read infers from one
+    footer and could silently drop it — permanent loss once the
+    rewrite replaces the chunks (review finding, round 5)."""
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    def build(path):
+        tbl = CowTable.create(
+            spark, spark.range(10).withColumn("v", F.col("id")), path)
+        tbl.append(spark.range(10, 20).withColumn("v", F.col("id"))
+                   .withColumn("extra", F.lit("e")))
+        return tbl
+
+    c = build(str(tmp_path / "c"))
+    c.compact()
+    got = c.read(merge_schema=True)
+    assert "extra" in got.columns
+    assert got.filter(F.col("extra").isNotNull()).count() == 10
+
+    m = build(str(tmp_path / "m"))
+    m.merge(spark.range(5).withColumn("v", F.lit(99)), "id")
+    gm = m.read(merge_schema=True)
+    assert "extra" in gm.columns
+    assert gm.filter(F.col("extra").isNotNull()).count() == 10
+
+    d = build(str(tmp_path / "d"))
+    d.delete_where(F.col("id") == 15)
+    gd = d.read(merge_schema=True)
+    assert "extra" in gd.columns
+    assert gd.filter(F.col("extra").isNotNull()).count() == 9
+
+
+def test_delta_export_of_clone_uses_absolute_uris(spark, tmp_path):
+    """A shallow clone's source-owned chunks export as absolute
+    file:// URIs, never '../'-relative paths that break when the
+    clone directory moves."""
+    import json
+    import os
+
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    src = CowTable.create(
+        spark, spark.range(20).withColumn("v", F.col("id")),
+        str(tmp_path / "src"))
+    cl = src.clone(str(tmp_path / "cl"))
+    cl.append(spark.range(20, 30).withColumn("v", F.col("id")))
+    log_dir = cl.to_delta_manifest()
+    paths = []
+    for fn in sorted(os.listdir(log_dir)):
+        if not fn.endswith(".json"):
+            continue
+        for line in open(os.path.join(log_dir, fn)):
+            a = json.loads(line)
+            if "add" in a:
+                paths.append(a["add"]["path"])
+    assert paths
+    assert not any(p.startswith("..") for p in paths)
+    src_paths = [p for p in paths if p.startswith("file://")]
+    own_paths = [p for p in paths if not p.startswith("file://")]
+    assert src_paths, "source-owned chunks must export as absolute URIs"
+    assert own_paths, "clone-owned chunks must stay root-relative"

@@ -63,7 +63,12 @@ OFFSETS = {
         "l_partkey": ("part", "p_partkey"),
         "l_suppkey": ("supplier", "s_suppkey"),
     },
-    "events": {"event_id": None, "user_id": None},
+    # user_id offsets by the CUSTOMER key domain, not its own: events
+    # reference customers (stream_static_join / enrichment keys join
+    # user_id = c_custkey), and offsetting by the smaller events
+    # domain would point replica-r events at replica-0 customers —
+    # or, past 10 replicas, at no customer at all
+    "events": {"event_id": None, "user_id": ("customer", "c_custkey")},
     "documents": {"doc_id": None},
     "embeddings": {"vec_id": None},
 }
