@@ -46,56 +46,56 @@ from . import events_analytics  # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). Round-5 priority, in order:
+# derives it — never hand-count). Round-6 priority, in order
+# (no key has EVER been unswept since r5; this round is pure
+# freshness rotation, VERDICT r5 asks #1 and #6):
 #
-#   1. EVERY never-officially-swept key (34 of them — the round-5 new
-#      operator batches plus the five late-round-4 keys). A key with
-#      no official green at all is strictly higher risk than one whose
-#      green is merely two rounds old, so these take the fold first.
-#   2. call_proc — its implementation changed this round (limit
-#      guard), so its r3 green no longer covers the shipped code.
-#   3. The 15 highest-traffic r2-cohort re-confirms (flagship, core
-#      joins/aggs/windows). The remaining 22 r2 keys and the r3
-#      cohort queue for round 6 — derive with tools/sweep_plan.py.
+#   1. The full 22-key r2 cohort — the oldest official greens in the
+#      repo. After this round no key's green predates r3.
+#   2. tf_zorder + tf_constraints — their shared implementation
+#      changed this round (per-column z-bit budget 63//k; single-job
+#      constraint aggregation; ADVICE r5), so their r5 greens no
+#      longer cover the shipped code.
+#   3. 26 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
+#      family first (tf_merge_cow / table_compact / sink_upsert all
+#      took the mergeSchema-read change, c76b7bd), then Tier-A,
+#      streaming_batch, and the text-pipeline head in registration
+#      order. The 22-key remainder queues for round 7.
 #
-# vec_neardup_lsh (VERDICT r4 watch item) stays out: measurement
-# showed the 2.03 s was host noise — min-of-6 re-run 1.47 s vs 1.49 s
-# baseline, no code change, r4 green still covers it. All 50 fold
-# keys are pure batch — the wedge-isolation tail rule (live-stream
-# keys last) is vacuously satisfied.
+# All 50 fold keys are batch-checked — the wedge-isolation tail rule
+# (live-stream keys {tf_stream_ingest, lifecycle_daemon,
+# stream_custom_state, stream_stream_join} last) is vacuously
+# satisfied; the bounded-await streaming_batch keys are not live.
 _SWEEP_ORDER = [
-    # --- 1: never-officially-swept (registration order) ---
-    "tf_cdc_updates", "text_decontaminate", "mixture_sample",
-    "pack_sequences", "vec_ivf_index_persisted",
-    "sessionize_events", "event_funnel", "retention_cohort",
-    "agg_sketch_rollup", "join_bloom_filtered", "tf_restore", "tf_clone",
-    "text_incremental_dedup", "mv_incremental_refresh", "profile_table",
-    "join_asof_forward", "join_asof_tolerance", "join_null_safe",
-    "set_intersect_all", "set_except_all", "fn_try_arith",
-    "stream_static_join", "text_chunk_split", "text_unigram_logprob",
-    "sink_dynamic_overwrite", "tf_zorder", "tf_constraints",
-    "tf_verify", "tf_history", "agg_sketch_setops", "agg_approx_topk",
-    "win_pattern_detect", "vec_matryoshka_topk", "udf_grouped_agg",
+    # --- 1: the r2 cohort, registration order ---
+    "filter_in_between_like", "join_theta_range", "agg_percentile",
+    "agg_cube", "agg_grouping_sets", "agg_having", "agg_collect",
+    "agg_stddev_corr", "agg_pivot", "win_analytic", "win_frame_rows",
+    "win_frame_range", "sort_multi", "topk", "sample",
+    "set_union_all", "set_union", "set_intersect", "set_except",
+    "dedup", "distinct_proj", "fn_string",
     # --- 2: implementation changed this round ---
-    "call_proc",
-    # --- 3: r2-cohort re-confirms (15 highest-traffic of the 37) ---
-    "flagship_pricing_summary", "scan_parquet", "project_rename_cast",
-    "filter_pred", "case_when",
-    "join_inner_equi", "join_broadcast", "join_outer", "join_semi",
-    "join_anti", "join_self",
-    "agg_hash_basic", "agg_distinct", "agg_rollup",
-    "win_rank",
+    "tf_zorder", "tf_constraints",
+    # --- 3: r3 cohort head (26 of 48) ---
+    "tf_merge_cow", "table_compact", "sink_upsert",
+    "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
+    "sql_to_pandas", "ddl_exec", "multi_stmt_exec", "bulk_load",
+    "catalog_list", "storage_mount", "exec_timing",
+    "stream_tumbling_agg", "stream_sliding_agg", "stream_session",
+    "stream_watermark_late", "stream_dedup_state",
+    "stream_file_ingest", "stream_foreach_batch",
+    "text_tokenize_stats", "text_lang_id", "text_quality_score",
+    "text_fingerprint", "text_exact_dedup",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-6 queue: the 22 remaining r2 re-confirms
-    # (filter_in_between_like, join_theta_range, agg_percentile,
-    # agg_cube, agg_grouping_sets, agg_having, agg_collect,
-    # agg_stddev_corr, agg_pivot, win_analytic, win_frame_rows,
-    # win_frame_range, sort_multi, topk, sample, set_union_all,
-    # set_union, set_intersect, set_except, dedup, distinct_proj,
-    # fn_string),
-    # then the
-    # r3 cohort (Tier-A/SQL surface, streaming_batch, text/vec
-    # pipeline, sinks, udfs); derive with tools/sweep_plan.py.
+    # Round-7 queue: the 22 remaining r3 keys
+    # (text_ngram_jaccard, text_dedup_clusters, text_minhash_dedup,
+    # text_simhash, text_repetition, text_pii_redact, tfidf_keywords,
+    # vec_cosine_topk, vec_neardup_cosine, vec_ivf_topk,
+    # mm_decode_features, scan_csv_schema, scan_json, sink_parquet,
+    # sink_csv_header, sink_partitioned, analyze_stats, jdbc_source,
+    # udf_pandas_scalar, udf_sql_register, udf_grouped_map,
+    # udtf_lateral), then the r4 cohort; derive with
+    # tools/sweep_plan.py.
 ]
 
 

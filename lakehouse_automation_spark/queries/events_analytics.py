@@ -1,10 +1,12 @@
 """Batch event-stream analytics + sketch roll-up + Bloom join pruning.
 
-The reference's event surface is its synthetic activity feed
-(``datagen.py:62-135`` generates id/ts/user/type/value rows for the
-lakehouse refresh loop); the streaming keys consume it live, but a
-warehouse user ALSO runs the classic batch analytics over the same
-table: sessionization, funnel conversion, cohort retention. All three
+The ``events`` table (id/ts/user/type/value) is this repo's own
+synthetic activity feed — it extends the reference's periodic-CSV
+ingestion pattern (``datagen.py:62-135`` emits scheduled survey-row
+batches for the lakehouse refresh loop) to a timestamped stream; the
+streaming keys consume it live, but a warehouse user ALSO runs the
+classic batch analytics over the same table: sessionization, funnel
+conversion, cohort retention. All three
 are single-shuffle window/agg compositions here — the 100-TB shape is
 "partition by user_id once, chain every per-user computation on that
 partitioning" (Catalyst collapses same-key Window/groupBy chains into

@@ -142,6 +142,12 @@ class CowTable:
         self.spark = spark
         self.path = os.path.abspath(path)
         self._stats_cols_arg = list(stats_cols or [])
+        if ROWS_KEY in self._stats_cols_arg:
+            # the per-file row count shares the stats dict under this
+            # key; a column of the same name would overwrite its own
+            # [min, max] entry and corrupt the cstats fold / export
+            raise ValueError(
+                f"stats_cols may not contain the reserved key {ROWS_KEY!r}")
         self._constraints_arg = dict(constraints or {})
 
     @property
@@ -164,14 +170,28 @@ class CowTable:
         """Refuse the write if any row violates a CHECK constraint.
         SQL CHECK semantics: only rows where the expression evaluates
         to FALSE violate (NULL/unknown passes — express NOT NULL as
-        ``col IS NOT NULL``). One filter+count job over the incoming
-        batch, the same scan-validate Delta performs; the base table
-        is never re-validated."""
-        for name, expr in self.constraints.items():
-            bad = df.filter(
-                ~F.coalesce(F.expr(expr), F.lit(True))).count()
+        ``col IS NOT NULL``). ALL constraints are validated in ONE
+        aggregation job over the incoming batch (a sum of per-
+        constraint violation flags), the same scan-validate Delta
+        performs; the base table is never re-validated.
+
+        Determinism assumption: validation executes the incoming plan
+        once and the write executes it again, so a non-deterministic
+        input (``rand()``, sampling, a non-deterministic UDF) can pass
+        validation yet materialize different rows. Callers feeding
+        such plans must materialize first (persist / checkpoint /
+        write-then-read), exactly as Delta requires."""
+        items = list(self.constraints.items())
+        if not items:
+            return
+        counts = df.agg(*[
+            F.sum((~F.coalesce(F.expr(expr), F.lit(True))).cast("long"))
+            .alias(f"__v{i}")
+            for i, (_, expr) in enumerate(items)]).collect()[0]
+        for i, (name, expr) in enumerate(items):
+            bad = counts[f"__v{i}"] or 0
             if bad:
-                raise ConstraintViolationError(f"{name}: {expr}", bad)
+                raise ConstraintViolationError(f"{name}: {expr}", int(bad))
 
     def _read_chunks(self, chunks: list[str]) -> DataFrame:
         """Snapshot-REWRITE read: always mergeSchema, because a rewrite
@@ -718,11 +738,19 @@ class CowTable:
 
     def _zorder_value(self, df: DataFrame, cols: list[str]) -> Column:
         """Interleaved-bit Z-value over ``cols`` (numeric or
-        timestamp). Each column is scaled to [0, 2^16) with integer
+        timestamp). Each column is scaled to [0, 2^b) with integer
         arithmetic from its ACTUAL min/max — one metadata-scale agg
         (2 scalars per column, driver-side) — so the curve covers the
         occupied range, not the type range. Bit interleaving is plain
-        shift/and/or on longs: JVM-side, whole-stage-codegen'd."""
+        shift/and/or on longs: JVM-side, whole-stage-codegen'd.
+
+        Per-column bit width is ``min(16, 63 // len(cols))`` (Delta's
+        interleaving does the same budget split): the interleaved value
+        must fit the 63 non-sign bits of a long. A fixed 16-bit width
+        would put 4 columns' MSB on bit 63 (the sign bit, inverting the
+        top-level ordering) and ≥5 columns past it, where Spark's
+        ``shiftleft`` wraps the shift mod 64 and different columns'
+        bits silently collide."""
         def as_long(c: str) -> Column:
             dt = dict(df.dtypes)[c]
             col = F.col(c)
@@ -733,7 +761,8 @@ class CowTable:
         rng = df.agg(*[f for c in cols for f in
                        (F.min(as_long(c)).alias(f"lo_{c}"),
                         F.max(as_long(c)).alias(f"hi_{c}"))]).collect()[0]
-        k, bits = len(cols), self._Z_BITS
+        k = len(cols)
+        bits = min(self._Z_BITS, 63 // k)  # MSB at bits*k-1 <= 62
         z = F.lit(0).cast("long")
         for i, c in enumerate(cols):
             lo, hi = rng[f"lo_{c}"], rng[f"hi_{c}"]

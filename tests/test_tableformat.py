@@ -599,3 +599,40 @@ def test_delta_export_of_clone_uses_absolute_uris(spark, tmp_path):
     own_paths = [p for p in paths if not p.startswith("file://")]
     assert src_paths, "source-owned chunks must export as absolute URIs"
     assert own_paths, "clone-owned chunks must stay root-relative"
+
+
+def test_stats_cols_rejects_reserved_rows_key(spark, tmp_path):
+    """ROWS_KEY shares the per-file stats dict with column [min, max]
+    entries; a stats column of the same name would overwrite its own
+    entry and corrupt the chunk-stats fold / Delta export."""
+    import pytest
+
+    from lakehouse_automation_spark.tableformat import CowTable, ROWS_KEY
+
+    with pytest.raises(ValueError, match="reserved"):
+        CowTable(spark, str(tmp_path / "t"), stats_cols=[ROWS_KEY])
+    with pytest.raises(ValueError, match="reserved"):
+        CowTable.create(spark, spark.range(3), str(tmp_path / "t"),
+                        stats_cols=["id", ROWS_KEY])
+
+
+def test_constraints_all_checked_in_one_job(spark, tmp_path):
+    """_enforce aggregates every constraint in a single Spark job and
+    reports the FIRST violated constraint in definition order with its
+    exact violation count."""
+    import pytest
+
+    from lakehouse_automation_spark.tableformat import (
+        ConstraintViolationError, CowTable)
+
+    tbl = CowTable.create(
+        spark, spark.range(5).withColumn("v", F.col("id")),
+        str(tmp_path / "t"),
+        constraints={"v_nonneg": "v >= 0", "v_small": "v < 100"})
+    bad = spark.range(4).withColumn(
+        "v", F.when(F.col("id") < 3, F.lit(-1)).otherwise(F.lit(500)))
+    with pytest.raises(ConstraintViolationError) as ei:
+        tbl.append(bad)
+    # both constraints are violated; the first-declared one is reported
+    assert ei.value.constraint.startswith("v_nonneg")
+    assert ei.value.violations == 3

@@ -134,3 +134,27 @@ def test_pattern_detect_bursts_verified_by_pairs(spark):
             .groupBy(F.col("a.user_id").alias("user_id"))
             .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert got == want
+
+
+def test_zorder_many_columns_stays_in_sign_free_bits(spark, tmp_path):
+    """With k columns the per-column bit budget is 63 // k: 4-column
+    interleaving must not land a bit on the sign bit (which would
+    invert the top-level ordering) and 5-column must not wrap the
+    shift mod 64 (silent cross-column bit collisions). Pin both via
+    non-negativity and monotonicity in the dominant column."""
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    # the z-curve is monotone along its diagonal (all coordinates
+    # increasing together); a sign-bit hit or a wrapped shift breaks
+    # exactly that
+    df = spark.range(256).select(
+        *[F.col("id").alias(c) for c in ("a", "b", "c", "d", "e")])
+    tbl = CowTable.create(spark, df, str(tmp_path / "t"))
+    for cols in (["a", "b", "c", "d"], ["a", "b", "c", "d", "e"]):
+        z = (df.withColumn("__z", tbl._zorder_value(df, cols))
+             .select("a", "__z").collect())
+        k = len(cols)
+        assert all(r["__z"] >= 0 for r in z), f"sign bit hit for k={k}"
+        by_a = [r["__z"] for r in sorted(z, key=lambda r: r["a"])]
+        assert by_a == sorted(by_a), f"diagonal ordering corrupted for k={k}"
+        assert by_a[0] < by_a[-1], f"z-value degenerate for k={k}"
