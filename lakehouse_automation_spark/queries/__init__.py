@@ -52,15 +52,18 @@ from . import events_analytics  # noqa: E402,F401
 #
 #   1. The full 22-key r2 cohort — the oldest official greens in the
 #      repo. After this round no key's green predates r3.
-#   2. tf_zorder + tf_constraints — their shared implementation
-#      changed this round (per-column z-bit budget 63//k; single-job
-#      constraint aggregation; ADVICE r5), so their r5 greens no
-#      longer cover the shipped code.
-#   3. 26 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
+#   2. sessionize_salted — NEW this round (never swept; the two-level
+#      window-skew mitigation measured in SCALE.md §sf1skew), plus
+#      tf_zorder + tf_constraints + sink_partitioned, whose
+#      implementation changed this round (per-column z-bit budget
+#      63//k; single-job constraint aggregation; partition-metadata
+#      bound + partition-column predicate) — old greens no longer
+#      cover the shipped code.
+#   3. 24 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
 #      family first (tf_merge_cow / table_compact / sink_upsert all
 #      took the mergeSchema-read change, c76b7bd), then Tier-A,
 #      streaming_batch, and the text-pipeline head in registration
-#      order. The 22-key remainder queues for round 7.
+#      order. The 24-key remainder queues for round 7.
 #
 # All 50 fold keys are batch-checked — the wedge-isolation tail rule
 # (live-stream keys {tf_stream_ingest, lifecycle_daemon,
@@ -74,9 +77,10 @@ _SWEEP_ORDER = [
     "win_frame_range", "sort_multi", "topk", "sample",
     "set_union_all", "set_union", "set_intersect", "set_except",
     "dedup", "distinct_proj", "fn_string",
-    # --- 2: implementation changed this round ---
-    "tf_zorder", "tf_constraints",
-    # --- 3: r3 cohort head (26 of 48) ---
+    # --- 2: new this round, then implementation-changed this round ---
+    "sessionize_salted",
+    "tf_zorder", "tf_constraints", "sink_partitioned",
+    # --- 3: r3 cohort head (24 of 48) ---
     "tf_merge_cow", "table_compact", "sink_upsert",
     "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
     "sql_to_pandas", "ddl_exec", "multi_stmt_exec", "bulk_load",
@@ -85,17 +89,16 @@ _SWEEP_ORDER = [
     "stream_watermark_late", "stream_dedup_state",
     "stream_file_ingest", "stream_foreach_batch",
     "text_tokenize_stats", "text_lang_id", "text_quality_score",
-    "text_fingerprint", "text_exact_dedup",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-7 queue: the 22 remaining r3 keys
-    # (text_ngram_jaccard, text_dedup_clusters, text_minhash_dedup,
-    # text_simhash, text_repetition, text_pii_redact, tfidf_keywords,
-    # vec_cosine_topk, vec_neardup_cosine, vec_ivf_topk,
-    # mm_decode_features, scan_csv_schema, scan_json, sink_parquet,
-    # sink_csv_header, sink_partitioned, analyze_stats, jdbc_source,
-    # udf_pandas_scalar, udf_sql_register, udf_grouped_map,
-    # udtf_lateral), then the r4 cohort; derive with
-    # tools/sweep_plan.py.
+    # Round-7 queue: the 24 remaining r3 keys
+    # (text_fingerprint, text_exact_dedup, text_ngram_jaccard, text_dedup_clusters,
+    # text_minhash_dedup, text_simhash, text_repetition,
+    # text_pii_redact, tfidf_keywords, vec_cosine_topk,
+    # vec_neardup_cosine, vec_ivf_topk, mm_decode_features,
+    # scan_csv_schema, scan_json, sink_parquet, sink_csv_header,
+    # analyze_stats, jdbc_source, udf_pandas_scalar,
+    # udf_sql_register, udf_grouped_map, udtf_lateral), then the r4
+    # cohort; derive with tools/sweep_plan.py.
 ]
 
 

@@ -94,6 +94,94 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_salted",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM e
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-skew-safe sessionization: byte-identical output to
+    ``sessionize_events`` (the oracle IS the plain key's SQL) from a
+    two-level plan whose per-task partition is bounded even when one
+    user owns 20% of all events (``gen_scale_data.py --skew`` is the
+    measured case — per-user windows are the one shape AQE's skew
+    handling cannot split).
+
+    Level 1 partitions windows by (user_id, day): gap detection and
+    per-LOCAL-session aggregates run inside day buckets, so a hot
+    user costs one task per active day, not one task total. Level 2
+    re-applies the same >30-min gap rule per user over the LOCAL
+    SESSION rows — ~orders of magnitude fewer than events (bounded by
+    events/2, typically #sessions) — merging sessions that straddle a
+    midnight boundary; the boundary gap compares genuinely adjacent
+    events (last of day d, first of day d+1), so the merge decision
+    equals the row-level one, and running-sum numbering keeps
+    session_seq identical to the single-level plan. The 100-TB shape:
+    the big shuffle is on the salted key, the per-user shuffle moves
+    only session aggregates."""
+    gap = F.lit(_GAP_US)
+    ev = (t(spark, sf_dir, "events")
+          .select("user_id", "event_id", "ts", "value")
+          .withColumn("_day", F.to_date(F.date_trunc("day", "ts"))))
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+
+    # level 1: local sessions inside (user, day) buckets
+    wb = W.partitionBy("user_id", "_day").orderBy("ts", "event_id")
+    prev_us = F.lag(us).over(wb)
+    local = (
+        ev.withColumn("_new", F.when(
+            prev_us.isNull() | ((us - prev_us) > gap), 1).otherwise(0))
+        .withColumn("_lseq", F.sum("_new").over(
+            wb.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy("user_id", "_day", "_lseq")
+        .agg(F.min("ts").alias("session_start"),
+             F.max("ts").alias("session_end"),
+             F.count(F.lit(1)).alias("n_events"),
+             F.sum(dec("value")).alias("_dec_value"))
+    )
+
+    # level 2: merge boundary-straddling sessions per user — operates
+    # on session rows, not event rows
+    ws = W.partitionBy("user_id").orderBy("session_start", "session_end")
+    start_us = F.unix_micros(F.col("session_start").cast("timestamp"))
+    prev_end_us = F.lag(
+        F.unix_micros(F.col("session_end").cast("timestamp"))).over(ws)
+    merged = (
+        local.withColumn("_new2", F.when(
+            prev_end_us.isNull() | ((start_us - prev_end_us) > gap),
+            1).otherwise(0))
+        .withColumn("session_seq", F.sum("_new2").over(
+            ws.rowsBetween(W.unboundedPreceding, W.currentRow)).cast("long"))
+    )
+    return merged.groupBy("user_id", "session_seq").agg(
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("_dec_value").cast("double").alias("sum_value"),
+    )
+
+
+@register(
     "event_funnel",
     oracle="""
     WITH u AS (

@@ -248,7 +248,15 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``/ 0`` and bad casts THROW; ``try_divide``/``try_cast`` return
     NULL instead — the difference between a 100-TB job dying at hour
     three on one malformed row and the row nulling out. The oracle
-    restates each try_* as its CASE-guarded equivalent."""
+    restates each try_* as its CASE-guarded equivalent.
+
+    Scale note: try_cast pays a caught-JVM-exception per FAILING row
+    (here every row — l_returnflag is never numeric — hence this key's
+    outsized baseline, ~10x a plain projection of the same table).
+    That cost model is right when failures are rare, which is the
+    production case the operator exists for; a pipeline expecting
+    mostly-bad values should pre-filter with a regex instead of
+    leaning on try_cast as a parser."""
     li = t(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey", "l_linenumber",

@@ -145,13 +145,22 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_date", F.to_date(F.date_trunc("day", "ts")))
     ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
     back = spark.read.parquet(path)
-    lo = t(spark, sf_dir, "events").agg(
-        F.date_trunc("day", F.min("ts")).alias("_lo")).collect()[0]["_lo"]
+    # the window bound comes from PARTITION METADATA, not a data scan:
+    # min() over a partition column materializes zero data pages (the
+    # value rides the directory name) — the sink's own layout serves
+    # the bound the way SHOW PARTITIONS serves it from a metastore.
+    # min(event_date) == date_trunc(day, min(ts)) by construction.
+    lo = back.agg(F.min("event_date")).collect()[0][0]
     import datetime as dt
 
     hi = lo + dt.timedelta(days=7)
+    # predicate on the PARTITION column -> PartitionFilters (directory
+    # pruning; plan-asserted): excluded days are never listed, let
+    # alone read. Row-identical to a ts-range filter because every
+    # row's event_date IS date_trunc(day, ts).
     return (
-        back.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi)))
+        back.filter((F.col("event_date") >= F.lit(lo))
+                    & (F.col("event_date") < F.lit(hi)))
         .groupBy(F.col("event_date").cast("string").alias("event_date"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

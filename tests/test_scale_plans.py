@@ -220,3 +220,15 @@ def test_ivf_persisted_index_prunes_cell_partitions(spark, sf_dir, tmp_path):
     inline = REGISTRY["vec_ivf_topk"].fn(spark, sf_dir)
     key = lambda r: (r["q_id"], r["rk"])
     assert sorted(out.collect(), key=key) == sorted(inline.collect(), key=key)
+
+
+def test_sink_partitioned_key_plan_prunes(spark, sf_dir):
+    """The registry key itself must partition-prune its read-back: the
+    7-day predicate lands in PartitionFilters (directory pruning), and
+    the plan contains no filter on the data column ts — the bound is
+    served by partition metadata, never a source re-scan."""
+    df = REGISTRY["sink_partitioned"].fn(spark, sf_dir)
+    plan = _plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "event_date" in m.group(1), plan
+    assert "ts" not in re.search(r"DataFilters: \[([^\]]*)\]", plan).group(1)

@@ -266,3 +266,48 @@ def test_matryoshka_recall_vs_exact(spark, emb):
     baseline = _MRL_SHORT / (n_corpus - 1)
     assert recall >= 3 * baseline, (
         f"matryoshka recall {recall:.2f} vs random baseline {baseline:.2f}")
+
+
+def test_matryoshka_recall_on_mrl_structured_embeddings(spark, tmp_path):
+    """The meaningful recall gate (VERDICT r5 #5): on RANDOM vectors a
+    16-of-64 prefix carries only ~sqrt(16/64) of the cosine signal, so
+    the random-testdata assertion above is necessarily weak. Real MRL
+    training concentrates representation energy in the prefix dims —
+    synthesize exactly that (prefix sigma 1.0, tail sigma 0.15 ->
+    ~94% of energy in the first 16 dims) and pin an ABSOLUTE
+    recall@10 >= 0.8 for the 50-wide shortlist over 500 vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    rng = np.random.default_rng(42)
+    scales = np.where(np.arange(64) < 16, 1.0, 0.15)
+    X = (rng.normal(size=(500, 64)) * scales).astype(np.float32)
+
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(500, dtype=np.int64),
+        "embedding": [row for row in X],
+        "label": np.zeros(500, dtype=np.int32),
+    })
+    pdf.to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+
+    # numpy ground truth from the SAME float32 values Spark reads
+    Xd = X.astype(np.float64)
+    sims = Xd @ Xd.T / np.outer(np.linalg.norm(Xd, axis=1),
+                                np.linalg.norm(Xd, axis=1))
+    exact = {}
+    for q in range(5):
+        s = sims[q].copy()
+        s[q] = -np.inf  # self-exclusion, matching the operator
+        # operator tie-breaks by vec_id asc; argsort is stable so
+        # sorting by (-sim, id) via stable argsort on -s matches
+        exact[q] = set(np.argsort(-s, kind="stable")[:10].tolist())
+
+    approx = {}
+    for r in REGISTRY["vec_matryoshka_topk"].fn(spark, str(tmp_path)).collect():
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+    assert set(approx) == set(exact)
+    recall = (sum(len(exact[q] & approx[q]) for q in exact)
+              / (len(exact) * 10))
+    assert recall >= 0.8, f"MRL-structured recall@10 {recall:.2f} < 0.8"

@@ -4,6 +4,7 @@ benchmarking (the driver ships sf0.001/0.01/0.1 only; SCALE.md's 10x
 measurements need an sf1).
 
     python tools/gen_scale_data.py /root/testdata/sf0.1 .scaledata/sf1 10
+    python tools/gen_scale_data.py /root/testdata/sf0.1 .scaledata/sf1skew 10 --skew
 
 Replication strategy — the goal is data whose OPERATOR OUTPUTS scale
 linearly with the replica count, so a per-key sf1/sf0.1 time ratio is
@@ -36,6 +37,17 @@ interpretable:
 Deterministic: replica r derives everything from (r, row). Output is
 one single-file parquet per table with ~256k-row row groups so Spark
 can split scans without a multi-file layout.
+
+--skew: after replication, remap ~20% of rows onto ONE hot key —
+lineitem.l_suppkey and events.user_id both collapse to the smallest
+key of the referenced dimension wherever the row's primary key is
+=0 mod 5. The uniform replication above cannot produce a genuinely
+hot key (each replica repeats the source distribution), so the
+salted-join / AQE-skew / window-skew claims need this variant: one
+reducer owns 20% of the fact table unless the operator spreads it.
+Referential integrity is preserved (the hot key exists in replica 0's
+dimension); do NOT point oracle correctness runs at a skew dir — it
+exists for timing and reducer-spread measurement only.
 """
 
 from __future__ import annotations
@@ -127,9 +139,37 @@ def _replicate(name: str, tbl: pa.Table, r: int,
     return out
 
 
+# --skew: (table, primary key col, remapped col, hot value source)
+_SKEW = {
+    "lineitem": ("l_orderkey", "l_suppkey", ("supplier", "s_suppkey")),
+    "events": ("event_id", "user_id", ("customer", "c_custkey")),
+}
+_SKEW_MOD = 5  # pk % 5 == 0 -> ~20% of rows on the hot key
+
+
+def _apply_skew(name: str, tbl: pa.Table, hot: dict[str, int]) -> pa.Table:
+    if name not in _SKEW:
+        return tbl
+    pk, col, (_, dim_col) = _SKEW[name]
+    # pyarrow.compute has no mod kernel; numpy round-trip is fine here
+    mask = pa.array(
+        tbl[pk].to_numpy(zero_copy_only=False) % _SKEW_MOD == 0)
+    remapped = pa.compute.if_else(
+        mask, pa.scalar(hot[dim_col], tbl.schema.field(col).type), tbl[col])
+    return tbl.set_column(tbl.column_names.index(col), col, remapped)
+
+
 def main() -> None:
     src, dst, reps = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    skew = "--skew" in sys.argv[4:]
     os.makedirs(dst, exist_ok=True)
+
+    hot: dict[str, int] = {}
+    if skew:
+        for _, (_, _, (dim, dim_col)) in _SKEW.items():
+            dt = pq.read_table(os.path.join(src, f"{dim}.parquet"),
+                               columns=[dim_col])
+            hot[dim_col] = int(pa.compute.min(dt[dim_col]).as_py())
 
     # key domains come from the SOURCE tables (shared across tables
     # for referential columns, e.g. o_custkey offsets by |customer|)
@@ -148,6 +188,8 @@ def main() -> None:
         else:
             parts = [_replicate(name, tbl, r, domains) for r in range(reps)]
         out = pa.concat_tables(parts)
+        if skew:
+            out = _apply_skew(name, out, hot)
         pq.write_table(out, os.path.join(dst, f"{name}.parquet"),
                        row_group_size=ROW_GROUP)
         print(f"{name}: {out.num_rows} rows "

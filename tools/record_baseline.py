@@ -8,7 +8,13 @@ row count, written to bench/BASELINE_results.json as
 {key: {sec, rows, sf, spark_conf_hash}}. Round N+1 bench runs compare
 against this file (acceptance: within 2x, driver contract).
 
-  python tools/record_baseline.py [key ...]   # default: all keys
+  python tools/record_baseline.py [--out FILE] [key ...]  # default: all keys
+
+--out redirects the record (merge semantics unchanged) — used for the
+sf1 scale measurements so they never clobber the sf0.1 gate baseline:
+
+  SPARK_GRAFT_SF_DIR=$PWD/.scaledata/sf1 \\
+    python tools/record_baseline.py --out bench/SF1_acid.json tf_merge_cow ...
 """
 
 from __future__ import annotations
@@ -31,6 +37,14 @@ def main() -> int:
     from lakehouse_automation_spark.engine import get_spark
     from lakehouse_automation_spark.operators.cache import release_persisted
     from lakehouse_automation_spark.queries import REGISTRY
+
+    global OUT
+    args = sys.argv[1:]
+    if "--out" in args:
+        i = args.index("--out")
+        OUT = os.path.abspath(args[i + 1])
+        args = args[:i] + args[i + 2:]
+    sys.argv = [sys.argv[0]] + args
 
     spark = get_spark("baseline")
     conf_hash = hashlib.md5(json.dumps(
