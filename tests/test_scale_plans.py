@@ -232,3 +232,15 @@ def test_sink_partitioned_key_plan_prunes(spark, sf_dir):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "event_date" in m.group(1), plan
     assert "ts" not in re.search(r"DataFilters: \[([^\]]*)\]", plan).group(1)
+
+
+def test_sessionize_salted_two_level_plan(spark, sf_dir):
+    """The skew-safe plan must shuffle event rows ONCE on the salted
+    (user_id, _day) key and touch the plain user_id partitioning only
+    AFTER aggregation to session rows — exactly two hash exchanges,
+    with the bucketed one carrying the day salt."""
+    plan = _plan(REGISTRY["sessionize_salted"].fn(spark, sf_dir))
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert len(parts) == 2, plan[:800]
+    assert any("_day" in p for p in parts), parts
+    assert any("_day" not in p and "user_id" in p for p in parts), parts
