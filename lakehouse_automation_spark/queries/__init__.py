@@ -40,6 +40,7 @@ from . import sinks           # noqa: E402,F401
 from . import udfs            # noqa: E402,F401
 from . import cowtable        # noqa: E402,F401
 from . import events_analytics  # noqa: E402,F401
+from . import timeseries      # noqa: E402,F401
 
 # ------------------------------------------------------------------
 # Sweep ordering. The driver's per-round correctness gate evaluates
@@ -52,18 +53,19 @@ from . import events_analytics  # noqa: E402,F401
 #
 #   1. The full 22-key r2 cohort — the oldest official greens in the
 #      repo. After this round no key's green predates r3.
-#   2. sessionize_salted — NEW this round (never swept; the two-level
-#      window-skew mitigation measured in SCALE.md §sf1skew), plus
-#      tf_zorder + tf_constraints + sink_partitioned, whose
-#      implementation changed this round (per-column z-bit budget
-#      63//k; single-job constraint aggregation; partition-metadata
-#      bound + partition-column predicate) — old greens no longer
-#      cover the shipped code.
-#   3. 24 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
+#   2. The round-6 NEW keys (never swept): sessionize_salted (the
+#      two-level window-skew mitigation measured in SCALE.md
+#      §sf1skew) and the ts_resample_ffill / ts_interpolate_linear
+#      time-series family; plus tf_zorder + tf_constraints +
+#      sink_partitioned, whose implementation changed this round
+#      (per-column z-bit budget 63//k; single-job constraint
+#      aggregation; partition-metadata bound + partition-column
+#      predicate) — old greens no longer cover the shipped code.
+#   3. 22 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
 #      family first (tf_merge_cow / table_compact / sink_upsert all
 #      took the mergeSchema-read change, c76b7bd), then Tier-A,
 #      streaming_batch, and the text-pipeline head in registration
-#      order. The 24-key remainder queues for round 7.
+#      order. The 26-key remainder queues for round 7.
 #
 # All 50 fold keys are batch-checked — the wedge-isolation tail rule
 # (live-stream keys {tf_stream_ingest, lifecycle_daemon,
@@ -78,9 +80,9 @@ _SWEEP_ORDER = [
     "set_union_all", "set_union", "set_intersect", "set_except",
     "dedup", "distinct_proj", "fn_string",
     # --- 2: new this round, then implementation-changed this round ---
-    "sessionize_salted",
+    "sessionize_salted", "ts_resample_ffill", "ts_interpolate_linear",
     "tf_zorder", "tf_constraints", "sink_partitioned",
-    # --- 3: r3 cohort head (24 of 48) ---
+    # --- 3: r3 cohort head (22 of 48) ---
     "tf_merge_cow", "table_compact", "sink_upsert",
     "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
     "sql_to_pandas", "ddl_exec", "multi_stmt_exec", "bulk_load",
@@ -88,10 +90,11 @@ _SWEEP_ORDER = [
     "stream_tumbling_agg", "stream_sliding_agg", "stream_session",
     "stream_watermark_late", "stream_dedup_state",
     "stream_file_ingest", "stream_foreach_batch",
-    "text_tokenize_stats", "text_lang_id", "text_quality_score",
+    "text_tokenize_stats",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-7 queue: the 24 remaining r3 keys
-    # (text_fingerprint, text_exact_dedup, text_ngram_jaccard, text_dedup_clusters,
+    # Round-7 queue: the 26 remaining r3 keys
+    # (text_lang_id, text_quality_score, text_fingerprint,
+    # text_exact_dedup, text_ngram_jaccard, text_dedup_clusters,
     # text_minhash_dedup, text_simhash, text_repetition,
     # text_pii_redact, tfidf_keywords, vec_cosine_topk,
     # vec_neardup_cosine, vec_ivf_topk, mm_decode_features,

@@ -1,0 +1,180 @@
+"""Time-series regularization: per-key resampling onto a fixed grid
+with forward-fill and linear interpolation.
+
+The reference's feed is event-driven (``check_lakehouse.py:102-123``
+polls for whatever files landed); every downstream consumer of such a
+feed — dashboards, feature stores, model training — eventually needs
+the IRREGULAR event stream regularized onto a fixed time grid. These
+two keys supply that as Spark-first plans:
+
+- ``ts_resample_ffill`` — hourly grid per user, last observation
+  carried forward (the feature-store staleness join).
+- ``ts_interpolate_linear`` — same grid, gaps linearly interpolated
+  between the surrounding observations (edges fall back to
+  nearest-observation fill).
+
+100-TB shape: EVERY step partitions by user_id (or its superset
+(user_id, hr)) — observation compaction is a (user, hr) window,
+the grid is an explode of per-user [lo, hi] hour spans (never a
+global calendar cross join), the fill windows run per user. Grid
+size is span-bounded per user and independent of event count, so the
+operator's output can be SMALLER than its input on dense feeds. The
+demo bound (user_id % 10 = 0, 7-day grid cap) keeps oracle compare
+sets small; the plan shape is identical without it.
+
+Determinism: hours are integer ``epoch_us div 3600e6`` (exact in
+both engines); the per-hour observation is the row with max
+(us, event_id) — total order, no ties; interpolation arithmetic uses
+the same IEEE operation order in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+
+from .base import register, t
+
+_HOUR_US = 3_600_000_000
+_GRID_CAP = 7 * 24 - 1  # demo bound: first week of each user's span
+
+# shared oracle CTE: hourly last-observation table + per-user grid
+_ORACLE_BASE = f"""
+    WITH ev AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             event_id, value
+      FROM events WHERE user_id % 10 = 0
+    ), obs AS (
+      SELECT user_id, hr, value AS v_obs, n
+      FROM (
+        SELECT user_id, us // {_HOUR_US} AS hr, us, event_id, value,
+               row_number() OVER (
+                 PARTITION BY user_id, us // {_HOUR_US}
+                 ORDER BY us DESC, event_id DESC) AS rn,
+               COUNT(*) OVER (
+                 PARTITION BY user_id, us // {_HOUR_US}) AS n
+        FROM ev)
+      WHERE rn = 1
+    ), span AS (
+      SELECT user_id, MIN(hr) AS lo,
+             LEAST(MAX(hr), MIN(hr) + {_GRID_CAP}) AS hi
+      FROM obs GROUP BY user_id
+    ), grid AS (
+      SELECT s.user_id, u.hr
+      FROM span s, LATERAL unnest(generate_series(s.lo, s.hi)) AS u(hr)
+    ), joined AS (
+      SELECT g.user_id, g.hr, o.v_obs, o.n
+      FROM grid g LEFT JOIN obs o
+        ON g.user_id = o.user_id AND g.hr = o.hr
+    )
+"""
+
+
+def _hourly_obs_and_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """grid LEFT JOIN hourly-last-observations, the shared front half
+    of both keys: (user_id, hr, v_obs nullable, n nullable)."""
+    ev = (t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 10 == 0)
+          .select("user_id", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                  "value")
+          .withColumn("hr", F.expr(f"us div {_HOUR_US}")))
+    wh = W.partitionBy("user_id", "hr")
+    obs = (ev.withColumn("rn", F.row_number().over(
+               wh.orderBy(F.desc("us"), F.desc("event_id"))))
+           .withColumn("n", F.count(F.lit(1)).over(wh))
+           .filter(F.col("rn") == 1)
+           .select("user_id", "hr", F.col("value").alias("v_obs"), "n"))
+    span = obs.groupBy("user_id").agg(
+        F.min("hr").alias("lo"),
+        F.least(F.max("hr"), F.min("hr") + F.lit(_GRID_CAP)).alias("hi"))
+    grid = span.select(
+        "user_id", F.explode(F.sequence("lo", "hi")).alias("hr"))
+    return grid.join(obs, ["user_id", "hr"], "left")
+
+
+@register(
+    "ts_resample_ffill",
+    oracle=_ORACLE_BASE + """
+    SELECT user_id, hr,
+           last_value(v_obs IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY hr
+             ROWS UNBOUNDED PRECEDING) AS value_ffill,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events
+    FROM joined
+    """,
+)
+def ts_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with forward fill: each user's irregular event
+    stream becomes one row per hour carrying the latest observed value
+    at or before that hour (NULL until the first observation — the
+    grid starts at the first observed hour, so only in theory here).
+    The staleness-tolerant feature-store read, as a batch operator."""
+    wff = (W.partitionBy("user_id").orderBy("hr")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return (_hourly_obs_and_grid(spark, sf_dir)
+            .select("user_id", "hr",
+                    F.last("v_obs", ignorenulls=True).over(wff)
+                     .alias("value_ffill"),
+                    F.coalesce("n", F.lit(0)).cast("long").alias("n_events")))
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle=_ORACLE_BASE + """
+    , ctx AS (
+      SELECT user_id, hr, v_obs,
+             last_value(v_obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS UNBOUNDED PRECEDING) AS prev_v,
+             last_value(CASE WHEN v_obs IS NOT NULL THEN hr END
+                        IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS UNBOUNDED PRECEDING) AS prev_hr,
+             first_value(v_obs IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             first_value(CASE WHEN v_obs IS NOT NULL THEN hr END
+                         IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hr
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_hr
+      FROM joined
+    )
+    SELECT user_id, hr,
+           CASE
+             WHEN v_obs IS NOT NULL THEN v_obs
+             WHEN next_v IS NULL THEN prev_v
+             WHEN prev_v IS NULL THEN next_v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(hr - prev_hr AS DOUBLE)
+                     / CAST(next_hr - prev_hr AS DOUBLE))
+           END AS value_interp
+    FROM ctx
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly resample with linear interpolation: grid gaps take
+    ``prev + (next - prev) * dt`` between the surrounding observed
+    hours; grid edges (no observation on one side) fall back to the
+    nearest observation. Same IEEE operation order in both engines, so
+    the oracle hash matches bit-for-bit. Two additional windows on the
+    SAME user_id partitioning as the fill — still one event-level
+    shuffle plus per-user session-grid work."""
+    base = _hourly_obs_and_grid(spark, sf_dir)
+    wp = (W.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    wn = (W.partitionBy("user_id").orderBy("hr")
+          .rowsBetween(W.currentRow, W.unboundedFollowing))
+    obs_hr = F.when(F.col("v_obs").isNotNull(), F.col("hr"))
+    ctx = (base
+           .withColumn("prev_v", F.last("v_obs", ignorenulls=True).over(wp))
+           .withColumn("prev_hr", F.last(obs_hr, ignorenulls=True).over(wp))
+           .withColumn("next_v", F.first("v_obs", ignorenulls=True).over(wn))
+           .withColumn("next_hr", F.first(obs_hr, ignorenulls=True).over(wn)))
+    dt = ((F.col("hr") - F.col("prev_hr")).cast("double")
+          / (F.col("next_hr") - F.col("prev_hr")).cast("double"))
+    interp = (F.when(F.col("v_obs").isNotNull(), F.col("v_obs"))
+              .when(F.col("next_v").isNull(), F.col("prev_v"))
+              .when(F.col("prev_v").isNull(), F.col("next_v"))
+              .otherwise(F.col("prev_v")
+                         + (F.col("next_v") - F.col("prev_v")) * dt))
+    return ctx.select("user_id", "hr", interp.alias("value_interp"))

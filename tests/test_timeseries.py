@@ -1,0 +1,70 @@
+"""Semantic laws for the time-series resample keys — the invariants a
+hash mismatch can't explain: grid completeness, fill/interp bounds,
+exactness at observed hours."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from lakehouse_automation_spark.queries import REGISTRY
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def run(key, spark, sf=SF_SMOKE):
+    return REGISTRY[key].fn(spark, sf)
+
+
+def test_ffill_grid_is_dense_and_carries_last_obs(spark):
+    ff = run("ts_resample_ffill", spark).cache()
+    rows = ff.collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user, "no users selected"
+    for u, rs in by_user.items():
+        hrs = sorted(r.hr for r in rs)
+        # dense: every hour between lo and hi present exactly once
+        assert hrs == list(range(hrs[0], hrs[-1] + 1)), u
+        rs.sort(key=lambda r: r.hr)
+        # first grid row is an observed hour (grid starts at first obs)
+        assert rs[0].n_events > 0 and rs[0].value_ffill is not None
+        # carry-forward: value changes ONLY on observed hours
+        for a, b in zip(rs, rs[1:]):
+            if b.n_events == 0:
+                assert b.value_ffill == a.value_ffill, (u, b.hr)
+    # some hours genuinely unobserved, or the fill proves nothing
+    assert any(r.n_events == 0 for r in rows)
+    ff.unpersist()
+
+
+def test_interp_exact_at_obs_and_bounded_between(spark):
+    ff = run("ts_resample_ffill", spark)
+    ip = run("ts_interpolate_linear", spark)
+    j = (ip.join(ff, ["user_id", "hr"]).orderBy("user_id", "hr")).collect()
+    assert j
+    interp_strict = 0
+    by_user = {}
+    for r in j:
+        by_user.setdefault(r.user_id, []).append(r)
+    for u, rs in by_user.items():
+        obs = [(r.hr, r.value_ffill) for r in rs if r.n_events > 0]
+        for r in rs:
+            if r.n_events > 0:
+                # exact at observations (ffill value IS the obs value)
+                assert r.value_interp == r.value_ffill, (u, r.hr)
+            else:
+                prev = max((o for o in obs if o[0] < r.hr),
+                           default=None)
+                nxt = min((o for o in obs if o[0] > r.hr),
+                          default=None)
+                if prev and nxt:
+                    lo, hi = sorted((prev[1], nxt[1]))
+                    assert lo - 1e-9 <= r.value_interp <= hi + 1e-9, (u, r.hr)
+                    if prev[1] != nxt[1]:
+                        interp_strict += 1
+                elif prev:
+                    assert r.value_interp == prev[1]
+                elif nxt:
+                    assert r.value_interp == nxt[1]
+    assert interp_strict > 0, "no gap actually interpolated"
