@@ -42,6 +42,9 @@ NOTES = {
     "sessionize_events": "lag + running cumsum + session agg share ONE user_id Exchange (window keys ⊆ groupBy keys).",
     "event_funnel": "three chained window-mins on one user_id partitioning; the 3-row stage table explodes from a single agg row.",
     "win_pattern_detect": "pattern-class filter pushed to scan, one user_id Exchange, lag in integer µs.",
+    "sessionize_salted": "two-level skew-safe sessionization: ONE event-level Exchange on (user_id, day), the plain user_id Exchange sees only session rows.",
+    "ts_resample_ffill": "per-(user, hr) last-row compaction, per-user span explode for the grid, ignorenulls fill window — all on user_id(-superset) partitionings.",
+    "ts_interpolate_linear": "same front half; prev/next observation context rides two extra windows on the SAME user_id partitioning.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -51,7 +54,9 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "event_funnel", "retention_cohort", "win_pattern_detect",
           "agg_sketch_rollup", "agg_sketch_setops",
           "text_incremental_dedup", "profile_table",
-          "vec_matryoshka_topk", "join_null_safe", "udf_grouped_agg"]
+          "vec_matryoshka_topk", "join_null_safe", "udf_grouped_agg",
+          "sessionize_salted", "ts_resample_ffill",
+          "ts_interpolate_linear"]
 
 
 def main() -> int:
