@@ -4,14 +4,16 @@ with forward-fill and linear interpolation.
 The reference's feed is event-driven (``check_lakehouse.py:102-123``
 polls for whatever files landed); every downstream consumer of such a
 feed — dashboards, feature stores, model training — eventually needs
-the IRREGULAR event stream regularized onto a fixed time grid. These
-two keys supply that as Spark-first plans:
+the IRREGULAR event stream regularized onto a fixed time grid, and
+monitored. These keys supply that as Spark-first plans:
 
 - ``ts_resample_ffill`` — hourly grid per user, last observation
   carried forward (the feature-store staleness join).
 - ``ts_interpolate_linear`` — same grid, gaps linearly interpolated
   between the surrounding observations (edges fall back to
   nearest-observation fill).
+- ``ts_rolling_anomaly`` — trailing-window 3-sigma outlier flagging
+  per user, with integer-exact rolling moments.
 
 100-TB shape: EVERY step partitions by user_id (or its superset
 (user_id, hr)) — observation compaction is a (user, hr) window,
@@ -178,3 +180,70 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
               .otherwise(F.col("prev_v")
                          + (F.col("next_v") - F.col("prev_v")) * dt))
     return ctx.select("user_id", "hr", interp.alias("value_interp"))
+
+
+@register(
+    "ts_rolling_anomaly",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), st AS (
+      SELECT user_id, event_id, cents,
+             CAST(SUM(cents) OVER w AS BIGINT) AS s,
+             CAST(SUM(cents * cents) OVER w AS BIGINT) AS ss,
+             COUNT(*) OVER w AS n
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id,
+           CAST(cents AS DOUBLE) / 100.0 AS value,
+           (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_prev,
+           CAST(n AS BIGINT) AS n_prev
+    FROM st
+    WHERE n >= 12
+      AND (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+          > 9.0 * ((CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   / CAST(n - 1 AS DOUBLE))
+    """,
+)
+def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flagging: an event is anomalous when it
+    deviates > 3 sigma from the trailing 24-event window of ITS OWN
+    user's history (current row excluded — no self-contamination).
+
+    Cross-engine determinism the standard formulation can't give:
+    rolling mean/variance built from INTEGER-CENT ``sum`` and
+    ``sum of squares`` window aggregates — exact in both engines
+    regardless of their window-summation internals — then identical
+    IEEE double expressions; the 3-sigma test compares squared
+    deviation to 9·variance, avoiding sqrt. One user_id Exchange;
+    the frame is row-bounded so window state is O(24) per user at any
+    scale."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    ev = (t(spark, sf_dir, "events")
+          .select("user_id", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                  cents.alias("cents")))
+    w = (W.partitionBy("user_id").orderBy("us", "event_id")
+         .rowsBetween(-24, -1))
+    st = (ev
+          .withColumn("s", F.sum("cents").over(w))
+          .withColumn("ss", F.sum(F.col("cents") * F.col("cents")).over(w))
+          .withColumn("n", F.count(F.lit(1)).over(w)))
+    x = F.col("cents").cast("double")
+    sd = F.col("s").cast("double")
+    nd = F.col("n").cast("double")
+    dev = x - sd / nd
+    var = (F.col("ss").cast("double") - sd * sd / nd) \
+        / (F.col("n") - 1).cast("double")
+    return (st.filter((F.col("n") >= 12) & (dev * dev > F.lit(9.0) * var))
+            .select("user_id", "event_id",
+                    (x / F.lit(100.0)).alias("value"),
+                    ((sd / nd) / F.lit(100.0)).alias("mean_prev"),
+                    F.col("n").cast("long").alias("n_prev")))

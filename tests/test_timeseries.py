@@ -68,3 +68,39 @@ def test_interp_exact_at_obs_and_bounded_between(spark):
                 elif nxt:
                     assert r.value_interp == nxt[1]
     assert interp_strict > 0, "no gap actually interpolated"
+
+
+def test_rolling_anomaly_flags_verified_by_recompute(spark):
+    """Every flagged event must genuinely deviate >3 sigma from its
+    trailing window, recomputed independently row-by-row in Python;
+    and at least one unflagged event with a full window must exist
+    (the filter is not vacuous)."""
+    import math
+
+    flagged = {(r.user_id, r.event_id): r
+               for r in run("ts_rolling_anomaly", spark).collect()}
+    ev = (REGISTRY["ts_rolling_anomaly"].fn.__globals__["t"](
+              spark, SF_SMOKE, "events")
+          .select("user_id", "event_id", "ts", "value").collect())
+    by_user = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        by_user.setdefault(r.user_id, []).append(r)
+    n_checked = unflagged_full = 0
+    for u, rows in by_user.items():
+        cents = [round(r.value * 100) for r in rows]
+        for i, r in enumerate(rows):
+            w = cents[max(0, i - 24):i]
+            key = (u, r.event_id)
+            if len(w) < 12:
+                assert key not in flagged
+                continue
+            mean = sum(w) / len(w)
+            var = (sum(c * c for c in w) - sum(w) ** 2 / len(w)) / (len(w) - 1)
+            is_anom = (cents[i] - mean) ** 2 > 9.0 * var
+            assert (key in flagged) == is_anom, (key, cents[i], mean, var)
+            if key in flagged:
+                n_checked += 1
+                assert math.isclose(flagged[key].mean_prev, mean / 100)
+            else:
+                unflagged_full += 1
+    assert n_checked > 0 and unflagged_full > 0

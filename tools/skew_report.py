@@ -122,6 +122,15 @@ def main() -> None:
     sess = REGISTRY["sessionize_events"].fn
     out["sessionize_uniform_sec"] = timed(lambda: noop(sess(spark, uni)))
     out["sessionize_skew_sec"] = timed(lambda: noop(sess(spark, skw)))
+    # the two-level mitigation on the same hot-user corpus: identical
+    # rows (checked), bounded per-task partitions — the premium it
+    # pays at benign scale is the insurance price; its win grows with
+    # the hot user's share of one task's runtime
+    salted = REGISTRY["sessionize_salted"].fn
+    out["sessionize_salted_skew_sec"] = timed(lambda: noop(salted(spark, skw)))
+    ps = {tuple(r) for r in sess(spark, skw).collect()}
+    ss = {tuple(r) for r in salted(spark, skw).collect()}
+    out["sessionize_salted_matches_plain"] = ps == ss
 
     dst = os.path.join(root, "bench", "SKEW_sf1.json")
     with open(dst, "w") as f:
