@@ -828,3 +828,55 @@ def tf_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             hist, "version int, op string, n_chunks long")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "tf_bloom_index",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents,
+           TRUE AS bloom_pruned, TRUE AS absent_all_pruned
+    FROM lineitem WHERE l_orderkey = 1
+    """,
+)
+def tf_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file BLOOM FILTER INDEX (Delta's BLOOMFILTER INDEX
+    pattern): point lookups on a high-cardinality column that the
+    [min, max] stats grain cannot prune. The table is range-clustered
+    on l_partkey, so every file's l_orderkey [min, max] spans
+    essentially the whole key domain — range stats keep ALL files for
+    an orderkey probe. The per-file Blooms (k=5 double-hashed xxhash64
+    bits, ~10 bits/row, recorded in the manifest at write time) skip
+    files driver-side with zero file I/O: a Bloom no is definite, a
+    yes is settled by the residual equality filter, so false
+    positives cost a wasted file read and never a wrong row. The
+    booleans pin both pruning claims (present key reads < all files;
+    absent key reads none); the count + integer-cent sum pin the
+    data against the plain point query."""
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_extendedprice")
+    root = _tmp()
+    try:
+        # range-cluster at CREATE (one write, one Bloom build — a
+        # create-then-compact would index the about-to-be-replaced
+        # chunk too, doubling the work for nothing)
+        tbl = CowTable.create(
+            spark,
+            li.repartitionByRange(8, "l_partkey")
+              .sortWithinPartitions("l_partkey"),
+            f"{root}/li", bloom_cols=["l_orderkey"])
+        man = tbl.manifest()
+        files_total = sum(len(v) for v in man["file_stats"].values())
+        kept = len(tbl.bloom_pruned_files("l_orderkey", 1))
+        absent_kept = len(tbl.bloom_pruned_files("l_orderkey", -1))
+        agg = (tbl.point_scan("l_orderkey", 1)
+               .agg(F.count(F.lit(1)).alias("n"), _cents("l_extendedprice"))
+               .collect()[0])
+        return spark.createDataFrame(
+            [(int(agg["n"]), int(agg["cents"]),
+              kept < files_total, absent_kept == 0)],
+            "n long, cents long, bloom_pruned boolean, "
+            "absent_all_pruned boolean")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -81,6 +81,19 @@ class ConstraintViolationError(ValueError):
 # may not use this name
 ROWS_KEY = "__rows__"
 
+# reserved key inside per-file stats entries holding per-column Bloom
+# filters ({col: [m_bits, k_hashes, base64 words]}) for point-lookup
+# file skipping on high-cardinality columns where [min, max] ranges
+# prune nothing (Delta's BLOOMFILTER INDEX pattern)
+BLOOM_KEY = "__bloom__"
+_BLOOM_BITS_PER_ROW = 10   # sizing: m = pow2ceil(10 * rows) per file
+_BLOOM_MIN_BITS = 8192     # 1 KB floor
+_BLOOM_MAX_BITS = 1 << 21  # 256 KB cap per file per column
+_BLOOM_K = 5               # ~0.1% FP at the 10-bits/row sizing; FPs
+#                            only cost a wasted file read, never a
+#                            wrong row
+_RESERVED_STAT_KEYS = (ROWS_KEY, BLOOM_KEY)
+
 
 def _vname(v: int) -> str:
     return f"v{v:0{_PAD}d}.json"
@@ -138,16 +151,21 @@ class CowTable:
 
     def __init__(self, spark: SparkSession, path: str,
                  stats_cols: list[str] | None = None,
-                 constraints: dict[str, str] | None = None):
+                 constraints: dict[str, str] | None = None,
+                 bloom_cols: list[str] | None = None):
         self.spark = spark
         self.path = os.path.abspath(path)
         self._stats_cols_arg = list(stats_cols or [])
-        if ROWS_KEY in self._stats_cols_arg:
-            # the per-file row count shares the stats dict under this
-            # key; a column of the same name would overwrite its own
-            # [min, max] entry and corrupt the cstats fold / export
-            raise ValueError(
-                f"stats_cols may not contain the reserved key {ROWS_KEY!r}")
+        self._bloom_cols_arg = list(bloom_cols or [])
+        for arg in (self._stats_cols_arg, self._bloom_cols_arg):
+            bad = set(arg) & set(_RESERVED_STAT_KEYS)
+            if bad:
+                # row counts and Bloom words share the per-file stats
+                # dict under these keys; a column of the same name
+                # would overwrite its own entry and corrupt the cstats
+                # fold / Delta export
+                raise ValueError(
+                    f"stats/bloom cols may not use reserved keys {bad}")
         self._constraints_arg = dict(constraints or {})
 
     @property
@@ -155,6 +173,16 @@ class CowTable:
         if self.version() >= 0:
             return self.manifest().get("stats_cols", [])
         return self._stats_cols_arg
+
+    @property
+    def bloom_cols(self) -> list[str]:
+        """Columns with per-file Bloom filters in the manifest —
+        point-lookup file skipping for high-cardinality columns where
+        [min, max] ranges prune nothing. Manifest-recorded, so
+        reopening by path recovers the set."""
+        if self.version() >= 0:
+            return self.manifest().get("bloom_cols", [])
+        return self._bloom_cols_arg
 
     @property
     def constraints(self) -> dict[str, str]:
@@ -272,7 +300,60 @@ class CowTable:
             if los and his:
                 cstats[c] = [min(los, key=_prune_key),
                              max(his, key=_prune_key)]
+        self._attach_blooms(df, cdir, fstats)
         return cstats, fstats
+
+    def _attach_blooms(self, df: DataFrame, cdir: str,
+                       fstats: dict[str, dict]) -> None:
+        """Per-file Bloom filters for the opted-in ``bloom_cols``: ONE
+        aggregation per column — k double-hashed bit positions per row
+        (Kirsch-Mitzenmacher: pos_i = h1 + i*h2 mod m, JVM-side),
+        OR-folded into m/64 words per (file, word) — so the driver
+        collects <= files x 128 longs, never values. (A production
+        writer computes these in the same pass that writes the file;
+        the manifest protocol is what matters.)"""
+        import base64
+        import struct
+
+        bcols = [c for c in self.bloom_cols if c in df.columns]
+        if not bcols:
+            return
+        # size m from the chunk's largest file (ROWS_KEY is already in
+        # fstats): ~10 bits/row -> ~0.1% FP at k=5. One m per chunk so
+        # the positions compute in ONE expression over all its files.
+        # (At 100 TB these words live in sidecar index files, not the
+        # JSON manifest; the skipping protocol is identical.)
+        max_rows = max((s.get(ROWS_KEY, 0) for s in fstats.values()),
+                       default=0)
+        m = _BLOOM_MIN_BITS
+        while m < min(_BLOOM_BITS_PER_ROW * max(max_rows, 1),
+                      _BLOOM_MAX_BITS):
+            m *= 2
+        k = _BLOOM_K
+        for c in bcols:
+            # mod-BEFORE-combine: (h1 + i*h2) mod m == (h1%m + i*(h2%m))
+            # mod m, and the reduced operands cannot overflow ANSI longs
+            h1 = F.pmod(F.xxhash64(F.col(c)), F.lit(m))
+            h2 = F.pmod(F.xxhash64(F.col(c), F.lit(1)), F.lit(m))
+            pos = F.explode(F.array(*[
+                F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]))
+            rows = (df.select(F.input_file_name().alias("_f"),
+                              pos.alias("pos"))
+                    .select("_f", F.expr("pos div 64").alias("w"),
+                            F.expr("shiftleft(1L, CAST(pos % 64 AS INT))")
+                            .alias("mask"))
+                    .groupBy("_f", "w").agg(F.bit_or("mask").alias("bits"))
+                    .collect())
+            words: dict[str, list[int]] = {}
+            for r in rows:
+                fname = os.path.relpath(_local_path(r["_f"]), cdir)
+                words.setdefault(fname, [0] * (m // 64))[r["w"]] = r["bits"]
+            dtype = dict(df.dtypes)[c]
+            for fname, ws in words.items():
+                packed = base64.b64encode(
+                    struct.pack(f"<{m // 64}q", *ws)).decode("ascii")
+                fstats.setdefault(fname, {}).setdefault(
+                    BLOOM_KEY, {})[c] = [m, k, dtype, packed]
 
     def _carry_stats(self, chunks: list[str],
                      man: dict | None = None,
@@ -294,6 +375,7 @@ class CowTable:
                "n_chunks": len(chunks), "stats": stats or {},
                "file_stats": file_stats or {},
                "stats_cols": self.stats_cols,
+               "bloom_cols": self.bloom_cols,
                "constraints": self.constraints,
                "committed_at": time.time()}
         tmp = os.path.join(self._log_dir(),
@@ -432,6 +514,81 @@ class CowTable:
                     paths.append(os.path.join(cdir, fname))
         return paths
 
+    def _bloom_positions(self, value, m: int, k: int,
+                         dtype: str) -> list[int]:
+        """The k bit positions ``value`` sets, computed with the SAME
+        xxhash64 the writers used (one 1-row local job — no scan; the
+        Python side has no xxhash64 implementation to drift from). The
+        literal is CAST to the writer's column dtype first — xxhash64
+        hashes by Catalyst type, so an int literal probed against a
+        bigint column would hash differently and skip live files. The
+        Kirsch-Mitzenmacher combine reduces each hash mod m BEFORE
+        combining, exactly as the writer does (ANSI mode forbids the
+        overflow-wrapping direct form); Python's % on the pmod-reduced
+        non-negative operands matches JVM pmod."""
+        lit = F.lit(value).cast(dtype)
+        r = self.spark.range(1).select(
+            F.xxhash64(lit).alias("h1"),
+            F.xxhash64(lit, F.lit(1)).alias("h2")).collect()[0]
+        h1, h2 = r.h1 % m, r.h2 % m  # Python %: non-negative, == pmod
+        return [(h1 + i * h2) % m for i in range(k)]
+
+    def bloom_pruned_files(self, col: str, value,
+                           version: int | None = None) -> list[str]:
+        """Files that can contain ``col = value``: [min, max] pruning
+        first (free), then each surviving file's Bloom filter — a file
+        is skipped when ANY of the k probed bits is clear (a Bloom
+        no is definite; a yes is a maybe the residual filter settles).
+        Files without a recorded Bloom are kept. Driver-side bit
+        tests on manifest bytes; zero file I/O before the survivors."""
+        import base64
+        import struct
+
+        man = self.manifest(version)
+        fstats_all = man.get("file_stats", {})
+        # resolve each file path back to its manifest (chunk, fname)
+        # entry by chunk-dir prefix — chunk keys may be table-relative
+        # OR absolute (shallow clones reference source chunks by
+        # absolute path), so a relpath against the table root is wrong
+        # for the latter
+        cdirs = {c: os.path.join(self.path, c) for c in fstats_all}
+        kept = []
+        pos_cache: dict[tuple[int, int], list[int]] = {}
+        for path in self.pruned_files(col, value, value, version):
+            entry = None
+            for c, cdir in cdirs.items():
+                if path.startswith(cdir + os.sep):
+                    fname = os.path.relpath(path, cdir)
+                    entry = fstats_all[c].get(
+                        fname.replace(os.sep, "/"),
+                        fstats_all[c].get(fname))
+                    break
+            spec = (entry or {}).get(BLOOM_KEY, {}).get(col)
+            if not spec:
+                kept.append(path)  # whole-chunk dir or no Bloom: keep
+                continue
+            m, k, dtype, packed = spec
+            if (m, k) not in pos_cache:
+                pos_cache[(m, k)] = self._bloom_positions(value, m, k, dtype)
+            words = struct.unpack(f"<{m // 64}q", base64.b64decode(packed))
+            if all(words[p // 64] & (1 << (p % 64))
+                   for p in pos_cache[(m, k)]):
+                kept.append(path)
+        return kept
+
+    def point_scan(self, col: str, value,
+                   version: int | None = None) -> DataFrame:
+        """Bloom-pruned point lookup: ``col = value`` reading only the
+        files whose Bloom filter admits the value — on a
+        high-cardinality column scattered across every file, [min,
+        max] stats keep everything and this is the level that prunes.
+        The equality filter still applies (false positives cost a
+        file read, never a wrong row)."""
+        kept = self.bloom_pruned_files(col, value, version)
+        if not kept:
+            return self.read(version).filter(F.lit(False))
+        return self.spark.read.parquet(*kept).filter(F.col(col) == value)
+
     def scan(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
         """Stats-pruned range scan: ``col BETWEEN lo AND hi`` reading
         ONLY the files the manifest stats admit (chunk level, then file
@@ -565,9 +722,10 @@ class CowTable:
     @classmethod
     def create(cls, spark: SparkSession, df: DataFrame, path: str,
                stats_cols: list[str] | None = None,
-               constraints: dict[str, str] | None = None) -> "CowTable":
+               constraints: dict[str, str] | None = None,
+               bloom_cols: list[str] | None = None) -> "CowTable":
         tbl = cls(spark, path, stats_cols=stats_cols,
-                  constraints=constraints)
+                  constraints=constraints, bloom_cols=bloom_cols)
         if tbl.version() >= 0:
             raise FileExistsError(f"table exists at {path}")
         tbl._enforce(df)
@@ -815,7 +973,8 @@ class CowTable:
         The source table is never mutated by clone-side operations."""
         man = self.manifest(version)
         out = CowTable(self.spark, dest,
-                       stats_cols=man.get("stats_cols", []))
+                       stats_cols=man.get("stats_cols", []),
+                       bloom_cols=man.get("bloom_cols", []))
         if out.version() >= 0:
             raise ValueError(f"clone destination {dest} already exists")
         out._constraints_arg = dict(man.get("constraints", {}))
@@ -931,7 +1090,7 @@ class CowTable:
                                     .get(chunk_rel))
                 stats = {"numRecords": n_rows}
                 ranges = {c: v for c, v in (fstats or {}).items()
-                          if c != ROWS_KEY}
+                          if c not in _RESERVED_STAT_KEYS}
                 if ranges:
                     stats["minValues"] = {c: v[0] for c, v in ranges.items()}
                     stats["maxValues"] = {c: v[1] for c, v in ranges.items()}

@@ -636,3 +636,46 @@ def test_constraints_all_checked_in_one_job(spark, tmp_path):
     # both constraints are violated; the first-declared one is reported
     assert ei.value.constraint.startswith("v_nonneg")
     assert ei.value.violations == 3
+
+
+def test_bloom_index_prunes_and_never_loses_rows(spark, tmp_path):
+    """Per-file Bloom skipping on a range-clustered high-cardinality
+    column: a present key reads a strict subset of files yet returns
+    exactly the plain filter's rows; an absent key prunes everything;
+    the index survives reopen-by-path and appends (new chunks get
+    their own Blooms, carried chunks keep theirs)."""
+    df = (spark.range(4000)
+          .select(F.col("id").alias("k"),
+                  (F.col("id") % 97).alias("grp"),
+                  (F.col("id") * 2).alias("v")))
+    tbl = CowTable.create(spark, df, str(tmp_path / "t"),
+                          bloom_cols=["k"])
+    tbl.compact(n_files=8, sort_by=["grp"])  # k scattered across files
+    man = tbl.manifest()
+    files_total = sum(len(v) for v in man["file_stats"].values())
+    assert files_total >= 8
+    kept = tbl.bloom_pruned_files("k", 1234)
+    assert 0 < len(kept) < files_total
+    got = {tuple(r) for r in tbl.point_scan("k", 1234).collect()}
+    want = {tuple(r) for r in tbl.read().filter(F.col("k") == 1234).collect()}
+    assert got == want and len(got) == 1
+    assert tbl.bloom_pruned_files("k", 10**9) == []  # definite no
+    # reopen by path: bloom_cols recovered from the manifest
+    reopened = CowTable(spark, str(tmp_path / "t"))
+    assert reopened.bloom_cols == ["k"]
+    # append: the new chunk is bloom-indexed too
+    reopened.append(spark.range(4000, 4100).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("grp"),
+        (F.col("id") * 2).alias("v")))
+    assert reopened.point_scan("k", 4050).count() == 1
+    assert reopened.point_scan("k", 1234).count() == 1  # old chunk kept
+
+
+def test_bloom_index_carried_by_clone(spark, tmp_path):
+    src = CowTable.create(
+        spark, spark.range(1000).select(F.col("id").alias("k")),
+        str(tmp_path / "src"), bloom_cols=["k"])
+    cl = src.clone(str(tmp_path / "cl"))
+    assert cl.bloom_cols == ["k"]
+    assert cl.point_scan("k", 123).count() == 1
+    assert cl.bloom_pruned_files("k", 10**9) == []
