@@ -57,16 +57,18 @@ from . import timeseries      # noqa: E402,F401
 #      two-level window-skew mitigation measured in SCALE.md
 #      §sf1skew), the ts_resample_ffill / ts_interpolate_linear /
 #      ts_rolling_anomaly time-series family, and tf_bloom_index
-#      (per-file Bloom point-lookup skipping); plus tf_zorder +
+#      (per-file Bloom point-lookup skipping) and
+#      sessionize_incremental (persisted-state session refresh);
+#      plus tf_zorder +
 #      tf_constraints + sink_partitioned, whose implementation
 #      changed this round (per-column z-bit budget 63//k; single-job
 #      constraint aggregation; partition-metadata bound +
 #      partition-column predicate) — old greens no longer cover the
 #      shipped code.
-#   3. 20 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
+#   3. 19 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
 #      family first (tf_merge_cow / table_compact / sink_upsert all
 #      took the mergeSchema-read change, c76b7bd), then Tier-A and
-#      streaming_batch in registration order. The 28-key remainder
+#      streaming_batch in registration order. The 29-key remainder
 #      queues for round 7.
 #
 # All 50 fold keys are batch-checked — the wedge-isolation tail rule
@@ -83,19 +85,18 @@ _SWEEP_ORDER = [
     "dedup", "distinct_proj", "fn_string",
     # --- 2: new this round, then implementation-changed this round ---
     "sessionize_salted", "ts_resample_ffill", "ts_interpolate_linear",
-    "ts_rolling_anomaly", "tf_bloom_index",
+    "ts_rolling_anomaly", "tf_bloom_index", "sessionize_incremental",
     "tf_zorder", "tf_constraints", "sink_partitioned",
-    # --- 3: r3 cohort head (20 of 48) ---
+    # --- 3: r3 cohort head (19 of 48) ---
     "tf_merge_cow", "table_compact", "sink_upsert",
     "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
     "sql_to_pandas", "ddl_exec", "multi_stmt_exec", "bulk_load",
     "catalog_list", "storage_mount", "exec_timing",
     "stream_tumbling_agg", "stream_sliding_agg", "stream_session",
     "stream_watermark_late", "stream_dedup_state",
-    "stream_file_ingest",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-7 queue: the 28 remaining r3 keys
-    # (stream_foreach_batch, text_tokenize_stats, text_lang_id,
+    # Round-7 queue: the 29 remaining r3 keys
+    # (stream_file_ingest, stream_foreach_batch, text_tokenize_stats, text_lang_id,
     # text_quality_score, text_fingerprint,
     # text_exact_dedup, text_ngram_jaccard, text_dedup_clusters,
     # text_minhash_dedup, text_simhash, text_repetition,

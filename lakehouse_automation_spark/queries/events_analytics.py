@@ -182,6 +182,128 @@ def sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_incremental",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+             CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                    OR epoch_us(CAST(ts AS TIMESTAMP))
+                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+                       > {_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      FROM e
+    )
+    SELECT user_id, session_seq,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental sessionization: a PERSISTED session table (all
+    history before the final day) brought current by the day's event
+    batch — the continuous-ingestion form of ``sessionize_events``,
+    whose full recompute IS the oracle. The refresh reads the batch
+    plus ONE tail session per affected user, never historical events:
+
+    - untouched users' sessions (and affected users' non-tail
+      sessions) pass through from the state table by name;
+    - the batch sessionizes locally per user; its FIRST local session
+      merges into the user's persisted tail iff the first batch event
+      falls within the 30-min gap of the tail's end (the boundary
+      compares genuinely adjacent events, so the decision equals the
+      full recompute's);
+    - later local sessions renumber from the tail's session_seq.
+
+    Exactness across the restart boundary: the state table persists
+    ``sum_dec DECIMAL(18,2)`` (never the display double), so merged
+    sums re-enter the same exact-decimal arithmetic as the one-shot
+    plan. At 100 TB the state table is the thing that scales; the
+    refresh cost is ∝ batch + |affected users|."""
+    import shutil as _shutil
+
+    from .sinks import _scratch
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value")
+    # the batch boundary: the final day of the feed (a production
+    # pipeline knows its batch window; here it derives from the data)
+    cut = ev.agg(F.date_trunc("day", F.max("ts")).alias("c")) \
+            .collect()[0]["c"]
+
+    def sess(df: DataFrame) -> DataFrame:
+        w = W.partitionBy("user_id").orderBy("ts", "event_id")
+        us = F.unix_micros(F.col("ts").cast("timestamp"))
+        prev = F.lag(us).over(w)
+        is_new = F.when(prev.isNull() | ((us - prev) > _GAP_US), 1) \
+                  .otherwise(0)
+        return (df.withColumn("is_new", is_new)
+                .withColumn("session_seq", F.sum("is_new").over(
+                    w.rowsBetween(W.unboundedPreceding, W.currentRow))
+                    .cast("long"))
+                .groupBy("user_id", "session_seq")
+                .agg(F.min("ts").alias("session_start"),
+                     F.max("ts").alias("session_end"),
+                     F.count(F.lit(1)).alias("n_events"),
+                     F.sum(dec("value")).alias("sum_dec")))
+
+    # persisted state: sessions over everything BEFORE the batch day
+    state_path = _scratch(sf_dir, "session_state")
+    _shutil.rmtree(state_path, ignore_errors=True)
+    sess(ev.filter(F.col("ts") < F.lit(cut))) \
+        .write.mode("overwrite").parquet(state_path)
+    state = spark.read.parquet(state_path)
+
+    local = sess(ev.filter(F.col("ts") >= F.lit(cut)))
+    tail = (state.groupBy("user_id")
+            .agg(F.max("session_seq").alias("tail_seq")))
+    tails = (state.join(tail, ["user_id"])
+             .filter(F.col("session_seq") == F.col("tail_seq"))
+             .select("user_id", "tail_seq",
+                     F.col("session_start").alias("t_start"),
+                     F.col("session_end").alias("t_end"),
+                     F.col("n_events").alias("t_n"),
+                     F.col("sum_dec").alias("t_sum")))
+
+    lx = local.join(tails, ["user_id"], "left")
+    gap_us = (F.unix_micros(F.col("session_start").cast("timestamp"))
+              - F.unix_micros(F.col("t_end").cast("timestamp")))
+    merge1 = (F.col("t_end").isNotNull() & (F.col("session_seq") == 1)
+              & (gap_us <= _GAP_US))
+    w_u = W.partitionBy("user_id")
+    lx = lx.withColumn("merged", F.max(merge1.cast("int")).over(w_u) == 1)
+    updated = lx.select(
+        "user_id",
+        (F.coalesce("tail_seq", F.lit(0)) + F.col("session_seq")
+         - F.col("merged").cast("long")).alias("session_seq"),
+        F.when(merge1, F.col("t_start")).otherwise(F.col("session_start"))
+         .alias("session_start"),
+        "session_end",
+        (F.col("n_events") + F.when(merge1, F.col("t_n")).otherwise(F.lit(0)))
+         .alias("n_events"),
+        (F.col("sum_dec") + F.when(merge1, F.col("t_sum"))
+         .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("sum_dec"),
+    )
+    # state rows that survive as-is: everything except tails that merged
+    merged_tails = (lx.filter(merge1)
+                    .select("user_id", F.col("tail_seq").alias("session_seq")))
+    carried = state.join(merged_tails, ["user_id", "session_seq"],
+                         "left_anti")
+    return (carried.unionByName(updated)
+            .select("user_id", "session_seq", "session_start",
+                    "session_end", "n_events",
+                    F.col("sum_dec").cast("double").alias("sum_value")))
+
+
+@register(
     "event_funnel",
     oracle="""
     WITH u AS (

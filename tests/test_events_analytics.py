@@ -247,3 +247,56 @@ def test_sessionize_salted_identical_on_hot_key_corpus(spark, tmp_path):
     hot = max(
         (sum(1 for p in plain if p[0] == u) for u in {p[0] for p in plain}))
     assert hot > 1
+
+
+def test_sessionize_incremental_equals_full_and_exercises_merge(spark, tmp_path):
+    """The incremental refresh must reproduce the full recompute
+    byte-for-byte on a fixture that exercises every interesting path:
+    a batch session MERGING into a persisted tail, one appending
+    after a real gap, a brand-new user, and an untouched user. (The
+    driver testdata has no boundary merge at the gate SFs — checked —
+    so this fixture is what keeps the merge path honest.)"""
+    import datetime as dt
+
+    import pandas as pd
+
+    D0 = dt.datetime(2024, 3, 1)
+    D1 = dt.datetime(2024, 3, 2)
+
+    def ev(eid, user, ts, value):
+        return dict(event_id=eid, ts=ts, user_id=user,
+                    event_type="view", value=value, props="{}")
+
+    rows = [
+        # user 1: tail ends 23:55, batch starts 00:10 -> MERGE; then a
+        # second batch session after a >30min silence
+        ev(1, 1, D0.replace(hour=23, minute=40), 1.25),
+        ev(2, 1, D0.replace(hour=23, minute=55), 2.50),
+        ev(3, 1, D1.replace(hour=0, minute=10), 4.00),
+        ev(4, 1, D1.replace(hour=2, minute=0), 8.00),
+        # user 2: tail ends 22:00, batch starts 01:00 -> APPEND
+        ev(5, 2, D0.replace(hour=22, minute=0), 1.00),
+        ev(6, 2, D1.replace(hour=1, minute=0), 2.00),
+        # user 3: batch-only (new user)
+        ev(7, 3, D1.replace(hour=3, minute=0), 3.00),
+        # user 4: history-only (untouched by the refresh)
+        ev(8, 4, D0.replace(hour=10, minute=0), 5.00),
+    ]
+    pd.DataFrame(rows).to_parquet(str(tmp_path / "events.parquet"),
+                                  index=False)
+    full = {tuple(r) for r in
+            run("sessionize_events", spark, str(tmp_path)).collect()}
+    inc = {tuple(r) for r in
+           run("sessionize_incremental", spark, str(tmp_path)).collect()}
+    assert inc == full
+    by = {(r[0], r[1]): r for r in inc}
+    # user 1: ONE merged session spanning the midnight boundary
+    # (3 events, sum exact), then session 2 from the 02:00 event
+    assert by[(1, 1)][2] == D0.replace(hour=23, minute=40)
+    assert by[(1, 1)][3] == D1.replace(hour=0, minute=10)
+    assert by[(1, 1)][4] == 3 and abs(by[(1, 1)][5] - 7.75) < 1e-9
+    assert by[(1, 2)][4] == 1
+    # user 2: two separate sessions; user 3: one; user 4: one
+    assert by[(2, 1)][4] == 1 and by[(2, 2)][4] == 1
+    assert by[(3, 1)][4] == 1 and by[(4, 1)][4] == 1
+    assert len(inc) == 6

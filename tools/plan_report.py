@@ -47,6 +47,7 @@ NOTES = {
     "ts_interpolate_linear": "same front half; prev/next observation context rides two extra windows on the SAME user_id partitioning.",
     "ts_rolling_anomaly": "one user_id Exchange; integer-cent sum/sum-of-squares rolling moments (row-bounded frame, O(24) state), anomaly predicate as a plain filter.",
     "tf_bloom_index": "point-scan plan reads ONLY the Bloom-admitted files (pruning decided driver-side before this plan exists); residual equality filter settles FPs.",
+    "sessionize_incremental": "refresh plan: batch-local sessionize + tail join + anti-join carry — historical events never appear as a scan.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -59,7 +60,7 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "vec_matryoshka_topk", "join_null_safe", "udf_grouped_agg",
           "sessionize_salted", "ts_resample_ffill",
           "ts_interpolate_linear", "ts_rolling_anomaly",
-          "tf_bloom_index"]
+          "tf_bloom_index", "sessionize_incremental"]
 
 
 def main() -> int:
