@@ -48,6 +48,10 @@ MAX_RUNS = 10   # cap when the min keeps improving (load burst recovery)
 #       join_bloom_filtered (Bloom semi-join reduction) — the round-5
 #       events-analytics family's two heaviest keys; baselines
 #       recorded at introduction, earlier keys unchanged.
+#   r6: + sessionize_salted (two-level window-skew-safe variant) and
+#       ts_resample_ffill (time-series grid + forward fill) — the
+#       round-6 families' representative keys; baselines recorded at
+#       introduction, earlier keys unchanged.
 HEADLINE = [
     "flagship_pricing_summary",
     "flagship_regional_revenue",
@@ -61,6 +65,8 @@ HEADLINE = [
     "join_asof",
     "join_bloom_filtered",
     "sessionize_events",
+    "sessionize_salted",
+    "ts_resample_ffill",
     "win_rank",
     "win_frame_rows",
     "set_union",
