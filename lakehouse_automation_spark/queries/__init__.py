@@ -68,7 +68,7 @@ from . import timeseries      # noqa: E402,F401
 #   3. 19 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
 #      family first (tf_merge_cow / table_compact / sink_upsert all
 #      took the mergeSchema-read change, c76b7bd), then Tier-A and
-#      streaming_batch in registration order. The 29-key remainder
+#      streaming_batch in registration order. The 28-key remainder
 #      queues for round 7.
 #
 # All 50 fold keys are batch-checked — the wedge-isolation tail rule
@@ -95,7 +95,7 @@ _SWEEP_ORDER = [
     "stream_tumbling_agg", "stream_sliding_agg", "stream_session",
     "stream_watermark_late", "stream_dedup_state",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-7 queue: the 29 remaining r3 keys
+    # Round-7 queue: the 28 remaining r3 keys
     # (stream_file_ingest, stream_foreach_batch, text_tokenize_stats, text_lang_id,
     # text_quality_score, text_fingerprint,
     # text_exact_dedup, text_ngram_jaccard, text_dedup_clusters,

@@ -836,7 +836,8 @@ def tf_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
            CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
                 AS BIGINT) AS cents,
-           TRUE AS bloom_pruned, TRUE AS absent_all_pruned
+           TRUE AS no_false_negatives, TRUE AS fp_slack_ok,
+           TRUE AS absent_fp_slack_ok
     FROM lineitem WHERE l_orderkey = 1
     """,
 )
@@ -851,9 +852,13 @@ def tf_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     files driver-side with zero file I/O: a Bloom no is definite, a
     yes is settled by the residual equality filter, so false
     positives cost a wasted file read and never a wrong row. The
-    booleans pin both pruning claims (present key reads < all files;
-    absent key reads none); the count + integer-cent sum pin the
-    data against the plain point query."""
+    booleans are FP-TOLERANT so a regenerated corpus cannot flip them
+    on a re-rolled filter (review r6): the probe must admit every
+    file that truly contains the key (no false negatives — the hard
+    guarantee), and both the present- and absent-key probes may keep
+    at most 2 files beyond ground truth (~0.1% per-file FP at k=5,
+    ~10 bits/row; P(>2 FPs over 8 files) ~ 1e-8). The count +
+    integer-cent sum pin the data against the plain point query."""
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_extendedprice")
     root = _tmp()
@@ -866,17 +871,27 @@ def tf_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             li.repartitionByRange(8, "l_partkey")
               .sortWithinPartitions("l_partkey"),
             f"{root}/li", bloom_cols=["l_orderkey"])
-        man = tbl.manifest()
-        files_total = sum(len(v) for v in man["file_stats"].values())
-        kept = len(tbl.bloom_pruned_files("l_orderkey", 1))
+        kept = set(tbl.bloom_pruned_files("l_orderkey", 1))
         absent_kept = len(tbl.bloom_pruned_files("l_orderkey", -1))
+        # ground truth: the files that genuinely contain the key
+        # (one scan of the scratch table — the audit, not the lookup)
+        containing = {
+            r["f"] for r in
+            tbl.read().filter(F.col("l_orderkey") == 1)
+               .select(F.input_file_name().alias("f")).distinct().collect()
+        }
+        from ..tableformat import _local_path
+        kept_local = {_local_path(p) for p in kept}
+        containing_local = {_local_path(f) for f in containing}
         agg = (tbl.point_scan("l_orderkey", 1)
                .agg(F.count(F.lit(1)).alias("n"), _cents("l_extendedprice"))
                .collect()[0])
         return spark.createDataFrame(
             [(int(agg["n"]), int(agg["cents"]),
-              kept < files_total, absent_kept == 0)],
-            "n long, cents long, bloom_pruned boolean, "
-            "absent_all_pruned boolean")
+              containing_local <= kept_local,
+              len(kept) <= len(containing) + 2,
+              absent_kept <= 2)],
+            "n long, cents long, no_false_negatives boolean, "
+            "fp_slack_ok boolean, absent_fp_slack_ok boolean")
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -82,7 +82,9 @@ class ConstraintViolationError(ValueError):
 ROWS_KEY = "__rows__"
 
 # reserved key inside per-file stats entries holding per-column Bloom
-# filters ({col: [m_bits, k_hashes, base64 words]}) for point-lookup
+# filters ({col: [m_bits, k_hashes, dtype, base64 words]} — dtype
+# recorded because xxhash64 hashes by Catalyst type, so the probe
+# must cast its literal to the WRITER's column type) for point-lookup
 # file skipping on high-cardinality columns where [min, max] ranges
 # prune nothing (Delta's BLOOMFILTER INDEX pattern)
 BLOOM_KEY = "__bloom__"
@@ -309,7 +311,8 @@ class CowTable:
         aggregation per column — k double-hashed bit positions per row
         (Kirsch-Mitzenmacher: pos_i = h1 + i*h2 mod m, JVM-side),
         OR-folded into m/64 words per (file, word) — so the driver
-        collects <= files x 128 longs, never values. (A production
+        collects <= files x m/64 longs (128 at the 8 KB floor, 32768
+        at the 256 KB cap), never values. (A production
         writer computes these in the same pass that writes the file;
         the manifest protocol is what matters.)"""
         import base64
@@ -553,7 +556,12 @@ class CowTable:
         # for the latter
         cdirs = {c: os.path.join(self.path, c) for c in fstats_all}
         kept = []
-        pos_cache: dict[tuple[int, int], list[int]] = {}
+        # cache key MUST include the per-file dtype: xxhash64 hashes
+        # by Catalyst type, so two chunks whose bloom column evolved
+        # int -> bigint need DIFFERENT probe positions — a cache keyed
+        # by (m, k) alone would test the second chunk's files with the
+        # first chunk's positions and silently prune live files
+        pos_cache: dict[tuple[int, int, str], list[int]] = {}
         for path in self.pruned_files(col, value, value, version):
             entry = None
             for c, cdir in cdirs.items():
@@ -568,11 +576,12 @@ class CowTable:
                 kept.append(path)  # whole-chunk dir or no Bloom: keep
                 continue
             m, k, dtype, packed = spec
-            if (m, k) not in pos_cache:
-                pos_cache[(m, k)] = self._bloom_positions(value, m, k, dtype)
+            ck = (m, k, dtype)
+            if ck not in pos_cache:
+                pos_cache[ck] = self._bloom_positions(value, m, k, dtype)
             words = struct.unpack(f"<{m // 64}q", base64.b64decode(packed))
             if all(words[p // 64] & (1 << (p % 64))
-                   for p in pos_cache[(m, k)]):
+                   for p in pos_cache[ck]):
                 kept.append(path)
         return kept
 

@@ -679,3 +679,21 @@ def test_bloom_index_carried_by_clone(spark, tmp_path):
     assert cl.bloom_cols == ["k"]
     assert cl.point_scan("k", 123).count() == 1
     assert cl.bloom_pruned_files("k", 10**9) == []
+
+
+def test_bloom_probe_respects_per_file_dtype(spark, tmp_path):
+    """xxhash64 hashes by Catalyst type: a table whose bloom column
+    evolved int -> bigint records different dtypes per file, and the
+    probe must compute positions PER dtype — a cache keyed by (m, k)
+    alone pruned live files here (silent row loss, review r6)."""
+    big = spark.range(1000).select(F.col("id").cast("long").alias("k"))
+    small = (spark.range(1000, 2000)
+             .select(F.col("id").cast("int").alias("k")))
+    tbl = CowTable.create(spark, big, str(tmp_path / "t"),
+                          bloom_cols=["k"])
+    tbl.append(small)
+    # values living in the bigint chunk AND in the int chunk must both
+    # be found through the bloom-pruned path
+    assert tbl.point_scan("k", 700).count() == 1
+    assert tbl.point_scan("k", 1700).count() == 1
+    assert tbl.bloom_pruned_files("k", 10**9) == []

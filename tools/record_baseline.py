@@ -42,6 +42,10 @@ def main() -> int:
     args = sys.argv[1:]
     if "--out" in args:
         i = args.index("--out")
+        if i + 1 >= len(args):
+            print("usage: record_baseline.py [--out FILE] [key ...]",
+                  file=sys.stderr)
+            return 2
         OUT = os.path.abspath(args[i + 1])
         args = args[:i] + args[i + 2:]
     sys.argv = [sys.argv[0]] + args

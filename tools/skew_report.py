@@ -38,7 +38,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
 WARM = 3
-P = 32  # shuffle partitions, matches the engine conf
 
 
 def timed(fn, warm: int = WARM) -> float:
@@ -57,12 +56,16 @@ def noop(df: DataFrame) -> None:
 
 def spread(df: DataFrame, *cols: str) -> dict:
     """Rows per hash-shuffle partition for the given key columns —
-    max/mean ratio 1.0 = perfectly flat, P = one reducer owns all."""
+    max/mean ratio 1.0 = perfectly flat, P = one reducer owns all.
+    P comes from the LIVE session's spark.sql.shuffle.partitions so
+    the simulation describes the same partitioning the timed joins
+    actually used (a hardcoded 32 only matched 32-core hosts)."""
+    P = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     per = (df.groupBy(F.pmod(F.hash(*cols), F.lit(P)).alias("_p"))
            .count().collect())
     counts = [r["count"] for r in per]
     mx, mean = max(counts), sum(counts) / P
-    return {"max_rows": mx, "mean_rows": round(mean),
+    return {"max_rows": mx, "mean_rows": round(mean), "n_partitions": P,
             "spread": round(mx / mean, 2), "partitions_hit": len(counts)}
 
 
