@@ -210,3 +210,75 @@ def test_zorder_compact_preserves_multiset_and_never_loses_rows(
     blo, bhi = b_vals[len(b_vals) // 3], b_vals[-1]
     wantb = sorted((a, b) for a, b in rows if blo <= b <= bhi)
     assert sorted(map(tuple, tbl.scan("b", blo, bhi).collect())) == wantb
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2),        # user
+                  st.integers(0, 2880),     # minute offset over 2 days
+                  st.integers(0, 99)),      # value
+        min_size=1, max_size=25,
+    )
+)
+def test_sessionize_incremental_equals_full_random(events):
+    """Random event sets: the incremental refresh (persisted state +
+    final-day batch) must equal the full recompute byte-for-byte —
+    including empty pre-state, multi-session batches, ties on ts, and
+    chains of boundary merges the hand fixture can't enumerate."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [dict(event_id=i, ts=base + dt.timedelta(minutes=m),
+                 user_id=u, event_type="view", value=float(v),
+                 props="{}")
+            for i, (u, m, v) in enumerate(events)]
+    d = tempfile.mkdtemp(prefix="las_prop_sess_")
+    try:
+        pd.DataFrame(rows).to_parquet(f"{d}/events.parquet", index=False)
+        spark = _spark()
+        full = {tuple(r) for r in
+                REGISTRY["sessionize_events"].fn(spark, d).collect()}
+        inc = {tuple(r) for r in
+               REGISTRY["sessionize_incremental"].fn(spark, d).collect()}
+        assert inc == full
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(keys=st.lists(st.integers(-50, 50), min_size=1, max_size=30))
+def test_bloom_point_scan_never_false_negative(keys):
+    """For ANY key set split across two chunks, the Bloom-pruned point
+    scan must return exactly the plain filter's rows for present keys
+    (no false negative, ever) and zero rows for absent keys (FPs may
+    keep files; the residual filter settles them)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    spark = _spark()
+    half = len(keys) // 2
+    d = tempfile.mkdtemp(prefix="las_prop_bloom_")
+    try:
+        df1 = spark.createDataFrame([(k,) for k in keys[:half]] or [(None,)],
+                                    "k long").filter(F.col("k").isNotNull())
+        df2 = spark.createDataFrame([(k,) for k in keys[half:]], "k long")
+        tbl = CowTable.create(spark, df1, f"{d}/t", bloom_cols=["k"])
+        tbl.append(df2)
+        for probe in set(keys[:3]) | {777}:   # present + absent probes
+            want = keys.count(probe)
+            assert tbl.point_scan("k", probe).count() == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
