@@ -64,12 +64,15 @@ from . import timeseries      # noqa: E402,F401
 #      changed this round (per-column z-bit budget 63//k; single-job
 #      constraint aggregation; partition-metadata bound +
 #      partition-column predicate) — old greens no longer cover the
-#      shipped code.
-#   3. 19 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
+#      shipped code; likewise agg_sketch_setops (degenerate-segment
+#      guard), tf_cdc_updates (UTC commit timestamp),
+#      tf_delete_vacuum (vacuum horizon tolerance) and tf_stats_prune
+#      (temporal-gated prune padding) from the round-6 review fixes.
+#   3. 15 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
 #      family first (tf_merge_cow / table_compact / sink_upsert all
 #      took the mergeSchema-read change, c76b7bd), then Tier-A and
-#      streaming_batch in registration order. The 28-key remainder
-#      queues for round 7.
+#      the streaming_batch head in registration order. The 32-key
+#      remainder queues for round 7.
 #
 # All 50 fold keys are batch-checked — the wedge-isolation tail rule
 # (live-stream keys {tf_stream_ingest, lifecycle_daemon,
@@ -87,16 +90,19 @@ _SWEEP_ORDER = [
     "sessionize_salted", "ts_resample_ffill", "ts_interpolate_linear",
     "ts_rolling_anomaly", "tf_bloom_index", "sessionize_incremental",
     "tf_zorder", "tf_constraints", "sink_partitioned",
-    # --- 3: r3 cohort head (19 of 48) ---
+    "agg_sketch_setops", "tf_cdc_updates", "tf_delete_vacuum",
+    "tf_stats_prune",
+    # --- 3: r3 cohort head (15 of 48) ---
     "tf_merge_cow", "table_compact", "sink_upsert",
     "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
     "sql_to_pandas", "ddl_exec", "multi_stmt_exec", "bulk_load",
     "catalog_list", "storage_mount", "exec_timing",
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_session",
-    "stream_watermark_late", "stream_dedup_state",
+    "stream_tumbling_agg",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-7 queue: the 28 remaining r3 keys
-    # (stream_file_ingest, stream_foreach_batch, text_tokenize_stats, text_lang_id,
+    # Round-7 queue: the 32 remaining r3 keys
+    # (stream_sliding_agg, stream_session, stream_watermark_late,
+    # stream_dedup_state,
+    # stream_file_ingest, stream_foreach_batch, text_tokenize_stats, text_lang_id,
     # text_quality_score, text_fingerprint,
     # text_exact_dedup, text_ngram_jaccard, text_dedup_clusters,
     # text_minhash_dedup, text_simhash, text_repetition,

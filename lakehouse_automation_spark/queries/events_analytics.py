@@ -38,10 +38,11 @@ from .base import register, t, dec
 # round differently).
 _GAP_US = 30 * 60 * 1_000_000
 
-
-@register(
-    "sessionize_events",
-    oracle=f"""
+# One sessionization ground truth, shared by the plain key and its
+# salted / incremental physical variants — the three keys are REQUIRED
+# to agree byte-for-byte, so they must share one oracle string (a
+# divergent edit to one copy would silently decouple them).
+_SESSIONIZE_ORACLE = f"""
     WITH e AS (
       SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
              CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
@@ -63,7 +64,12 @@ _GAP_US = 30 * 60 * 1_000_000
            COUNT(*) AS n_events,
            CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
     FROM s GROUP BY user_id, session_seq
-    """,
+    """
+
+
+@register(
+    "sessionize_events",
+    oracle=_SESSIONIZE_ORACLE,
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based batch sessionization: a >30-min silence starts a new
@@ -95,29 +101,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_salted",
-    oracle=f"""
-    WITH e AS (
-      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-             CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-                    OR epoch_us(CAST(ts AS TIMESTAMP))
-                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > {_GAP_US}
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), s AS (
-      SELECT user_id, ts, value,
-             CAST(SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-      FROM e
-    )
-    SELECT user_id, session_seq,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM s GROUP BY user_id, session_seq
-    """,
+    oracle=_SESSIONIZE_ORACLE,
 )
 def sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window-skew-safe sessionization: byte-identical output to
@@ -183,29 +167,7 @@ def sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sessionize_incremental",
-    oracle=f"""
-    WITH e AS (
-      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-             CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
-                    OR epoch_us(CAST(ts AS TIMESTAMP))
-                       - LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
-                       > {_GAP_US}
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), s AS (
-      SELECT user_id, ts, value,
-             CAST(SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
-      FROM e
-    )
-    SELECT user_id, session_seq,
-           MIN(ts) AS session_start, MAX(ts) AS session_end,
-           COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-    FROM s GROUP BY user_id, session_seq
-    """,
+    oracle=_SESSIONIZE_ORACLE,
 )
 def sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental sessionization: a PERSISTED session table (all
@@ -588,7 +550,13 @@ def agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ests = sks.agg(
         F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("u_est"),
         F.expr("theta_sketch_estimate(theta_intersection_agg(sk))")
-         .alias("i_est"))
+         .alias("i_est"),
+        # intersection of ONE sketch is that sketch — comparing it to
+        # the two-set exact intersection (0) would flip inter_ok on a
+        # corpus missing a segment, a data artifact not a sketch bug;
+        # the booleans below go vacuously TRUE unless both segments
+        # exist (and union handles the empty corpus the same way)
+        F.count(F.lit(1)).alias("n_segments"))
     v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
     p = (ev.filter(F.col("event_type") == "purchase")
          .select("user_id").distinct())
@@ -608,11 +576,13 @@ def agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.crossJoin(exacts).crossJoin(ests)  # all 1-row sides
         .select(
             "exact_view", "exact_purchase", "exact_inter", "exact_union",
-            (F.abs(F.col("i_est") - F.col("exact_inter"))
-             <= 0.05 * F.greatest(F.col("exact_inter"), F.lit(1)))
+            F.when(F.col("n_segments") < 2, F.lit(True))
+             .otherwise(F.abs(F.col("i_est") - F.col("exact_inter"))
+                        <= 0.05 * F.greatest(F.col("exact_inter"), F.lit(1)))
              .alias("inter_ok"),
-            (F.abs(F.col("u_est") - F.col("exact_union"))
-             <= 0.05 * F.greatest(F.col("exact_union"), F.lit(1)))
+            F.when(F.col("n_segments") < 1, F.col("exact_union") == 0)
+             .otherwise(F.abs(F.col("u_est") - F.col("exact_union"))
+                        <= 0.05 * F.greatest(F.col("exact_union"), F.lit(1)))
              .alias("union_ok"))
     )
 

@@ -24,10 +24,13 @@ operator's output can be SMALLER than its input on dense feeds. The
 demo bound (user_id % 10 = 0, 7-day grid cap) keeps oracle compare
 sets small; the plan shape is identical without it.
 
-Determinism: hours are integer ``epoch_us div 3600e6`` (exact in
-both engines); the per-hour observation is the row with max
-(us, event_id) — total order, no ties; interpolation arithmetic uses
-the same IEEE operation order in both engines.
+Determinism: hours are integer ``epoch_us div 3600e6`` — Spark's
+``div`` and DuckDB's ``//`` BOTH truncate toward zero (verified:
+``-7 // 2 = -3`` in DuckDB), so the bucketing agrees bit-for-bit even
+for pre-epoch timestamps (where hour 0 spans (-1h, +1h) — odd but
+consistently odd in both engines); the per-hour observation is the
+row with max (us, event_id) — total order, no ties; interpolation
+arithmetic uses the same IEEE operation order in both engines.
 """
 
 from __future__ import annotations

@@ -127,17 +127,33 @@ def _js(v):
 _DATE_ONLY = re.compile(r"\d{4}-\d{2}-\d{2}")
 
 
-def _prune_key(v):
+def _prune_key(v, temporal: bool = True):
     """Comparable form of a stat/bound for pruning. A datetime bound
     renders as '1997-06-01T00:00:00' while a DATE-column stat renders
     as '1997-06-01'; compared raw, the longer string sorts GREATER and
     an equal-date boundary chunk gets wrongly pruned (losing its
     midnight rows). Pad date-only strings to midnight so mixed
-    temporal granularity compares consistently."""
+    temporal granularity compares consistently.
+
+    ``temporal=False`` disables the padding: a genuine STRING column
+    whose values merely look like dates must compare as raw strings —
+    padding '2024-01-15' to '...T00:00:00' sorts it ABOVE
+    '2024-01-15 10:00:00' (' ' < 'T') and a range scan would falsely
+    prune files holding matching rows. Callers gate on the bound's
+    Python type (scan side) or the column's Spark dtype (stats fold)."""
     v = _js(v)
-    if isinstance(v, str) and _DATE_ONLY.fullmatch(v):
+    if temporal and isinstance(v, str) and _DATE_ONLY.fullmatch(v):
         return v + "T00:00:00"
     return v
+
+
+def _temporal_bound(lo, hi) -> bool:
+    """True when a scan's bounds are real date/datetime objects — the
+    only case the date-padding heuristic is safe for."""
+    import datetime as _dt
+
+    return isinstance(lo, (_dt.date, _dt.datetime)) \
+        or isinstance(hi, (_dt.date, _dt.datetime))
 
 
 class CowTable:
@@ -296,12 +312,17 @@ class CowTable:
             }
             fstats[fname][ROWS_KEY] = int(r["__nr"])
         cstats = {}
+        dtypes = dict(df.dtypes)
         for c in cols:
+            # the date-padding fold key applies only to genuinely
+            # temporal columns; a STRING column's date-looking values
+            # must fold in raw string order
+            tmp = dtypes.get(c, "").startswith(("date", "timestamp"))
             los = [s[c][0] for s in fstats.values() if s[c][0] is not None]
             his = [s[c][1] for s in fstats.values() if s[c][1] is not None]
             if los and his:
-                cstats[c] = [min(los, key=_prune_key),
-                             max(his, key=_prune_key)]
+                cstats[c] = [min(los, key=lambda v: _prune_key(v, tmp)),
+                             max(his, key=lambda v: _prune_key(v, tmp))]
         self._attach_blooms(df, cdir, fstats)
         return cstats, fstats
 
@@ -471,6 +492,7 @@ class CowTable:
         never lose rows). Driver-side, O(#chunks), zero file I/O."""
         man = self.manifest(version)
         stats = man.get("stats", {})
+        tmp = _temporal_bound(lo, hi)
         kept = []
         for c in man["chunks"]:
             s = stats.get(c, {}).get(col)
@@ -478,8 +500,8 @@ class CowTable:
                 kept.append(c)
                 continue
             try:
-                if not (_prune_key(lo) > _prune_key(s[1])
-                        or _prune_key(hi) < _prune_key(s[0])):
+                if not (_prune_key(lo, tmp) > _prune_key(s[1], tmp)
+                        or _prune_key(hi, tmp) < _prune_key(s[0], tmp)):
                     kept.append(c)
             except TypeError:  # incomparable types: never prune blind
                 kept.append(c)
@@ -497,6 +519,7 @@ class CowTable:
         data file at write time), so skipping it is exact."""
         man = self.manifest(version)
         fstats_all = man.get("file_stats", {})
+        tmp = _temporal_bound(lo, hi)
         paths: list[str] = []
         for c in self.pruned_chunks(col, lo, hi, version):
             cdir = os.path.join(self.path, c)
@@ -509,8 +532,9 @@ class CowTable:
                 keep = True
                 if rng is not None and None not in rng:
                     try:
-                        keep = not (_prune_key(lo) > _prune_key(rng[1])
-                                    or _prune_key(hi) < _prune_key(rng[0]))
+                        keep = not (
+                            _prune_key(lo, tmp) > _prune_key(rng[1], tmp)
+                            or _prune_key(hi, tmp) < _prune_key(rng[0], tmp))
                     except TypeError:  # incomparable: never prune blind
                         keep = True
                 if keep:
@@ -723,7 +747,11 @@ class CowTable:
         man_v_to = self.manifest(v_to)
         epoch = man_v_to.get("committed_at") or os.path.getmtime(
             os.path.join(self._log_dir(), _vname(v_to)))
-        publish_ts = dt.datetime.fromtimestamp(epoch)
+        # naive UTC, because the session timezone is pinned to UTC
+        # (engine/session.py): a host-local naive datetime would be
+        # reinterpreted as UTC and shift the stamp by the host offset
+        publish_ts = dt.datetime.fromtimestamp(
+            epoch, dt.timezone.utc).replace(tzinfo=None)
         return (out.withColumn("_commit_version", F.lit(v_to))
                    .withColumn("_commit_timestamp",
                                F.lit(publish_ts).cast("timestamp")))
@@ -767,6 +795,13 @@ class CowTable:
         read (version + chunk list must come from the same snapshot or
         a concurrent commit between the two reads is silently dropped)
         and retry with the new chunk list."""
+        if self.version() < 0:
+            # fail BEFORE writing data: a chunk written first would be
+            # orphaned (no manifest ever references it, and vacuum
+            # needs a manifest too) and the eventual manifest read
+            # would die with a baffling v-1 FileNotFoundError
+            raise FileNotFoundError(
+                f"no table at {self.path}; use CowTable.create first")
         self._enforce(df)
         chunk = self._write_chunk(df, "append")
         # the new chunk's stats are loop-invariant: one agg job here,
@@ -800,27 +835,38 @@ class CowTable:
                 touched.append(c)
         return touched
 
-    def merge(self, updates: DataFrame, key: str | list[str]) -> int:
+    def merge(self, updates: DataFrame, key: str | list[str],
+              broadcast_keys: bool = True) -> int:
         """File-pruned ACID MERGE (updates win, unmatched base rows
         survive, unmatched updates insert). Only chunks containing a
         matched key are rewritten; the rest carry over by name. The
         whole transaction — touch detection, rewrite, commit — runs
         against ONE manifest read; a commit that lands meanwhile makes
-        :meth:`_commit` abort rather than lose it."""
+        :meth:`_commit` abort rather than lose it.
+
+        ``broadcast_keys``: the touch-detection semi-join broadcasts
+        the distinct update keys — right for the common MERGE whose
+        batch is small relative to the table. A backfill-sized batch
+        (hundreds of millions of distinct keys) must pass False so
+        both the semi-join here and the upsert join inside shuffle
+        instead of forcing the key set through the driver."""
         keys = [key] if isinstance(key, str) else list(key)
         self._enforce(updates)  # only the incoming rows re-validate
         man = self.manifest()
         base = (self._read_chunks(man["chunks"])
                 .withColumn("_file", F.input_file_name()))
-        matched = base.join(F.broadcast(updates.select(*keys).distinct()),
-                            on=keys, how="left_semi")
+        ukeys = updates.select(*keys).distinct()
+        matched = base.join(
+            F.broadcast(ukeys) if broadcast_keys else ukeys,
+            on=keys, how="left_semi")
         touched = self._touched_chunks(matched, man)
         untouched = [c for c in man["chunks"] if c not in touched]
         to_rewrite = (
             self._read_chunks(touched)
             if touched else base.drop("_file").limit(0)
         )
-        merged = merge_upsert(to_rewrite, updates, keys)
+        merged = merge_upsert(to_rewrite, updates, keys,
+                              broadcast_updates=broadcast_keys)
         chunk = self._write_chunk(merged, "merge")
         stats, fstats = self._new_stats(chunk, untouched, man)
         return self._commit(untouched + [chunk], "merge",
@@ -1070,6 +1116,12 @@ class CowTable:
 
         prev_files: dict[str, tuple] = {}
         prev_schema: str | None = None
+        # schema per CHUNK-SET, not per version: a mergeSchema read
+        # sweeps every file's footer, and retained versions mostly
+        # share chunks (restore/clone/compact re-reference them) — an
+        # uncached loop pays O(versions x files) footer I/O for
+        # schemas that can only change when the chunk set does
+        schema_cache: dict[frozenset, str] = {}
         for i, man in enumerate(self.history()):
             files: dict[str, tuple] = {}
             for chunk in man["chunks"]:
@@ -1078,7 +1130,12 @@ class CowTable:
             if i == 0:
                 actions.append({"protocol": {"minReaderVersion": 1,
                                              "minWriterVersion": 2}})
-            schema = self.read(man["version"], merge_schema=True).schema.json()
+            cset = frozenset(man["chunks"])
+            schema = schema_cache.get(cset)
+            if schema is None:
+                schema = self.read(man["version"],
+                                   merge_schema=True).schema.json()
+                schema_cache[cset] = schema
             if schema != prev_schema:
                 actions.append({"metaData": {
                     "id": f"cowtable-{os.path.basename(self.path)}",
@@ -1133,7 +1190,14 @@ class CowTable:
         keep_versions = range(max(0, tip - retain_versions + 1), tip + 1)
         live: set[str] = set()
         for v in keep_versions:
-            live.update(self.manifest(v)["chunks"])
+            try:
+                live.update(self.manifest(v)["chunks"])
+            except FileNotFoundError:
+                # a PREVIOUS, more aggressive vacuum already dropped
+                # this manifest (e.g. retain=1 then retain=3 before
+                # the tip advanced) — nothing to keep alive from it,
+                # same tolerance history() applies
+                continue
         now = time.time()
         removed = 0
         for entry in os.listdir(self.path):

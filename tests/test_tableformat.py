@@ -697,3 +697,36 @@ def test_bloom_probe_respects_per_file_dtype(spark, tmp_path):
     assert tbl.point_scan("k", 700).count() == 1
     assert tbl.point_scan("k", 1700).count() == 1
     assert tbl.bloom_pruned_files("k", 10**9) == []
+
+
+def test_vacuum_tolerates_prior_deeper_horizon(spark, tmp_path):
+    """vacuum(retain=3) after an earlier vacuum(retain=1) must skip
+    the already-dropped manifests instead of crashing (review r6):
+    the kept-version range can reach behind the previous horizon."""
+    tbl = CowTable.create(spark, spark.range(5), str(tmp_path / "t"))
+    for i in range(3):
+        tbl.append(spark.range(5 * (i + 1), 5 * (i + 2)))
+    tbl.vacuum(retain_versions=1, grace_s=0.0)
+    live, removed = tbl.vacuum(retain_versions=3, grace_s=0.0)
+    assert live > 0
+    assert tbl.read().count() == 20
+
+
+def test_string_column_stats_prune_raw_order(spark, tmp_path):
+    """A STRING column whose values look like dates must prune in raw
+    string order: the date-padding heuristic applied to it falsely
+    pruned files whose max was '2024-01-15 10:00:00' (space < 'T')
+    for a lo bound of '2024-01-15' (review r6, silent row loss)."""
+    df = spark.createDataFrame(
+        [("2024-01-15",), ("2024-01-15 10:00:00",)], "s string")
+    tbl = CowTable.create(spark, df.coalesce(1), str(tmp_path / "t"),
+                          stats_cols=["s"])
+    got = tbl.scan("s", "2024-01-15", "2024-01-15 10:00:00").count()
+    assert got == 2  # raw-string BETWEEN keeps both rows
+    # and a real DATE column still gets the temporal padding
+    import datetime as dt
+    dd = spark.createDataFrame([(dt.date(2024, 1, 15),)], "d date")
+    t2 = CowTable.create(spark, dd.coalesce(1), str(tmp_path / "t2"),
+                         stats_cols=["d"])
+    assert t2.scan("d", dt.datetime(2024, 1, 15),
+                   dt.datetime(2024, 1, 16)).count() == 1
