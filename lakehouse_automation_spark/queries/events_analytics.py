@@ -433,6 +433,12 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # hash probes. For ~450 build keys the false-positive rate is
 # (1 - e^{-kn/m})^k ~= 2e-7 — the probe side shrinks to ~the true
 # match set before its shuffle.
+# Deliberately a SEPARATE Bloom scheme from tableformat._attach_blooms
+# (k independent xxhash64 seeds here vs Kirsch-Mitzenmacher there):
+# this one is chosen to be REPLAYABLE IN THE DUCKDB ORACLE SQL, which
+# embeds the same k-seed hashing literally — unifying on the index
+# scheme would silently decouple this key from its oracle. Both carry
+# their own sign-bit/pmod/word-indexing notes for the same reason.
 _BLOOM_BITS = 1 << 16
 _BLOOM_WORDS = _BLOOM_BITS // 64
 _BLOOM_K = 5
