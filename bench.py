@@ -52,6 +52,9 @@ MAX_RUNS = 10   # cap when the min keeps improving (load burst recovery)
 #       ts_resample_ffill (time-series grid + forward fill) — the
 #       round-6 families' representative keys; baselines recorded at
 #       introduction, earlier keys unchanged.
+#       Second wave: + text_substring_dedup (duplicated-span
+#       detection, the heaviest new text key) and vec_int8_topk (SQ8
+#       quantized ANN) — baselines recorded at introduction.
 HEADLINE = [
     "flagship_pricing_summary",
     "flagship_regional_revenue",
@@ -79,10 +82,12 @@ HEADLINE = [
     "text_ngram_jaccard",
     "text_minhash_dedup",
     "text_simhash",
+    "text_substring_dedup",
     "curate_pipeline",
     "vec_cosine_topk",
     "vec_neardup_lsh",
     "vec_knn_join",
+    "vec_int8_topk",
     "mm_decode_features",
 ]
 

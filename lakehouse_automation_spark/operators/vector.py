@@ -718,3 +718,48 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
     )
     cand = _adc_topn(cand_pool, m, k * rerank_factor)
     return _exact_rerank(n, cand, n_queries, k)
+
+
+# ------------------------------------------------- int8 scalar quantization
+
+def int8_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
+              shortlist: int = 32, dim: int = LSH_DIM) -> DataFrame:
+    """Scalar-quantized top-k: L2-normalize each vector, map every
+    coordinate to an int8 code with ONE global max-abs scale
+    (``floor(u_i / s * 128)`` clamped to [-128, 127]), rank candidates
+    on INTEGER code dot products — proportional to cosine up to
+    quantization noise, because the scale is uniform and the offset is
+    zero — then exact-cosine rerank the ``shortlist``. (A per-dim
+    affine quantizer stores tighter codes but its code dot is NOT an
+    inner-product proxy: the per-dim offsets dominate the sum. The
+    symmetric-global form is what keeps candidate scoring integral and
+    engine-exact.)
+
+    The memory-bound scale story: the candidate scan reads 64 B/row
+    instead of 256 — the reason FAISS ships SQ8 — and calibration is
+    one partial+final ``max(abs(u))`` agg to a SINGLE broadcast scalar,
+    never a bottleneck. Integer scores + (score, vec_id) ranking make
+    the shortlist bit-reproducible across engines, partitionings, and
+    the DuckDB oracle; FLOOR-before-CAST keeps Spark's truncating and
+    DuckDB's rounding double->int casts agreeing."""
+    n = with_vnorm(emb, dim=dim)
+    stats = n.agg(F.max(F.expr(
+        "array_max(transform(v, x -> abs(x / nrm)))")).alias("s"))
+    codes = [F.expr(
+        f"CAST(GREATEST(-128.0D, LEAST(127.0D, "
+        f"FLOOR((v[{i}] / nrm / s) * 128.0D))) AS INT)")
+        for i in range(dim)]
+    q8 = (n.crossJoin(F.broadcast(stats))
+          .select("vec_id", F.array(*codes).alias("qv")))
+    q = F.broadcast(
+        q8.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("qv").alias("qq")))
+    qdot = F.expr("+".join(f"qq[{i}]*qv[{i}]" for i in range(dim))) \
+        .cast("long")
+    w = Window.partitionBy("q_id").orderBy(F.desc("qdot"), F.asc("vec_id"))
+    cand = (q.join(q8, F.col("q_id") != F.col("vec_id"))
+            .select("q_id", "vec_id", qdot.alias("qdot"))
+            .withColumn("qrk", F.row_number().over(w))
+            .filter(F.col("qrk") <= shortlist)
+            .select("q_id", "vec_id"))
+    return _exact_rerank(n, cand, n_queries, k)

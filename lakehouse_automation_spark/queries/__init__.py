@@ -92,15 +92,20 @@ _SWEEP_ORDER = [
     "tf_zorder", "tf_constraints", "sink_partitioned",
     "agg_sketch_setops", "tf_cdc_updates", "tf_delete_vacuum",
     "tf_stats_prune",
-    # --- 3: r3 cohort head (15 of 48) ---
+    # --- 2b: the session's second wave of new keys (never swept):
+    # deterministic mode, truncated-FIR EWMA, last-touch attribution,
+    # duplicated-span detection, SQ8 quantized ANN ---
+    "agg_mode", "ts_ewma", "event_attribution",
+    "text_substring_dedup", "vec_int8_topk",
+    # --- 3: r3 cohort head (10 of 48) ---
     "tf_merge_cow", "table_compact", "sink_upsert",
     "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
-    "sql_to_pandas", "ddl_exec", "multi_stmt_exec", "bulk_load",
-    "catalog_list", "storage_mount", "exec_timing",
-    "stream_tumbling_agg",
+    "sql_to_pandas", "ddl_exec", "multi_stmt_exec",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-7 queue: the 32 remaining r3 keys
-    # (stream_sliding_agg, stream_session, stream_watermark_late,
+    # Round-7 queue: the 37 remaining r3 keys
+    # (bulk_load, catalog_list, storage_mount, exec_timing,
+    # stream_tumbling_agg,
+    # stream_sliding_agg, stream_session, stream_watermark_late,
     # stream_dedup_state,
     # stream_file_ingest, stream_foreach_batch, text_tokenize_stats, text_lang_id,
     # text_quality_score, text_fingerprint,

@@ -381,3 +381,40 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("O").cast("double").alias("O"),
         F.col("F").cast("double").alias("F"),
     )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderstatus,
+           o_orderpriority AS mode_priority, CAST(cnt AS BIGINT) AS mode_n
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY cnt DESC, o_orderpriority) AS rk
+      FROM c)
+    WHERE rk = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: the most frequent o_orderpriority per
+    o_orderstatus, ties broken by smallest value. Built-in ``F.mode``
+    leaves ties engine-defined, so the portable form is
+    count-then-argmax: one partial+final hash aggregate down to
+    |status x priority| rows (bounded: 3x5 here), then ``min_by`` over
+    a (-cnt, value) key — highest count wins, then smallest value — as
+    a second tiny aggregate, never a window over the raw table. Scale
+    shape: the raw-table shuffle is the count agg only; everything
+    after runs on the group-cardinality rowset."""
+    c = (t(spark, sf_dir, "orders")
+         .groupBy("o_orderstatus", "o_orderpriority")
+         .agg(F.count(F.lit(1)).alias("cnt")))
+    key = F.struct((-F.col("cnt")).alias("ncnt"),
+                   F.col("o_orderpriority").alias("pr"))
+    return (c.groupBy("o_orderstatus")
+            .agg(F.min_by("o_orderpriority", key).alias("mode_priority"),
+                 F.min_by("cnt", key).cast("long").alias("mode_n")))

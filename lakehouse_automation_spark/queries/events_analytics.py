@@ -669,3 +669,57 @@ def win_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("burst").cast("long").alias("n_bursts"))
         .filter(F.col("n_bursts") > 0)
     )
+
+
+@register(
+    "event_attribution",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), attr AS (
+      SELECT event_type, cents,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+      FROM e
+    )
+    SELECT COALESCE(touch_type, 'organic') AS touch_type,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+    FROM attr WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the most
+    recent PRECEDING non-purchase event of the same user (first-ever
+    purchases with no prior touch fall to 'organic'), then revenue
+    rolls up per touch type. The marketing-attribution join expressed
+    as ONE user_id window — ``last(ignorenulls)`` over an
+    unbounded-preceding-to-1-preceding frame — instead of the naive
+    per-purchase as-of self-join (which would shuffle the table twice
+    and rescan each user's history per purchase). Revenue sums integer
+    cents, so the oracle matches exactly. Scale: one user_id Exchange,
+    then a 5-row aggregate; frame state is O(1) per user (running
+    last-seen value), unaffected by history length."""
+    ev = (t(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                  F.round(F.col("value") * 100).cast("long").alias("cents")))
+    wprev = (W.partitionBy("user_id").orderBy("us", "event_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True).over(wprev)
+    return (ev.withColumn("touch_type", touch)
+            .filter(F.col("event_type") == "purchase")
+            .groupBy(F.coalesce("touch_type", F.lit("organic"))
+                      .alias("touch_type"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 (F.sum("cents").cast("double") / F.lit(100.0))
+                 .alias("revenue")))

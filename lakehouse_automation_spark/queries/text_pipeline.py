@@ -1058,3 +1058,59 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * F.log(F.col("c") / F.col("total")))
                 / F.sum("tf"), 6).alias("avg_logprob"))
     )
+
+
+@register(
+    "text_substring_dedup",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, md5(substr(text, CAST(off AS INT), 40)) AS h
+      FROM documents,
+           LATERAL unnest(generate_series(1, length(text) - 39, 10)) AS u(off)
+      WHERE length(text) >= 40
+    ), d AS (
+      SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    )
+    SELECT w.doc_id, COUNT(*) AS n_windows,
+           CAST(COUNT(d.h) AS BIGINT) AS n_dup_windows,
+           CAST(COUNT(d.h) AS DOUBLE) / COUNT(*) AS dup_frac
+    FROM w LEFT JOIN d ON w.h = d.h
+    GROUP BY w.doc_id
+    """,
+)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-SPAN detection (the substring tier of train-data
+    dedup, after Lee et al.'s "Deduplicating Training Data Makes
+    Language Models Better"): 40-char windows at stride 10 over every
+    doc; a window is a dup span iff the identical text occurs in >= 2
+    DISTINCT docs (internal repetition is text_repetition's job);
+    each doc reports its duplicated-window fraction — the boilerplate/
+    template score that exact- and near-dedup both miss when only a
+    SPAN is shared.
+
+    Scale shape: windows shuffle on md5(window) — 16-byte keys instead
+    of raw 40-char spans, computed identically in both engines so the
+    oracle replays the exact grouping (a suffix-array would find every
+    duplicated substring; stride-10 fixed windows are the
+    shuffle-bounded approximation, rows = n_chars/10). Two shuffles
+    total (hash group, doc regroup); the dup-hash side of the join is
+    corpus-dependent but HAVING-pruned to repeated spans only."""
+    docs = (t(spark, sf_dir, "documents")
+            .filter(F.length("text") >= 40))
+    wins = (docs
+            .select("doc_id", "text",
+                    F.explode(F.sequence(F.lit(1),
+                                         F.length("text") - 39,
+                                         F.lit(10))).alias("off"))
+            .select("doc_id",
+                    F.md5(F.expr("substring(text, off, 40)")).alias("h")))
+    dup = (wins.groupBy("h")
+           .agg(F.countDistinct("doc_id").alias("nd"))
+           .filter(F.col("nd") >= 2)
+           .select("h", F.lit(1).alias("isdup")))
+    return (wins.join(dup, "h", "left")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_windows"),
+                 F.count("isdup").cast("long").alias("n_dup_windows"),
+                 (F.count("isdup").cast("double") / F.count(F.lit(1)))
+                 .alias("dup_frac")))

@@ -250,3 +250,67 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (x / F.lit(100.0)).alias("value"),
                     ((sd / nd) / F.lit(100.0)).alias("mean_prev"),
                     F.col("n").cast("long").alias("n_prev")))
+
+
+# ------------------------------------------------------------ EWMA smoothing
+
+_EWMA_LAGS = 16  # window: current row + 15 lags; alpha = 1/2
+
+
+def _ewma_oracle() -> str:
+    terms, norms = [], []
+    for k in range(_EWMA_LAGS):
+        w = repr(0.5 ** k)
+        x = "cents" if k == 0 else f"lag(cents, {k}) OVER w"
+        terms.append(
+            f"CASE WHEN {x} IS NOT NULL"
+            f" THEN CAST({x} AS DOUBLE) * {w} ELSE 0.0 END")
+        norms.append(
+            f"CASE WHEN {x} IS NOT NULL THEN {w} ELSE 0.0 END")
+    return f"""
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE user_id % 5 = 0
+    )
+    SELECT user_id, event_id,
+           CAST(cents AS DOUBLE) / 100.0 AS value,
+           (({" + ".join(terms)})
+            / ({" + ".join(norms)})) / 100.0 AS ewma
+    FROM ev
+    WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    """
+
+
+@register("ts_ewma", oracle=_ewma_oracle())
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (alpha = 1/2) of each
+    user's value stream, truncated at 16 taps (weight 2^-15 ~ 3e-5 —
+    below float-noise for this data).
+
+    The recursive EWMA can't be a plain window aggregate, but the
+    TRUNCATED form is a finite FIR filter: sum_k lag_k * alpha^k over
+    a bounded lag fan, renormalized by the weights actually present
+    (exact warm-up at partition heads, no bias). Determinism by
+    construction: integer cents times dyadic 2^-k weights are exact
+    doubles whose 35-bit value span sums without rounding in ANY
+    order, so Spark and DuckDB agree bit-for-bit. One user_id
+    Exchange; 16 lag reads share a single sort — window state is
+    O(16) per user at any scale."""
+    ev = (t(spark, sf_dir, "events")
+          .filter(F.col("user_id") % 5 == 0)
+          .select("user_id", "event_id",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                  F.round(F.col("value") * 100).cast("long").alias("cents")))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    wsum, nsum = F.lit(0.0), F.lit(0.0)
+    for k in range(_EWMA_LAGS):
+        x = F.col("cents") if k == 0 else F.lag("cents", k).over(w)
+        wt = F.lit(0.5 ** k)
+        wsum = wsum + F.when(x.isNotNull(), x.cast("double") * wt) \
+                       .otherwise(F.lit(0.0))
+        nsum = nsum + F.when(x.isNotNull(), wt).otherwise(F.lit(0.0))
+    return ev.select(
+        "user_id", "event_id",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
+        ((wsum / nsum) / F.lit(100.0)).alias("ewma"))

@@ -611,3 +611,58 @@ def vec_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     wr = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (rr.withColumn("rk", F.row_number().over(wr))
             .filter(F.col("rk") <= 10))
+
+
+@register(
+    "vec_int8_topk",
+    oracle=f"""
+    WITH n AS ({_VNORM}),
+    st AS (
+      SELECT MAX(list_max(list_transform(v, x -> abs(x / nrm)))) AS s
+      FROM n
+    ),
+    q8 AS (
+      SELECT vec_id, i,
+             CAST(GREATEST(-128.0, LEAST(127.0,
+               FLOOR((v[i] / nrm / s) * 128.0))) AS INT) AS q
+      FROM n, st, LATERAL unnest(range(1, 65)) AS u(i)
+    ),
+    qd AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             CAST(SUM(a.q * b.q) AS BIGINT) AS qdot
+      FROM q8 a JOIN q8 b USING (i)
+      WHERE a.vec_id < 5 AND a.vec_id != b.vec_id
+      GROUP BY 1, 2
+    ),
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY qdot DESC, vec_id) AS qrk
+        FROM qd)
+      WHERE qrk <= 32
+    ),
+    rr AS (
+      SELECT s.q_id, s.vec_id,
+             {_sim('q.v', 'c.v', 'q.nrm', 'c.nrm')} AS sim_r
+      FROM short s
+      JOIN n q ON q.vec_id = s.q_id
+      JOIN n c ON c.vec_id = s.vec_id
+    )
+    SELECT q_id, vec_id, sim_r, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rk
+      FROM rr)
+    WHERE rk <= 10
+    """,
+)
+def vec_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 vector compression tier: symmetric int8 codes of the
+    normalized vectors (one global scale) rank a 32-wide shortlist on
+    integer dot products, exact cosine reranks to top-10. Unlike the
+    PQ tiers this one is FULLY deterministic (integer candidate
+    scores, shared quantizer scale), so it carries a complete
+    value-hash oracle rather than a recall gate — and pytest still
+    pins its recall against the exact scan."""
+    from ..operators.vector import int8_topk
+
+    return int8_topk(t(spark, sf_dir, "embeddings"))

@@ -133,3 +133,39 @@ def test_chunk_split_covers_all_tokens_with_overlap(spark):
             assert c["n_tokens"] > _CHUNK_OVERLAP
         for c in chunks[:-1]:
             assert c["n_tokens"] == _CHUNK_LEN
+
+
+def test_substring_dedup_flags_planted_shared_span(spark, tmp_path):
+    """Plant one 60-char span shared verbatim by two docs inside
+    otherwise-unrelated text; a third doc shares nothing. The shared
+    docs must report n_dup_windows > 0, the loner exactly 0, and
+    dup_frac must be the exact ratio of its integer parts."""
+    import pandas as pd
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    span = "the quick brown fox jumps over the lazy dog again and again"
+    assert len(span) == 59  # prefixes are 180 chars, so the span
+    # starts at 1-based offset 181 in BOTH docs — exactly on the
+    # stride-10 grid, guaranteeing one identical shared window
+    docs = pd.DataFrame({
+        "doc_id": pd.array([1, 2, 3], dtype="int64"),
+        "text": [
+            ("alpha " * 30) + span + (" omega" * 30),
+            ("beta " * 36) + span + (" gamma" * 24),
+            "completely unrelated filler content " * 12,
+        ],
+        "lang": ["en"] * 3,
+        "source": ["src1"] * 3,
+    })
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    docs.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    out = {r.doc_id: r for r in REGISTRY["text_substring_dedup"].fn(
+        spark, str(tmp_path)).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_dup_windows > 0 and out[2].n_dup_windows > 0
+    assert out[3].n_dup_windows == 0 and out[3].dup_frac == 0.0
+    for r in out.values():
+        assert 0 <= r.n_dup_windows <= r.n_windows
+        assert r.dup_frac == r.n_dup_windows / r.n_windows

@@ -300,3 +300,47 @@ def test_sessionize_incremental_equals_full_and_exercises_merge(spark, tmp_path)
     assert by[(2, 1)][4] == 1 and by[(2, 2)][4] == 1
     assert by[(3, 1)][4] == 1 and by[(4, 1)][4] == 1
     assert len(inc) == 6
+
+
+# ----------------------------------------------------------- attribution
+
+def test_attribution_conserves_purchases_and_revenue(spark):
+    """Attribution is a partition of the purchase set: row counts and
+    revenue must reconcile with the raw table exactly, and no purchase
+    may be attributed to 'purchase' itself."""
+    at = run("event_attribution", spark).collect()
+    raw = (REGISTRY["event_attribution"].fn.__globals__["t"](
+        spark, SF_SMOKE, "events")
+        .filter(F.col("event_type") == "purchase")
+        .agg(F.count(F.lit(1)).alias("n"),
+             (F.sum(F.round(F.col("value") * 100)) / 100).alias("rev"))
+        .collect()[0])
+    assert sum(r.n_purchases for r in at) == raw["n"]
+    assert abs(sum(r.revenue for r in at) - raw["rev"]) < 1e-6
+    types = {r.touch_type for r in at}
+    assert "purchase" not in types
+    assert types <= {"click", "view", "signup", "error", "organic"}
+
+
+def test_attribution_last_touch_law(spark):
+    """Replay one user's history in Python: every purchase credits the
+    type of the closest preceding non-purchase event."""
+    rows = (REGISTRY["event_attribution"].fn.__globals__["t"](
+        spark, SF_SMOKE, "events")
+        .select("user_id", "event_id", "event_type",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"))
+        .collect())
+    byu = {}
+    for r in sorted(rows, key=lambda r: (r.us, r.event_id)):
+        byu.setdefault(r.user_id, []).append(r)
+    expect = {}
+    for u, seq in byu.items():
+        last = None
+        for r in seq:
+            if r.event_type == "purchase":
+                expect[last or "organic"] = expect.get(last or "organic", 0) + 1
+            else:
+                last = r.event_type
+    got = {r.touch_type: r.n_purchases
+           for r in run("event_attribution", spark).collect()}
+    assert got == expect

@@ -104,3 +104,60 @@ def test_rolling_anomaly_flags_verified_by_recompute(spark):
             else:
                 unflagged_full += 1
     assert n_checked > 0 and unflagged_full > 0
+
+
+# ------------------------------------------------------------------ EWMA
+
+def test_ewma_is_convex_and_exact_at_heads(spark):
+    """EWMA laws: weights renormalize to 1, so the output is a convex
+    combination of the trailing 16 values — bounded by their min/max —
+    and a user's FIRST event has ewma == value exactly."""
+    out = run("ts_ewma", spark).collect()
+    assert out
+    ev = (REGISTRY["ts_ewma"].fn.__globals__["t"](
+        spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select("user_id", "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                (F.round(F.col("value") * 100) / 100).alias("v"))
+        .collect())
+    hist = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.us, r.event_id)):
+        hist.setdefault(r.user_id, []).append((r.event_id, r.v))
+    got = {(r.user_id, r.event_id): r.ewma for r in out}
+    assert len(got) == len(ev)
+    checked_head = checked_mid = 0
+    for u, seq in hist.items():
+        for i, (eid, v) in enumerate(seq):
+            e = got[(u, eid)]
+            window = [x for _, x in seq[max(0, i - 15):i + 1]]
+            assert min(window) - 1e-9 <= e <= max(window) + 1e-9, (u, eid)
+            if i == 0:
+                assert e == v, (u, eid)  # exact: single-tap renorm
+                checked_head += 1
+            elif i >= 16:
+                checked_mid += 1
+    assert checked_head and checked_mid
+
+
+def test_ewma_replays_in_python(spark):
+    """Direct replay: the truncated FIR sum recomputed row-by-row in
+    Python (same dyadic weights) must match the Spark output to the
+    last bit — the arithmetic is exact by construction."""
+    ev = (REGISTRY["ts_ewma"].fn.__globals__["t"](
+        spark, SF_SMOKE, "events")
+        .filter(F.col("user_id") % 5 == 0)
+        .select("user_id", "event_id",
+                F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"))
+        .collect())
+    hist = {}
+    for r in sorted(ev, key=lambda r: (r.user_id, r.us, r.event_id)):
+        hist.setdefault(r.user_id, []).append((r.event_id, r.cents))
+    got = {(r.user_id, r.event_id): r.ewma for r in run("ts_ewma", spark).collect()}
+    for u, seq in hist.items():
+        for i, (eid, _) in enumerate(seq):
+            taps = [c for _, c in reversed(seq[max(0, i - 15):i + 1])]
+            wsum = sum(float(c) * 0.5 ** k for k, c in enumerate(taps))
+            nsum = sum(0.5 ** k for k in range(len(taps)))
+            assert got[(u, eid)] == (wsum / nsum) / 100.0, (u, eid)

@@ -311,3 +311,46 @@ def test_matryoshka_recall_on_mrl_structured_embeddings(spark, tmp_path):
     recall = (sum(len(exact[q] & approx[q]) for q in exact)
               / (len(exact) * 10))
     assert recall >= 0.8, f"MRL-structured recall@10 {recall:.2f} < 0.8"
+
+
+def test_int8_recall_and_exact_rerank(emb):
+    """SQ8 gates: (a) the 32-wide int8 shortlist must carry most of
+    the exact top-10 — 8-bit per-dim codes lose little cosine signal,
+    so pin an absolute recall, far above shortlist-size baseline;
+    (b) surviving sim_r values are EXACT cosine (the rerank recomputes
+    in full precision), so they must equal the brute-force tier's
+    values for the same (q, c) pairs."""
+    from lakehouse_automation_spark.operators.vector import int8_topk
+
+    k = 10
+    exact_rows = cosine_topk(emb, n_queries=5, k=k).collect()
+    exact_sets = {}
+    exact_sims = {}
+    for r in exact_rows:
+        exact_sets.setdefault(r.q_id, set()).add(r.vec_id)
+        exact_sims[(r.q_id, r.vec_id)] = r.sim_r
+    got = int8_topk(emb, n_queries=5, k=k).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r.q_id, set()).add(r.vec_id)
+        if (r.q_id, r.vec_id) in exact_sims:
+            assert r.sim_r == exact_sims[(r.q_id, r.vec_id)]
+    assert all(len(v) == k for v in approx.values())
+    recall = (sum(len(exact_sets[q] & approx.get(q, set()))
+                  for q in exact_sets) / (len(exact_sets) * k))
+    assert recall >= 0.8, f"int8 recall {recall:.2f}"
+
+
+def test_int8_codes_cover_full_range(spark, emb):
+    """Calibration law: the global max-abs coordinate must land on a
+    range extreme (127 if positive, -128 if negative) — the scale is
+    chosen so the code book uses its full width."""
+    import numpy as np
+
+    X = np.array(emb.orderBy("vec_id").select("embedding")
+                 .toPandas()["embedding"].tolist(), dtype=np.float64)
+    U = X / np.linalg.norm(X, axis=1, keepdims=True)
+    s = np.abs(U).max()
+    q = np.clip(np.floor(U / s * 128.0), -128, 127).astype(int)
+    assert q.max() == 127 or q.min() == -128
+    assert q.max() <= 127 and q.min() >= -128
