@@ -68,11 +68,14 @@ from . import timeseries      # noqa: E402,F401
 #      guard), tf_cdc_updates (UTC commit timestamp),
 #      tf_delete_vacuum (vacuum horizon tolerance) and tf_stats_prune
 #      (temporal-gated prune padding) from the round-6 review fixes.
-#   3. 15 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
+#   2b. The session's second new-key wave (never swept, must be in
+#      the fold): agg_mode, ts_ewma, event_attribution,
+#      text_substring_dedup, vec_int8_topk, stream_tws_state.
+#   3. 9 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
 #      family first (tf_merge_cow / table_compact / sink_upsert all
-#      took the mergeSchema-read change, c76b7bd), then Tier-A and
-#      the streaming_batch head in registration order. The 32-key
-#      remainder queues for round 7.
+#      took the mergeSchema-read change, c76b7bd), then the Tier-A
+#      head in registration order. The 38-key remainder queues for
+#      round 7.
 #
 # All 50 fold keys are batch-checked — the wedge-isolation tail rule
 # (live-stream keys {tf_stream_ingest, lifecycle_daemon,
@@ -94,17 +97,18 @@ _SWEEP_ORDER = [
     "tf_stats_prune",
     # --- 2b: the session's second wave of new keys (never swept):
     # deterministic mode, truncated-FIR EWMA, last-touch attribution,
-    # duplicated-span detection, SQ8 quantized ANN ---
+    # duplicated-span detection, SQ8 quantized ANN, and the
+    # transformWithStateInPandas batch gate ---
     "agg_mode", "ts_ewma", "event_attribution",
-    "text_substring_dedup", "vec_int8_topk",
-    # --- 3: r3 cohort head (10 of 48) ---
+    "text_substring_dedup", "vec_int8_topk", "stream_tws_state",
+    # --- 3: r3 cohort head (9 of 48) ---
     "tf_merge_cow", "table_compact", "sink_upsert",
     "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
-    "sql_to_pandas", "ddl_exec", "multi_stmt_exec",
+    "sql_to_pandas", "ddl_exec",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-7 queue: the 37 remaining r3 keys
-    # (bulk_load, catalog_list, storage_mount, exec_timing,
-    # stream_tumbling_agg,
+    # Round-7 queue: the 38 remaining r3 keys
+    # (multi_stmt_exec, bulk_load, catalog_list, storage_mount,
+    # exec_timing, stream_tumbling_agg,
     # stream_sliding_agg, stream_session, stream_watermark_late,
     # stream_dedup_state,
     # stream_file_ingest, stream_foreach_batch, text_tokenize_stats, text_lang_id,

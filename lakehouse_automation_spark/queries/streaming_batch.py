@@ -307,3 +307,27 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
     )
+
+
+@register(
+    "stream_tws_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_max
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_tws_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas (Spark 4's typed-state successor to
+    applyInPandasWithState): per-user running totals + running max via
+    TWO named ValueStates. This gate key runs the same fold in batch
+    (identical semantics, integer-cents exact); the live stream —
+    real readStream, RocksDB state store, state carried across
+    micro-batches — is asserted in tests/test_streaming_state.py
+    (env-gated: the TWS driver worker imports google.protobuf, absent
+    in this container — the test auto-unskips when installed)."""
+    from ..streaming.stateful import user_totals_tws_batch
+
+    return user_totals_tws_batch(t(spark, sf_dir, "events"))

@@ -21,6 +21,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 OUTPUT_SCHEMA = "user_id bigint, n_events bigint, cents_sum bigint"
 STATE_SCHEMA = "n bigint, cents bigint"
@@ -76,4 +77,84 @@ def user_totals_batch(events: DataFrame) -> DataFrame:
         events.select("user_id", "value")
         .groupBy("user_id")
         .applyInPandas(fold, OUTPUT_SCHEMA)
+    )
+
+
+# ---------------------------------------------- transformWithState (Spark 4)
+
+TWS_OUTPUT_SCHEMA = ("user_id bigint, n_events bigint, cents_sum bigint, "
+                     "cents_max bigint")
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    """``StatefulProcessor`` for ``transformWithStateInPandas`` —
+    Spark 4's successor API to applyInPandasWithState (typed state
+    variables, timers, TTL; requires the RocksDB state store). Two
+    named ValueStates per user — additive (n, cents) totals and a
+    running max — demonstrate the composed-state-variable model the
+    old single-tuple GroupState can't express. State stays O(1) per
+    key; the shuffle is the groupBy key only. A static module-level
+    subclass: the processor is PICKLED to the python worker, so a
+    dynamically-built class (unpicklable by reference) crashes the
+    TransformWithStateInPySpark driver worker."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n bigint, cents bigint")
+        self._vmax = handle.getValueState("vmax", "m bigint")
+
+    def handleInputRows(self, key, rows, timer_values):
+        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        m = self._vmax.get()[0] if self._vmax.exists() else None
+        for pdf in rows:
+            dn, dc = _fold_batch(pdf)
+            n, cents = n + dn, cents + dc
+            if dn:
+                bmax = int((pdf["value"] * 100).round().astype("int64").max())
+                m = bmax if m is None else max(m, bmax)
+        self._totals.update((n, cents))
+        self._vmax.update((m,))
+        yield pd.DataFrame({
+            "user_id": [key[0]], "n_events": [n],
+            "cents_sum": [cents], "cents_max": [m],
+        })
+
+    def close(self) -> None:
+        pass
+
+
+def user_totals_tws_stream(events_stream: DataFrame) -> DataFrame:
+    """Stateful per-user totals+max over a STREAMING frame via
+    transformWithStateInPandas. Caller must enable the RocksDB state
+    store provider (transformWithState requires it):
+    ``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
+    """
+    proc = UserTotalsProcessor()
+    return (
+        events_stream.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType=TWS_OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
+def user_totals_tws_batch(events: DataFrame) -> DataFrame:
+    """The SAME fold in batch (applyInPandas) — the deterministic
+    restatement the oracle gate checks for ``stream_tws_state``."""
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        n, cents = _fold_batch(pdf)
+        cmax = int((pdf["value"] * 100).round().astype("int64").max())
+        return pd.DataFrame({
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "n_events": [n], "cents_sum": [cents], "cents_max": [cmax],
+        })
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .applyInPandas(fold, TWS_OUTPUT_SCHEMA)
     )

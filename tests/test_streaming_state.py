@@ -78,3 +78,82 @@ def test_stateful_batch_restatement_is_exact(spark):
         ).collect()
     }
     assert got == want
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState's driver worker imports google.protobuf "
+           "(absent in this container) — auto-unskips when installed; "
+           "the batch restatement stays oracle-gated regardless",
+)
+def test_tws_stream_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas over a REAL multi-micro-batch stream
+    (RocksDB state store) must carry BOTH ValueStates across batches
+    and converge to the batch fold."""
+    from lakehouse_automation_spark.streaming.stateful import (
+        user_totals_tws_batch,
+        user_totals_tws_stream,
+    )
+
+    events = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "value")
+    )
+    src = str(tmp_path / "src")
+    half = events.filter(F.col("user_id") % 2 == 0)
+    rest = events.filter(F.col("user_id") % 2 == 1)
+    half.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "a"))
+    rest.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "b"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src)
+        )
+        out_dir = str(tmp_path / "out")
+        q = (
+            user_totals_tws_stream(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(lambda bdf, bid: bdf.write.mode("overwrite")
+                          .parquet(os.path.join(out_dir, f"b{bid}")))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(timeout=120), "tws stream did not drain"
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev)
+
+    got_df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("basePath", out_dir).parquet(out_dir)
+        .withColumn("_f", F.input_file_name())
+    )
+    latest: dict[int, tuple] = {}
+    for r in sorted(got_df.collect(), key=lambda r: r._f):
+        latest[r.user_id] = (r.n_events, r.cents_sum, r.cents_max)
+    want = {
+        r.user_id: (r.n_events, r.cents_sum, r.cents_max)
+        for r in user_totals_tws_batch(
+            spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        ).collect()
+    }
+    assert latest == want
