@@ -48,6 +48,12 @@ NOTES = {
     "ts_rolling_anomaly": "one user_id Exchange; integer-cent sum/sum-of-squares rolling moments (row-bounded frame, O(24) state), anomaly predicate as a plain filter.",
     "tf_bloom_index": "point-scan plan reads ONLY the Bloom-admitted files (pruning decided driver-side before this plan exists); residual equality filter settles FPs.",
     "sessionize_incremental": "refresh plan: batch-local sessionize + tail join + anti-join carry — historical events never appear as a scan.",
+    "agg_mode": "count agg shuffles the raw table once; the argmax agg runs on the |status×priority| rowset.",
+    "ts_ewma": "one user_id Exchange; 16 lag reads share a single sort — the truncated FIR is a plain window projection.",
+    "event_attribution": "one user_id window (running last-touch), then a 5-row hash aggregate.",
+    "text_substring_dedup": "stride-10 windows explode inline, shuffle on md5 keys; dup-span set HAVING-pruned then broadcast back.",
+    "vec_int8_topk": "calibration agg → broadcast scalar; int8 code dot in one codegen projection; rerank joins only the 32-wide shortlist.",
+    "stream_tws_state": "per-user Arrow fold (applyInPandas restatement of the TWS processor); one group-key Exchange.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -60,7 +66,9 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "vec_matryoshka_topk", "join_null_safe", "udf_grouped_agg",
           "sessionize_salted", "ts_resample_ffill",
           "ts_interpolate_linear", "ts_rolling_anomaly",
-          "tf_bloom_index", "sessionize_incremental"]
+          "tf_bloom_index", "sessionize_incremental",
+          "agg_mode", "ts_ewma", "event_attribution",
+          "stream_tws_state"]
 
 
 def main() -> int:
