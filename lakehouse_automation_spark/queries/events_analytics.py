@@ -29,8 +29,10 @@ Two infrastructure patterns round out the family:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W, \
+    functions as F
 
+from ..operators import dedup as dedup_ops
 from .base import register, t, dec
 
 # Session gap: 30 min, compared in integer microseconds on both
@@ -723,3 +725,86 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_purchases"),
                  (F.sum("cents").cast("double") / F.lit(100.0))
                  .alias("revenue")))
+
+
+# ------------------------------------------------- count-min sketch
+
+# Depth x width sized for the demo corpus; at 100 TB widen W (error
+# ~ total_mass / W) — the table stays K*W counters regardless of rows.
+_CMS_K = 5
+_CMS_W = 256
+
+
+def _cms_bucket(i: Column, v: Column) -> Column:
+    return dedup_ops.portable_hash(
+        F.concat(F.lit("cms"), i.cast("string"),
+                 F.lit(":"), v.cast("string"))) % _CMS_W
+
+
+def _cms_bucket_sql(i: str, v: str) -> str:
+    from ..operators.dedup import portable_hash_sql
+
+    return (portable_hash_sql(
+        f"'cms' || CAST({i} AS VARCHAR) || ':' || CAST({v} AS VARCHAR)")
+        + f" % {_CMS_W}")
+
+
+@register(
+    "agg_count_min_sketch",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, i
+      FROM events, LATERAL unnest(generate_series(0, {_CMS_K - 1})) AS u(i)
+    ), cms AS (
+      SELECT i, {_cms_bucket_sql('i', 'user_id')} AS bucket,
+             COUNT(*) AS n
+      FROM r GROUP BY 1, 2
+    ), probes AS (
+      SELECT user_id, COUNT(*) AS true_n
+      FROM events WHERE user_id % 15 = 0 GROUP BY 1
+    ), pk AS (
+      SELECT p.user_id, p.true_n, u.i,
+             {_cms_bucket_sql('u.i', 'p.user_id')} AS bucket
+      FROM probes p,
+           LATERAL unnest(generate_series(0, {_CMS_K - 1})) AS u(i)
+    )
+    SELECT pk.user_id, CAST(pk.true_n AS BIGINT) AS true_n,
+           CAST(MIN(cms.n) AS BIGINT) AS est_n
+    FROM pk JOIN cms USING (i, bucket)
+    GROUP BY 1, 2
+    """,
+)
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch — the mergeable FREQUENCY sketch completing
+    the quartet (HLL distinct / theta set ops / approx-top-k heavy
+    hitters / Bloom membership): K=5 md5-derived hash rows x W=256
+    counters estimate any key's event count with one-sided error
+    (est >= true; overshoot <= total_mass/W per row, min over K rows).
+
+    Scale shape: the sketch BUILD is one partial+final hash aggregate
+    whose reduced state is <= K*W counters per partition — the 5x
+    explode never reaches the shuffle at corpus cardinality; the
+    finished 1280-cell table broadcasts to the probe join. Everything
+    (hashes, counters, min) is integer-exact, so unlike the HLL keys
+    this sketch carries a FULL value-hash oracle rather than an
+    error-bound boolean — pytest pins the no-underestimate and
+    mass-conservation laws besides."""
+    ev = t(spark, sf_dir, "events").select("user_id")
+    rows = ev.select(
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(_CMS_K - 1))).alias("i"))
+    cms = (rows
+           .withColumn("bucket", _cms_bucket(F.col("i"), F.col("user_id")))
+           .groupBy("i", "bucket")
+           .agg(F.count(F.lit(1)).alias("n")))
+    probes = (ev.filter(F.col("user_id") % 15 == 0)
+              .groupBy("user_id")
+              .agg(F.count(F.lit(1)).alias("true_n")))
+    pk = (probes
+          .select("user_id", "true_n",
+                  F.explode(F.sequence(F.lit(0), F.lit(_CMS_K - 1))).alias("i"))
+          .withColumn("bucket", _cms_bucket(F.col("i"), F.col("user_id"))))
+    return (pk.join(F.broadcast(cms), ["i", "bucket"])
+            .groupBy("user_id")
+            .agg(F.max("true_n").cast("long").alias("true_n"),
+                 F.min("n").cast("long").alias("est_n")))

@@ -158,3 +158,52 @@ def test_zorder_many_columns_stays_in_sign_free_bits(spark, tmp_path):
         by_a = [r["__z"] for r in sorted(z, key=lambda r: r["a"])]
         assert by_a == sorted(by_a), f"diagonal ordering corrupted for k={k}"
         assert by_a[0] < by_a[-1], f"z-value degenerate for k={k}"
+
+
+def test_cms_no_underestimate_and_mass_conservation(spark):
+    """Count-min laws: (a) est >= true for EVERY probe (the sketch's
+    one-sided guarantee — a single violation means broken hashing);
+    (b) each of the K counter rows conserves total mass (sums to the
+    corpus row count); (c) the sketch is linear: the CMS of the corpus
+    equals the cellwise sum of the CMS of any disjoint split."""
+    from lakehouse_automation_spark.queries import REGISTRY
+    from lakehouse_automation_spark.queries.events_analytics import (
+        _CMS_K,
+        _CMS_W,
+        _cms_bucket,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_count_min_sketch"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.est_n >= r.true_n, r
+
+    ev = (REGISTRY["agg_count_min_sketch"].fn.__globals__["t"](
+        spark, sf, "events").select("user_id"))
+    total = ev.count()
+
+    def build(df):
+        return {
+            (r.i, r.bucket): r.n
+            for r in (df.select(
+                "user_id",
+                F.explode(F.sequence(F.lit(0), F.lit(_CMS_K - 1))).alias("i"))
+                .withColumn("bucket",
+                            _cms_bucket(F.col("i"), F.col("user_id")))
+                .groupBy("i", "bucket")
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+        }
+
+    cms = build(ev)
+    for i in range(_CMS_K):
+        assert sum(n for (ri, _), n in cms.items() if ri == i) == total
+        assert all(b < _CMS_W for (ri, b) in cms if ri == i)
+
+    half_a = build(ev.filter(F.col("user_id") % 2 == 0))
+    half_b = build(ev.filter(F.col("user_id") % 2 == 1))
+    merged: dict = {}
+    for part in (half_a, half_b):
+        for cell, n in part.items():
+            merged[cell] = merged.get(cell, 0) + n
+    assert merged == cms
