@@ -71,11 +71,12 @@ from . import timeseries      # noqa: E402,F401
 #   2b. The session's second new-key wave (never swept, must be in
 #      the fold): agg_mode, ts_ewma, event_attribution,
 #      text_substring_dedup, vec_int8_topk, stream_tws_state,
-#      agg_count_min_sketch.
-#   3. 8 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
+#      agg_count_min_sketch, agg_hist_bins, sample_stratified_topk,
+#      event_path_analysis.
+#   3. 5 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
 #      family first (tf_merge_cow / table_compact / sink_upsert all
 #      took the mergeSchema-read change, c76b7bd), then the Tier-A
-#      head in registration order. The 39-key remainder queues for
+#      head in registration order. The 42-key remainder queues for
 #      round 7.
 #
 # All 50 fold keys are batch-checked — the wedge-isolation tail rule
@@ -99,17 +100,19 @@ _SWEEP_ORDER = [
     # --- 2b: the session's second wave of new keys (never swept):
     # deterministic mode, truncated-FIR EWMA, last-touch attribution,
     # duplicated-span detection, SQ8 quantized ANN, the
-    # transformWithStateInPandas batch gate, count-min sketch ---
+    # transformWithStateInPandas batch gate, count-min sketch,
+    # data-driven histogram, fixed-k stratified sample, path n-grams ---
     "agg_mode", "ts_ewma", "event_attribution",
     "text_substring_dedup", "vec_int8_topk", "stream_tws_state",
-    "agg_count_min_sketch",
-    # --- 3: r3 cohort head (8 of 48) ---
+    "agg_count_min_sketch", "agg_hist_bins", "sample_stratified_topk",
+    "event_path_analysis",
+    # --- 3: r3 cohort head (5 of 48) ---
     "tf_merge_cow", "table_compact", "sink_upsert",
-    "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
-    "sql_to_pandas",
+    "incremental_load", "ledger_insert",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-7 queue: the 39 remaining r3 keys
-    # (ddl_exec, multi_stmt_exec, bulk_load, catalog_list,
+    # Round-7 queue: the 42 remaining r3 keys
+    # (ledger_topk, retry_exec, sql_to_pandas, ddl_exec,
+    # multi_stmt_exec, bulk_load, catalog_list,
     # storage_mount, exec_timing, stream_tumbling_agg,
     # stream_sliding_agg, stream_session, stream_watermark_late,
     # stream_dedup_state,

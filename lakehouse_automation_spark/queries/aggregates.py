@@ -418,3 +418,52 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (c.groupBy("o_orderstatus")
             .agg(F.min_by("o_orderpriority", key).alias("mode_priority"),
                  F.min_by("cnt", key).cast("long").alias("mode_n")))
+
+
+@register(
+    "agg_hist_bins",
+    oracle="""
+    WITH st AS (
+      SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      FROM lineitem
+    ), b AS (
+      SELECT CAST(LEAST(19.0, FLOOR((l_extendedprice - mn) / (mx - mn)
+                                    * 20.0)) AS INT) AS bucket,
+             mn, mx
+      FROM lineitem, st
+    )
+    SELECT bucket,
+           mn + bucket * ((mx - mn) / 20.0) AS lo_edge,
+           mn + (bucket + 1) * ((mx - mn) / 20.0) AS hi_edge,
+           COUNT(*) AS n
+    FROM b GROUP BY 1, 2, 3
+    """,
+)
+def agg_hist_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bin histogram of l_extendedprice with DATA-DRIVEN
+    edges — the profiling primitive behind every column-stats UI. Two
+    passes by necessity (edges need global min/max), both cheap at any
+    scale: the stats agg reduces to one broadcastable row, the bin agg
+    partial-combines to <= 20 rows per partition. Bucket arithmetic
+    ``least(19, floor((v - mn)/(mx - mn) * 20))`` and the edge
+    expressions use one shared IEEE op order, so the oracle hashes
+    bit-for-bit (the max value folds into the top bucket, standard
+    width_bucket behavior)."""
+    li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    st = li.agg(F.min("l_extendedprice").alias("mn"),
+                F.max("l_extendedprice").alias("mx"))
+    b = (li.crossJoin(F.broadcast(st))
+         .select(F.expr(
+             "CAST(LEAST(19.0D, FLOOR((l_extendedprice - mn) / (mx - mn)"
+             " * 20.0D)) AS INT)").alias("bucket"),
+             "mn", "mx"))
+    return (b.groupBy("bucket", "mn", "mx")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("bucket",
+                    (F.col("mn") + F.col("bucket")
+                     * ((F.col("mx") - F.col("mn")) / F.lit(20.0)))
+                    .alias("lo_edge"),
+                    (F.col("mn") + (F.col("bucket") + 1)
+                     * ((F.col("mx") - F.col("mn")) / F.lit(20.0)))
+                    .alias("hi_edge"),
+                    "n"))

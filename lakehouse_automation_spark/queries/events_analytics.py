@@ -808,3 +808,52 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("user_id")
             .agg(F.max("true_n").cast("long").alias("true_n"),
                  F.min("n").cast("long").alias("est_n")))
+
+
+@register(
+    "event_path_analysis",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS t2,
+             lead(event_type, 2) OVER w AS t3
+      FROM (SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events)
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ), paths AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS path,
+             COUNT(*) AS n
+      FROM e WHERE t3 IS NOT NULL
+      GROUP BY 1
+    )
+    SELECT path, CAST(n AS BIGINT) AS n, rk FROM (
+      SELECT *, row_number() OVER (ORDER BY n DESC, path) AS rk
+      FROM paths)
+    WHERE rk <= 5
+    """,
+)
+def event_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 most common 3-step event-type paths — the exploratory
+    complement to event_funnel (funnel checks ONE ordered hypothesis;
+    paths discovers which sequences actually dominate). Trigrams via
+    two leads on one user_id window — never a 3-way self-join — then
+    a path-string aggregate that partial-combines to <= |types|^3
+    rows per partition (125 here) before its shuffle; the final
+    top-5 ranks a bounded table, tie-broken by path for cross-engine
+    determinism."""
+    ev = (t(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    tri = (ev
+           .withColumn("t2", F.lead("event_type", 1).over(w))
+           .withColumn("t3", F.lead("event_type", 2).over(w))
+           .filter(F.col("t3").isNotNull())
+           .select(F.concat_ws(">", "event_type", "t2", "t3").alias("path")))
+    paths = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = W.orderBy(F.desc("n"), F.asc("path"))
+    return (paths
+            .withColumn("rk", F.row_number().over(wr))
+            .filter(F.col("rk") <= 5)
+            .select("path", F.col("n").cast("long").alias("n"), "rk"))

@@ -213,3 +213,41 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("test").alias("split"))
         .groupBy("split").agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "sample_stratified_topk",
+    oracle="""
+    SELECT source, doc_id, n_chars FROM (
+      SELECT source, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST(('0x' || substr(md5('strat:' ||
+                 CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                 doc_id) AS rk
+      FROM documents)
+    WHERE rk <= 3
+    """,
+)
+def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified FIXED-SIZE sampling: exactly 3 docs per source,
+    chosen by md5-hash rank — the third sampling regime next to
+    mixture_sample (per-stratum RATE) and sample_hash_split (global
+    percent split). Hash-rank selection is reproducible across runs,
+    engines, and cluster layouts where rand() ordering is not, and
+    re-picks (almost) the same rows as strata grow — the property an
+    eval-holdout needs. One shuffle on the stratum key; at 100 TB with
+    heavy strata, pre-aggregate a per-partition top-k first (the
+    standard top-k-per-group rewrite) so no reducer sorts a full
+    stratum."""
+    from ..operators.dedup import portable_hash
+
+    w = W.partitionBy("source").orderBy(
+        portable_hash(F.concat(F.lit("strat:"),
+                               F.col("doc_id").cast("string"))),
+        "doc_id")
+    return (t(spark, sf_dir, "documents")
+            .select("source", "doc_id", "n_chars",
+                    F.row_number().over(w).alias("rk"))
+            .filter(F.col("rk") <= 3)
+            .drop("rk"))

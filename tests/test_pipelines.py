@@ -125,3 +125,67 @@ def test_ingest_pipeline_survives_process_restart(spark, tmp_path):
                      stamp="datagen_t1")
     pipe2.run_available()
     assert pipe2.table().count() == 350
+
+
+# ---------------------------------------------- histogram / stratified / paths
+
+def test_hist_bins_partition_the_table(spark):
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(REGISTRY["agg_hist_bins"].fn(spark, sf).collect(),
+                  key=lambda r: r.bucket)
+    li = REGISTRY["agg_hist_bins"].fn.__globals__["t"](spark, sf, "lineitem")
+    total = li.count()
+    assert sum(r.n for r in rows) == total          # every row binned once
+    assert 1 <= len(rows) <= 20
+    assert all(0 <= r.bucket <= 19 for r in rows)
+    for a, b in zip(rows, rows[1:]):                # contiguous edges
+        if b.bucket == a.bucket + 1:
+            assert abs(a.hi_edge - b.lo_edge) < 1e-9
+    import pyspark.sql.functions as F
+    mn, mx = li.agg(F.min("l_extendedprice"), F.max("l_extendedprice")).first()
+    assert abs(rows[0].lo_edge - mn) < 1e-9
+    assert abs(rows[-1].hi_edge - mx) < 1e-9 or rows[-1].bucket < 19
+
+
+def test_stratified_topk_is_exact_k_and_stable(spark):
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out1 = REGISTRY["sample_stratified_topk"].fn(spark, sf).collect()
+    out2 = REGISTRY["sample_stratified_topk"].fn(spark, sf).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # reproducible
+    per = {}
+    for r in out1:
+        per.setdefault(r.source, set()).add(r.doc_id)
+    docs = REGISTRY["sample_stratified_topk"].fn.__globals__["t"](
+        spark, sf, "documents")
+    import pyspark.sql.functions as F
+    sizes = {r.source: r.n for r in
+             docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(per) == {s for s, n in sizes.items() if n > 0}
+    for s, ids in per.items():
+        assert len(ids) == min(3, sizes[s]), s
+
+
+def test_event_paths_match_python_replay(spark):
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    ev = (REGISTRY["event_path_analysis"].fn.__globals__["t"](
+        spark, sf, "events")
+        .select("user_id", "event_id", "event_type", "ts").collect())
+    seq = {}
+    for r in sorted(ev, key=lambda r: (r.ts, r.event_id)):
+        seq.setdefault(r.user_id, []).append(r.event_type)
+    counts = {}
+    for types in seq.values():
+        for i in range(len(types) - 2):
+            p = ">".join(types[i:i + 3])
+            counts[p] = counts.get(p, 0) + 1
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = [(r.path, r.n) for r in sorted(
+        REGISTRY["event_path_analysis"].fn(spark, sf).collect(),
+        key=lambda r: r.rk)]
+    assert got == want

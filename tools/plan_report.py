@@ -54,6 +54,10 @@ NOTES = {
     "text_substring_dedup": "stride-10 windows explode inline, shuffle on md5 keys; dup-span set HAVING-pruned then broadcast back.",
     "vec_int8_topk": "calibration agg → broadcast scalar; int8 code dot in one codegen projection; rerank joins only the 32-wide shortlist.",
     "stream_tws_state": "per-user Arrow fold (applyInPandas restatement of the TWS processor); one group-key Exchange.",
+    "agg_count_min_sketch": "5x explode collapses to <=K*W counters per partition before the shuffle; 1280-cell sketch broadcasts to the probe join.",
+    "agg_hist_bins": "1-row stats agg broadcast into the bin projection; bin agg partial-combines to <=20 rows.",
+    "sample_stratified_topk": "one stratum-key Exchange; rank filter drops all but k rows per stratum.",
+    "event_path_analysis": "two leads share one user_id window sort; bounded path agg then a 5-row rank.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -68,7 +72,8 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "ts_interpolate_linear", "ts_rolling_anomaly",
           "tf_bloom_index", "sessionize_incremental",
           "agg_mode", "ts_ewma", "event_attribution",
-          "stream_tws_state"]
+          "stream_tws_state", "agg_count_min_sketch", "agg_hist_bins",
+          "sample_stratified_topk", "event_path_analysis"]
 
 
 def main() -> int:
