@@ -742,9 +742,7 @@ def _cms_bucket(i: Column, v: Column) -> Column:
 
 
 def _cms_bucket_sql(i: str, v: str) -> str:
-    from ..operators.dedup import portable_hash_sql
-
-    return (portable_hash_sql(
+    return (dedup_ops.portable_hash_sql(
         f"'cms' || CAST({i} AS VARCHAR) || ':' || CAST({v} AS VARCHAR)")
         + f" % {_CMS_W}")
 

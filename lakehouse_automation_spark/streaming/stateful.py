@@ -27,10 +27,23 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, cents_sum bigint"
 STATE_SCHEMA = "n bigint, cents bigint"
 
 
+def _cents(values: "pd.Series") -> "pd.Series":
+    """Integer cents with HALF-AWAY-FROM-ZERO rounding — pandas'
+    ``.round()`` is banker's (half-to-even), which silently diverges
+    from Spark's ``F.round`` and DuckDB's ``round`` (both half-away
+    for positives) on exact .5-cent boundaries. The test corpora carry
+    2-decimal values so all three agree today; a finer-grained corpus
+    would trip the gate, hence the explicit form."""
+    import numpy as np
+
+    v = values * 100
+    return pd.Series(np.sign(v) * np.floor(np.abs(v) + 0.5),
+                     index=values.index).astype("int64")
+
+
 def _fold_batch(pdf: pd.DataFrame) -> tuple[int, int]:
     """(rows, exact integer cents) for one pandas chunk."""
-    cents = (pdf["value"] * 100).round().astype("int64")
-    return len(pdf), int(cents.sum())
+    return len(pdf), int(_cents(pdf["value"]).sum())
 
 
 def update_user_totals(key: tuple, pdfs: Iterator[pd.DataFrame],
@@ -109,7 +122,7 @@ class UserTotalsProcessor(StatefulProcessor):
             dn, dc = _fold_batch(pdf)
             n, cents = n + dn, cents + dc
             if dn:
-                bmax = int((pdf["value"] * 100).round().astype("int64").max())
+                bmax = int(_cents(pdf["value"]).max())
                 m = bmax if m is None else max(m, bmax)
         self._totals.update((n, cents))
         self._vmax.update((m,))
@@ -147,7 +160,7 @@ def user_totals_tws_batch(events: DataFrame) -> DataFrame:
     restatement the oracle gate checks for ``stream_tws_state``."""
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         n, cents = _fold_batch(pdf)
-        cmax = int((pdf["value"] * 100).round().astype("int64").max())
+        cmax = int(_cents(pdf["value"]).max())
         return pd.DataFrame({
             "user_id": [int(pdf["user_id"].iloc[0])],
             "n_events": [n], "cents_sum": [cents], "cents_max": [cmax],
