@@ -72,11 +72,11 @@ from . import timeseries      # noqa: E402,F401
 #      the fold): agg_mode, ts_ewma, event_attribution,
 #      text_substring_dedup, vec_int8_topk, stream_tws_state,
 #      agg_count_min_sketch, agg_hist_bins, sample_stratified_topk,
-#      event_path_analysis.
-#   3. 5 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
+#      event_path_analysis, agg_bitmap_distinct, scan_text.
+#   3. 3 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
 #      family first (tf_merge_cow / table_compact / sink_upsert all
 #      took the mergeSchema-read change, c76b7bd), then the Tier-A
-#      head in registration order. The 42-key remainder queues for
+#      head in registration order. The 44-key remainder queues for
 #      round 7.
 #
 # All 50 fold keys are batch-checked — the wedge-isolation tail rule
@@ -101,17 +101,18 @@ _SWEEP_ORDER = [
     # deterministic mode, truncated-FIR EWMA, last-touch attribution,
     # duplicated-span detection, SQ8 quantized ANN, the
     # transformWithStateInPandas batch gate, count-min sketch,
-    # data-driven histogram, fixed-k stratified sample, path n-grams ---
+    # data-driven histogram, fixed-k stratified sample, path n-grams,
+    # exact-mergeable bitmap distinct, plain-text source ---
     "agg_mode", "ts_ewma", "event_attribution",
     "text_substring_dedup", "vec_int8_topk", "stream_tws_state",
     "agg_count_min_sketch", "agg_hist_bins", "sample_stratified_topk",
-    "event_path_analysis",
-    # --- 3: r3 cohort head (5 of 48) ---
+    "event_path_analysis", "agg_bitmap_distinct", "scan_text",
+    # --- 3: r3 cohort head (3 of 48) ---
     "tf_merge_cow", "table_compact", "sink_upsert",
-    "incremental_load", "ledger_insert",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-7 queue: the 42 remaining r3 keys
-    # (ledger_topk, retry_exec, sql_to_pandas, ddl_exec,
+    # Round-7 queue: the 44 remaining r3 keys
+    # (incremental_load, ledger_insert,
+    # ledger_topk, retry_exec, sql_to_pandas, ddl_exec,
     # multi_stmt_exec, bulk_load, catalog_list,
     # storage_mount, exec_timing, stream_tumbling_agg,
     # stream_sliding_agg, stream_session, stream_watermark_late,

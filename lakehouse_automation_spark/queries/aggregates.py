@@ -467,3 +467,44 @@ def agg_hist_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                      * ((F.col("mx") - F.col("mn")) / F.lit(20.0)))
                     .alias("hi_edge"),
                     "n"))
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '__all__' AS event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-mergeable distinct counting via Spark 4's bitmap aggs —
+    the third distinct tier: plain COUNT(DISTINCT) re-shuffles raw
+    keys, HLL trades exactness for mergeability, BITMAPS give both
+    when keys are dense integers (the Databricks/ClickHouse
+    roaring-bitmap pattern). Per (event_type, 32k-bucket) the keys
+    fold into a <=4-KB bitmap IN THE PARTIAL AGGREGATE, so the shuffle
+    carries bitmaps, never user_ids; the '__all__' row is produced by
+    ``bitmap_or_agg`` MERGING the per-type bitmaps — the persist-daily
+    / union-any-window property the oracle checks exactly (no error
+    bound, unlike the HLL keys). At 100 TB: persist the (group,
+    bucket, bitmap) table; any later distinct-union is a bitmap OR
+    over it, no raw re-scan."""
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    b = (ev.groupBy("event_type",
+                    F.expr("bitmap_bucket_number(user_id)").alias("bk"))
+         .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+              .alias("bm")))
+    per = (b.groupBy("event_type")
+           .agg(F.expr("sum(bitmap_count(bm))").cast("long")
+                .alias("n_users")))
+    merged = (b.groupBy("bk")
+              .agg(F.expr("bitmap_or_agg(bm)").alias("bm")))
+    total = (merged
+             .agg(F.expr("sum(bitmap_count(bm))").cast("long")
+                  .alias("n_users"))
+             .select(F.lit("__all__").alias("event_type"), "n_users"))
+    return per.unionByName(total)

@@ -465,3 +465,36 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@register(
+    "scan_text",
+    oracle="""
+    WITH lines AS (
+      SELECT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS value
+      FROM documents
+    )
+    SELECT COUNT(*) AS n_lines,
+           CAST(SUM(length(value)) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT value) AS BIGINT) AS n_distinct_lines
+    FROM lines
+    """,
+)
+def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text source format (``spark.read.text``) — the last
+    built-in batch source missing from the scan family (CSV / JSON /
+    parquet / ORC / JDBC covered): documents round-trip through a
+    line-per-doc text sink (newlines flattened — the format's one
+    lossy rule, applied identically in the oracle) and are read back
+    as the standard ``value`` column. The aggregate proves the
+    round-trip byte count; at scale text reads split by line offsets
+    exactly like CSV, so the plan is an ordinary FileScan."""
+    docs = (t(spark, sf_dir, "documents")
+            .select(F.regexp_replace("text", r"[\r\n]+", " ").alias("value")))
+    path = _scratch(sf_dir, "docs_text")
+    docs.write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    return lines.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.length("value")).cast("long").alias("total_chars"),
+        F.countDistinct("value").cast("long").alias("n_distinct_lines"))

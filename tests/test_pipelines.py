@@ -189,3 +189,34 @@ def test_event_paths_match_python_replay(spark):
         REGISTRY["event_path_analysis"].fn(spark, sf).collect(),
         key=lambda r: r.rk)]
     assert got == want
+
+
+def test_bitmap_distinct_matches_exact(spark):
+    """The bitmap tier must be EXACT (that is its point vs HLL): every
+    per-type count and the or-merged total equal plain countDistinct."""
+    import pyspark.sql.functions as F
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.event_type: r.n_users
+           for r in REGISTRY["agg_bitmap_distinct"].fn(spark, sf).collect()}
+    ev = REGISTRY["agg_bitmap_distinct"].fn.__globals__["t"](
+        spark, sf, "events")
+    want = {r.event_type: r.n for r in
+            ev.groupBy("event_type")
+            .agg(F.countDistinct("user_id").alias("n")).collect()}
+    want["__all__"] = ev.agg(
+        F.countDistinct("user_id")).first()[0]
+    assert got == want
+
+
+def test_scan_text_roundtrip_counts(spark):
+    import pyspark.sql.functions as F
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    r = REGISTRY["scan_text"].fn(spark, sf).first()
+    docs = REGISTRY["scan_text"].fn.__globals__["t"](spark, sf, "documents")
+    assert r.n_lines == docs.count()
+    assert r.total_chars == docs.agg(
+        F.sum(F.length(F.regexp_replace("text", r"[\r\n]+", " ")))).first()[0]
