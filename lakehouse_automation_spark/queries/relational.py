@@ -641,3 +641,56 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("grp_key"))
         .agg(F.count("o_orderkey").alias("n"))
     )
+
+
+@register(
+    "join_dpp_partition_pruned",
+    oracle="""
+    WITH ev AS (
+      SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
+             user_id, CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), dim AS (
+      SELECT day, substr(md5(day), 32, 1) AS tag
+      FROM (SELECT DISTINCT day FROM ev)
+    )
+    SELECT ev.day, COUNT(*) AS n_events,
+           CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue
+    FROM ev JOIN dim ON ev.day = dim.day
+    WHERE dim.tag IN ('a', 'b')
+    GROUP BY ev.day
+    """,
+)
+def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC PARTITION PRUNING — the mechanism that makes
+    fact-partitioned star joins viable at 100 TB: the fact side is a
+    day-partitioned table, the dim side's selective filter (md5-tag —
+    opaque to static analysis, so ONLY runtime pruning can help) is
+    broadcast as a DynamicPruning subquery into the fact scan's
+    PartitionFilters, and non-matching partition DIRECTORIES are never
+    listed or read. The plan assertion lives in
+    tests/test_scale_plans.py; this key pins the RESULT equality
+    (pruned join == the oracle's unpruned join) so pruning can never
+    change answers. The partitioned copy is (re)written to scratch —
+    at scale the table already exists; the write is not the operator."""
+    from .sinks import _scratch
+
+    ev = (t(spark, sf_dir, "events")
+          .select(F.date_format(F.col("ts").cast("timestamp"),
+                                "yyyy-MM-dd").alias("day"),
+                  "user_id",
+                  F.round(F.col("value") * 100).cast("long").alias("cents")))
+    path = _scratch(sf_dir, "events_by_day")
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    # partition inference types `day` as DATE; DPP needs the join ON
+    # the partition column, so hash its canonical string form instead
+    fact = spark.read.parquet(path)
+    dim = (fact.select("day").distinct()
+           .withColumn("tag", F.substring(
+               F.md5(F.col("day").cast("string")), 32, 1))
+           .filter(F.col("tag").isin("a", "b")))
+    return (fact.join(F.broadcast(dim), "day")
+            .groupBy(F.col("day").cast("string").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 (F.sum("cents").cast("double") / F.lit(100.0))
+                 .alias("revenue")))

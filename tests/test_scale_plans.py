@@ -244,3 +244,32 @@ def test_sessionize_salted_two_level_plan(spark, sf_dir):
     assert len(parts) == 2, plan[:800]
     assert any("_day" in p for p in parts), parts
     assert any("_day" not in p and "user_id" in p for p in parts), parts
+
+
+def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
+    """The fact scan of join_dpp_partition_pruned must carry a
+    DynamicPruning PartitionFilter (the dim's md5-tag filter is opaque
+    to static analysis, so ONLY runtime pruning can reduce the fact
+    listing), and the pruned result must equal the unpruned join —
+    pruning may never change answers."""
+    df = REGISTRY["join_dpp_partition_pruned"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    # unpruned restatement on the same scratch table
+    import os
+
+    from lakehouse_automation_spark.queries.sinks import _scratch
+
+    fact = spark.read.parquet(_scratch(sf_dir, "events_by_day"))
+    dim = (fact.select("day").distinct()
+           .withColumn("tag", F.substring(
+               F.md5(F.col("day").cast("string")), 32, 1))
+           .filter(F.col("tag").isin("a", "b")).drop("tag"))
+    want = {(r.day, r.n, round(r.rev, 6)) for r in
+            fact.join(dim, "day")
+            .groupBy(F.col("day").cast("string").alias("day"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum("cents").cast("double") / F.lit(100.0)).alias("rev"))
+            .collect()}
+    got = {(r.day, r.n_events, round(r.revenue, 6)) for r in df.collect()}
+    assert got == want and got

@@ -58,6 +58,8 @@ NOTES = {
     "agg_hist_bins": "1-row stats agg broadcast into the bin projection; bin agg partial-combines to <=20 rows.",
     "sample_stratified_topk": "one stratum-key Exchange; rank filter drops all but k rows per stratum.",
     "event_path_analysis": "two leads share one user_id window sort; bounded path agg then a 5-row rank.",
+    "agg_bitmap_distinct": "partial agg folds ids into <=4-KB bucket bitmaps; bitmap_or_agg merges per-type bitmaps for the union row.",
+    "join_dpp_partition_pruned": "DynamicPruning subquery in the fact scan's PartitionFilters — unmatched day directories never listed.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -73,7 +75,8 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "tf_bloom_index", "sessionize_incremental",
           "agg_mode", "ts_ewma", "event_attribution",
           "stream_tws_state", "agg_count_min_sketch", "agg_hist_bins",
-          "sample_stratified_topk", "event_path_analysis"]
+          "sample_stratified_topk", "event_path_analysis",
+          "agg_bitmap_distinct", "join_dpp_partition_pruned"]
 
 
 def main() -> int:
