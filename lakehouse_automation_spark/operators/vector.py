@@ -763,3 +763,45 @@ def int8_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
             .filter(F.col("qrk") <= shortlist)
             .select("q_id", "vec_id"))
     return _exact_rerank(n, cand, n_queries, k)
+
+
+# --------------------------------------------------- binary (sign) quantization
+
+def binary_hamming_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
+                        shortlist: int = 32, dim: int = LSH_DIM) -> DataFrame:
+    """Binary-quantized top-k — the 1-bit-per-dim compression tier
+    (32x vs float32; what Cohere/Jina ship as "binary embeddings"):
+    each vector's sign pattern packs into two 32-bit words, candidate
+    ranking is Hamming distance via ``bit_count(xor(...))`` (for
+    near-isotropic vectors, hamming ~ arccos of cosine — rank-faithful
+    enough for a shortlist), then the exact-cosine rerank recovers
+    float precision. Two words rather than one 64-bit pack because the
+    bit-63 term would need 2^63 — overflowing signed-long ARITHMETIC
+    under ANSI even though the xor itself is two's-complement-safe.
+    At 100 TB the candidate scan reads 8 B/row and the distance is two
+    popcounts — the cheapest scan of any tier here; everything is
+    integer-exact, so the full value-hash oracle holds."""
+    n = with_vnorm(emb, dim=dim)
+    half = dim // 2
+    w0 = F.expr(" + ".join(
+        f"CASE WHEN v[{i}] > 0.0D THEN {1 << i}L ELSE 0L END"
+        for i in range(half)))
+    w1 = F.expr(" + ".join(
+        f"CASE WHEN v[{i + half}] > 0.0D THEN {1 << i}L ELSE 0L END"
+        for i in range(half)))
+    sig = n.select("vec_id", w0.alias("w0"), w1.alias("w1"))
+    q = F.broadcast(
+        sig.filter(F.col("vec_id") < n_queries)
+        .select(F.col("vec_id").alias("q_id"), F.col("w0").alias("q0"),
+                F.col("w1").alias("q1")))
+    # Spark spells bitwise xor as the ^ operator (no xor() routine);
+    # DuckDB has no ^ for xor — each engine uses its native spelling
+    # of the same two's-complement op.
+    ham = F.expr("bit_count(q0 ^ w0) + bit_count(q1 ^ w1)")
+    w = Window.partitionBy("q_id").orderBy(F.asc("ham"), F.asc("vec_id"))
+    cand = (q.join(sig, F.col("q_id") != F.col("vec_id"))
+            .select("q_id", "vec_id", ham.alias("ham"))
+            .withColumn("hrk", F.row_number().over(w))
+            .filter(F.col("hrk") <= shortlist)
+            .select("q_id", "vec_id"))
+    return _exact_rerank(n, cand, n_queries, k)

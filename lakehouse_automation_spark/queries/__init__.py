@@ -73,8 +73,8 @@ from . import timeseries      # noqa: E402,F401
 #      text_substring_dedup, vec_int8_topk, stream_tws_state,
 #      agg_count_min_sketch, agg_hist_bins, sample_stratified_topk,
 #      event_path_analysis, agg_bitmap_distinct, scan_text,
-#      join_dpp_partition_pruned.
-#   3. 2 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
+#      join_dpp_partition_pruned, vec_binary_topk.
+#   3. 1 of the 48 r3-cohort keys: the r5-changed CowTable-rewrite
 #      family first (tf_merge_cow / table_compact / sink_upsert all
 #      took the mergeSchema-read change, c76b7bd), then the Tier-A
 #      head in registration order. The 44-key remainder queues for
@@ -104,19 +104,19 @@ _SWEEP_ORDER = [
     # transformWithStateInPandas batch gate, count-min sketch,
     # data-driven histogram, fixed-k stratified sample, path n-grams,
     # exact-mergeable bitmap distinct, plain-text source, dynamic
-    # partition pruning ---
+    # partition pruning, binary (sign-bit) quantized ANN ---
     "agg_mode", "ts_ewma", "event_attribution",
     "text_substring_dedup", "vec_int8_topk", "stream_tws_state",
     "agg_count_min_sketch", "agg_hist_bins", "sample_stratified_topk",
     "event_path_analysis", "agg_bitmap_distinct", "scan_text",
-    "join_dpp_partition_pruned",
-    # --- 3: r3 cohort head (2 of 48): two of the three r5-changed
+    "join_dpp_partition_pruned", "vec_binary_topk",
+    # --- 3: r3 cohort head (1 of 48): one of the three r5-changed
     # CowTable-rewrite keys (they share the mergeSchema-read path;
-    # sink_upsert fronts the round-7 queue) ---
-    "tf_merge_cow", "table_compact",
+    # table_compact and sink_upsert front the round-7 queue) ---
+    "tf_merge_cow",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-7 queue: sink_upsert, then the 44 remaining r3 keys
-    # (incremental_load, ledger_insert,
+    # Round-7 queue: table_compact, sink_upsert, then the 44
+    # remaining r3 keys (incremental_load, ledger_insert,
     # ledger_topk, retry_exec, sql_to_pandas, ddl_exec,
     # multi_stmt_exec, bulk_load, catalog_list,
     # storage_mount, exec_timing, stream_tumbling_agg,

@@ -666,3 +666,51 @@ def vec_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vector import int8_topk
 
     return int8_topk(t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "vec_binary_topk",
+    oracle=f"""
+    WITH n AS ({_VNORM}),
+    sig AS (
+      SELECT vec_id,
+             CASE WHEN v[1] > 0.0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[2] > 0.0 THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[3] > 0.0 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[4] > 0.0 THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[5] > 0.0 THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[6] > 0.0 THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[7] > 0.0 THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[8] > 0.0 THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[9] > 0.0 THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[10] > 0.0 THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[11] > 0.0 THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[12] > 0.0 THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[13] > 0.0 THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[14] > 0.0 THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[15] > 0.0 THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[16] > 0.0 THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[17] > 0.0 THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[18] > 0.0 THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[19] > 0.0 THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[20] > 0.0 THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[21] > 0.0 THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[22] > 0.0 THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[23] > 0.0 THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[24] > 0.0 THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[25] > 0.0 THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[26] > 0.0 THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[27] > 0.0 THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[28] > 0.0 THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[29] > 0.0 THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[30] > 0.0 THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[31] > 0.0 THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[32] > 0.0 THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS w0,
+             CASE WHEN v[33] > 0.0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[34] > 0.0 THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[35] > 0.0 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[36] > 0.0 THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[37] > 0.0 THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[38] > 0.0 THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[39] > 0.0 THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[40] > 0.0 THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[41] > 0.0 THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[42] > 0.0 THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[43] > 0.0 THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[44] > 0.0 THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[45] > 0.0 THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[46] > 0.0 THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[47] > 0.0 THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[48] > 0.0 THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[49] > 0.0 THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[50] > 0.0 THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[51] > 0.0 THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[52] > 0.0 THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[53] > 0.0 THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[54] > 0.0 THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[55] > 0.0 THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[56] > 0.0 THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[57] > 0.0 THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[58] > 0.0 THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[59] > 0.0 THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[60] > 0.0 THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[61] > 0.0 THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[62] > 0.0 THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[63] > 0.0 THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[64] > 0.0 THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS w1
+      FROM n
+    ),
+    hd AS (
+      SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+             bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS ham
+      FROM sig a JOIN sig b ON a.vec_id < 5 AND a.vec_id != b.vec_id
+    ),
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY q_id ORDER BY ham, vec_id) AS hrk
+        FROM hd)
+      WHERE hrk <= 32
+    ),
+    rr AS (
+      SELECT s.q_id, s.vec_id,
+             {_sim('q.v', 'c.v', 'q.nrm', 'c.nrm')} AS sim_r
+      FROM short s
+      JOIN n q ON q.vec_id = s.q_id
+      JOIN n c ON c.vec_id = s.vec_id
+    )
+    SELECT q_id, vec_id, sim_r, rk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY q_id ORDER BY sim_r DESC, vec_id) AS rk
+      FROM rr)
+    WHERE rk <= 10
+    """,
+)
+def vec_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-embedding tier: sign bits packed into two 32-bit words,
+    Hamming-ranked 32-wide shortlist, exact cosine rerank — the 32x
+    compression row of the quantization family (SQ8 = 4x, PQ = 32x
+    lossy-trained, binary = 32x training-free). Integer-exact like
+    vec_int8_topk, so it carries the full value-hash oracle; pytest
+    pins recall against the exact scan."""
+    from ..operators.vector import binary_hamming_topk
+
+    return binary_hamming_topk(t(spark, sf_dir, "embeddings"))

@@ -60,6 +60,7 @@ NOTES = {
     "event_path_analysis": "two leads share one user_id window sort; bounded path agg then a 5-row rank.",
     "agg_bitmap_distinct": "partial agg folds ids into <=4-KB bucket bitmaps; bitmap_or_agg merges per-type bitmaps for the union row.",
     "join_dpp_partition_pruned": "DynamicPruning subquery in the fact scan's PartitionFilters — unmatched day directories never listed.",
+    "vec_binary_topk": "sign-bit packing in one projection; Hamming rank via two popcounts; rerank joins the 32-wide shortlist only.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -76,7 +77,8 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "agg_mode", "ts_ewma", "event_attribution",
           "stream_tws_state", "agg_count_min_sketch", "agg_hist_bins",
           "sample_stratified_topk", "event_path_analysis",
-          "agg_bitmap_distinct", "join_dpp_partition_pruned"]
+          "agg_bitmap_distinct", "join_dpp_partition_pruned",
+          "vec_binary_topk"]
 
 
 def main() -> int:
