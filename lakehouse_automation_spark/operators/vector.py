@@ -781,6 +781,11 @@ def binary_hamming_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
     At 100 TB the candidate scan reads 8 B/row and the distance is two
     popcounts — the cheapest scan of any tier here; everything is
     integer-exact, so the full value-hash oracle holds."""
+    if dim % 2 or dim > 126:
+        # the bit weights are emitted as signed-long literals: an odd
+        # dim would silently drop the last sign bit, and half > 63
+        # would need a 2^63 literal (overflows BIGINT at parse time)
+        raise ValueError(f"binary_hamming_topk needs an even dim <= 126, got {dim}")
     n = with_vnorm(emb, dim=dim)
     half = dim // 2
     w0 = F.expr(" + ".join(

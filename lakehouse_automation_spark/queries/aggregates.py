@@ -493,11 +493,18 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     bound, unlike the HLL keys). At 100 TB: persist the (group,
     bucket, bitmap) table; any later distinct-union is a bitmap OR
     over it, no raw re-scan."""
+    from ..operators.cache import tracked_persist
+
     ev = t(spark, sf_dir, "events").select("event_type", "user_id")
-    b = (ev.groupBy("event_type",
-                    F.expr("bitmap_bucket_number(user_id)").alias("bk"))
-         .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
-              .alias("bm")))
+    # persisted: the per-type and or-merged branches both consume the
+    # bitmap table — without it each branch re-scans events and
+    # re-runs the bitmap partial agg (the diamond the vector
+    # operators persist for the same reason)
+    b = tracked_persist(
+        ev.groupBy("event_type",
+                   F.expr("bitmap_bucket_number(user_id)").alias("bk"))
+        .agg(F.expr("bitmap_construct_agg(bitmap_bit_position(user_id))")
+             .alias("bm")))
     per = (b.groupBy("event_type")
            .agg(F.expr("sum(bitmap_count(bm))").cast("long")
                 .alias("n_users")))

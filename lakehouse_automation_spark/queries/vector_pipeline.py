@@ -668,14 +668,26 @@ def vec_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return int8_topk(t(spark, sf_dir, "embeddings"))
 
 
+def _sign_bits_sql(offset: int, width: int = 32) -> str:
+    """DuckDB CASE chain packing sign bits v[offset+1..offset+width]
+    (1-based) into one BIGINT word — the oracle twin of the Spark
+    expression inside ``operators.vector.binary_hamming_topk`` (same
+    bit weights, 0-based there). Generated, never hand-pasted: a wrong
+    weight among 64 terms would be invisible to review."""
+    return " + ".join(
+        f"CASE WHEN v[{i + offset + 1}] > 0.0 THEN CAST({1 << i} AS BIGINT)"
+        f" ELSE CAST(0 AS BIGINT) END"
+        for i in range(width))
+
+
 @register(
     "vec_binary_topk",
     oracle=f"""
     WITH n AS ({_VNORM}),
     sig AS (
       SELECT vec_id,
-             CASE WHEN v[1] > 0.0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[2] > 0.0 THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[3] > 0.0 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[4] > 0.0 THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[5] > 0.0 THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[6] > 0.0 THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[7] > 0.0 THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[8] > 0.0 THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[9] > 0.0 THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[10] > 0.0 THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[11] > 0.0 THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[12] > 0.0 THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[13] > 0.0 THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[14] > 0.0 THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[15] > 0.0 THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[16] > 0.0 THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[17] > 0.0 THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[18] > 0.0 THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[19] > 0.0 THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[20] > 0.0 THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[21] > 0.0 THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[22] > 0.0 THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[23] > 0.0 THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[24] > 0.0 THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[25] > 0.0 THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[26] > 0.0 THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[27] > 0.0 THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[28] > 0.0 THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[29] > 0.0 THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[30] > 0.0 THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[31] > 0.0 THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[32] > 0.0 THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS w0,
-             CASE WHEN v[33] > 0.0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[34] > 0.0 THEN CAST(2 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[35] > 0.0 THEN CAST(4 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[36] > 0.0 THEN CAST(8 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[37] > 0.0 THEN CAST(16 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[38] > 0.0 THEN CAST(32 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[39] > 0.0 THEN CAST(64 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[40] > 0.0 THEN CAST(128 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[41] > 0.0 THEN CAST(256 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[42] > 0.0 THEN CAST(512 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[43] > 0.0 THEN CAST(1024 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[44] > 0.0 THEN CAST(2048 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[45] > 0.0 THEN CAST(4096 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[46] > 0.0 THEN CAST(8192 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[47] > 0.0 THEN CAST(16384 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[48] > 0.0 THEN CAST(32768 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[49] > 0.0 THEN CAST(65536 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[50] > 0.0 THEN CAST(131072 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[51] > 0.0 THEN CAST(262144 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[52] > 0.0 THEN CAST(524288 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[53] > 0.0 THEN CAST(1048576 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[54] > 0.0 THEN CAST(2097152 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[55] > 0.0 THEN CAST(4194304 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[56] > 0.0 THEN CAST(8388608 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[57] > 0.0 THEN CAST(16777216 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[58] > 0.0 THEN CAST(33554432 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[59] > 0.0 THEN CAST(67108864 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[60] > 0.0 THEN CAST(134217728 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[61] > 0.0 THEN CAST(268435456 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[62] > 0.0 THEN CAST(536870912 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[63] > 0.0 THEN CAST(1073741824 AS BIGINT) ELSE CAST(0 AS BIGINT) END + CASE WHEN v[64] > 0.0 THEN CAST(2147483648 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS w1
+             {_sign_bits_sql(0)} AS w0,
+             {_sign_bits_sql(32)} AS w1
       FROM n
     ),
     hd AS (

@@ -256,8 +256,6 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
     plan = _plan(df)
     assert "dynamicpruning" in plan.lower(), plan
     # unpruned restatement on the same scratch table
-    import os
-
     from lakehouse_automation_spark.queries.sinks import _scratch
 
     fact = spark.read.parquet(_scratch(sf_dir, "events_by_day"))
@@ -265,11 +263,22 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
            .withColumn("tag", F.substring(
                F.md5(F.col("day").cast("string")), 32, 1))
            .filter(F.col("tag").isin("a", "b")).drop("tag"))
-    want = {(r.day, r.n, round(r.rev, 6)) for r in
-            fact.join(dim, "day")
-            .groupBy(F.col("day").cast("string").alias("day"))
-            .agg(F.count(F.lit(1)).alias("n"),
-                 (F.sum("cents").cast("double") / F.lit(100.0)).alias("rev"))
-            .collect()}
+    # DPP OFF for the reference — Spark injects DynamicPruning into
+    # this restatement too otherwise, making the equality
+    # self-confirming (a wrong pruned partition set would appear on
+    # both sides)
+    spark.conf.set(
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+    try:
+        ref = (fact.join(dim, "day")
+               .groupBy(F.col("day").cast("string").alias("day"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    (F.sum("cents").cast("double") / F.lit(100.0))
+                    .alias("rev")))
+        assert "dynamicpruning" not in _plan(ref).lower()
+        want = {(r.day, r.n, round(r.rev, 6)) for r in ref.collect()}
+    finally:
+        spark.conf.set(
+            "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
     got = {(r.day, r.n_events, round(r.revenue, 6)) for r in df.collect()}
     assert got == want and got

@@ -383,17 +383,44 @@ def test_binary_recall_and_exact_rerank(emb):
     assert recall >= 0.5, f"binary recall {recall:.2f}"
 
 
-def test_binary_signature_packs_sign_bits(spark, emb):
-    """Replay the two-word packing in numpy: hamming distances used
-    for ranking must equal popcount of sign-pattern xor."""
+def test_binary_topk_matches_numpy_replay(spark, emb):
+    """End-to-end determinism: replicate the WHOLE operator in numpy
+    (sign packing, two-word Hamming, (ham, vec_id) shortlist of 32,
+    exact-cosine rerank with (sim, vec_id) tie-break) and require the
+    Spark output to match exactly — a wrong bit weight, swapped word
+    half, or >= vs > sign rule all diverge here."""
     import numpy as np
 
-    X = np.array(emb.orderBy("vec_id").select("embedding")
-                 .toPandas()["embedding"].tolist(), dtype=np.float64)
-    bits = (X > 0).astype(np.uint64)
-    w0 = (bits[:, :32] << np.arange(32, dtype=np.uint64)).sum(axis=1)
-    w1 = (bits[:, 32:] << np.arange(32, dtype=np.uint64)).sum(axis=1)
-    d01 = bin(int(w0[0]) ^ int(w0[1])).count("1") \
-        + bin(int(w1[0]) ^ int(w1[1])).count("1")
-    ham_np = int((bits[0] != bits[1]).sum())
-    assert d01 == ham_np
+    from lakehouse_automation_spark.operators.vector import (
+        SIM_DECIMALS,
+        binary_hamming_topk,
+    )
+
+    rows = emb.orderBy("vec_id").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    bits = X > 0
+    nrm = np.linalg.norm(X, axis=1)
+
+    want = set()
+    for qi in range(5):
+        q = int(np.where(ids == qi)[0][0])
+        ham = (bits != bits[q]).sum(axis=1)
+        order = sorted((int(ham[j]), int(ids[j]))
+                       for j in range(len(ids)) if ids[j] != qi)[:32]
+        short = [v for _, v in order]
+        sims = []
+        for v in short:
+            j = int(np.where(ids == v)[0][0])
+            # same sequential fold order as the engines
+            d = 0.0
+            for t in range(X.shape[1]):
+                d += X[q, t] * X[j, t]
+            sims.append((round(d / (nrm[q] * nrm[j]), SIM_DECIMALS), v))
+        top = sorted(sims, key=lambda sv: (-sv[0], sv[1]))[:10]
+        for rk, (sv, v) in enumerate(top, 1):
+            want.add((qi, v, sv, rk))
+
+    got = {(r.q_id, r.vec_id, r.sim_r, r.rk)
+           for r in binary_hamming_topk(emb, n_queries=5, k=10).collect()}
+    assert got == want
