@@ -282,3 +282,100 @@ def test_bloom_point_scan_never_false_negative(keys):
             assert tbl.point_scan("k", probe).count() == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(
+        st.tuples(st.sampled_from([0, 5, 10]),   # users the key selects
+                  st.integers(0, 500),           # minute offset
+                  st.integers(0, 9999)),         # integer cents
+        min_size=1, max_size=30,
+    )
+)
+def test_ewma_equals_python_fir_random(events):
+    """Random cent streams incl. ts ties: the truncated-FIR EWMA must
+    equal the Python replay BIT-FOR-BIT (the arithmetic is exact by
+    construction — any deviation means an op-order or warm-up bug)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [dict(event_id=i, ts=base + dt.timedelta(minutes=m),
+                 user_id=u, event_type="view", value=c / 100.0,
+                 props="{}")
+            for i, (u, m, c) in enumerate(events)]
+    d = tempfile.mkdtemp(prefix="las_prop_ewma_")
+    try:
+        pd.DataFrame(rows).to_parquet(f"{d}/events.parquet", index=False)
+        spark = _spark()
+        got = {(r.user_id, r.event_id): r.ewma
+               for r in REGISTRY["ts_ewma"].fn(spark, d).collect()}
+        hist: dict = {}
+        for r in sorted(rows, key=lambda r: (r["ts"], r["event_id"])):
+            import math
+            cents = int(math.floor(abs(r["value"] * 100) + 0.5))
+            hist.setdefault(r["user_id"], []).append((r["event_id"], cents))
+        assert len(got) == len(rows)
+        for u, seq in hist.items():
+            for i, (eid, _) in enumerate(seq):
+                taps = [c for _, c in reversed(seq[max(0, i - 15):i + 1])]
+                wsum = sum(float(c) * 0.5 ** k for k, c in enumerate(taps))
+                nsum = sum(0.5 ** k for k in range(len(taps)))
+                assert got[(u, eid)] == (wsum / nsum) / 100.0, (u, eid)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["O", "F", "P"]),
+                  st.sampled_from(["1-URGENT", "2-HIGH", "3-MEDIUM"])),
+        min_size=1, max_size=40,
+    )
+)
+def test_agg_mode_tiebreak_random(rows):
+    """Random status/priority tables with FORCED ties (3x3 domain):
+    the mode must be the highest-count priority per status with ties
+    broken by smallest value — exactly the Python argmin over
+    (-count, value)."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    pdf = pd.DataFrame({
+        "o_orderkey": pd.array(range(len(rows)), dtype="int64"),
+        "o_custkey": pd.array([1] * len(rows), dtype="int64"),
+        "o_orderstatus": [s for s, _ in rows],
+        "o_totalprice": [10.0] * len(rows),
+        "o_orderdate": [dt.datetime(2024, 1, 1)] * len(rows),
+        "o_orderpriority": [p for _, p in rows],
+    })
+    d = tempfile.mkdtemp(prefix="las_prop_mode_")
+    try:
+        pdf.to_parquet(f"{d}/orders.parquet", index=False)
+        spark = _spark()
+        got = {(r.o_orderstatus): (r.mode_priority, r.mode_n)
+               for r in REGISTRY["agg_mode"].fn(spark, d).collect()}
+        counts: dict = {}
+        for s, p in rows:
+            counts.setdefault(s, {}).setdefault(p, 0)
+            counts[s][p] += 1
+        want = {s: min(((-(n), p) for p, n in ps.items()))
+                for s, ps in counts.items()}
+        want = {s: (p, -negn) for s, (negn, p) in want.items()}
+        assert got == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
