@@ -1092,9 +1092,14 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of raw 40-char spans, computed identically in both engines so the
     oracle replays the exact grouping (a suffix-array would find every
     duplicated substring; stride-10 fixed windows are the
-    shuffle-bounded approximation, rows = n_chars/10). Two shuffles
-    total (hash group, doc regroup); the dup-hash side of the join is
-    corpus-dependent but HAVING-pruned to repeated spans only."""
+    shuffle-bounded approximation, rows = n_chars/10). The dup-hash
+    re-attach is HINTED shuffle_hash: the dup set is HAVING-pruned but
+    still CORPUS-PROPORTIONAL (every replica of a template repeats its
+    cross-doc spans — measured 5.9k hashes at sf0.1 -> 257k at sf3),
+    and the planner kept broadcasting it at 30x data for a measured
+    1.4x slowdown; at 100 TB that broadcast is an OOM. The shuffle
+    join keys on the same h the dup agg exchanged on, so ReuseExchange
+    covers the wins side."""
     docs = (t(spark, sf_dir, "documents")
             .filter(F.length("text") >= 40))
     wins = (docs
@@ -1108,7 +1113,7 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.countDistinct("doc_id").alias("nd"))
            .filter(F.col("nd") >= 2)
            .select("h", F.lit(1).alias("isdup")))
-    return (wins.join(dup, "h", "left")
+    return (wins.join(dup.hint("shuffle_hash"), "h", "left")
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n_windows"),
                  F.count("isdup").cast("long").alias("n_dup_windows"),
