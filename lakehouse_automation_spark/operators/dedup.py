@@ -273,7 +273,7 @@ def minhash_candidate_pairs(docs: DataFrame, k: int = 2, text: str = "text",
 
 # -------------------------------------------------- connected components
 
-def neardup_clusters(pairs: DataFrame, max_iters: int = 10,
+def neardup_clusters(pairs: DataFrame, max_iters: int = 20,
                      jump_after: int = 3) -> DataFrame:
     """Connected components over a near-dup pair graph -> one cluster
     id (the minimum member id) per document: the step that turns pair
@@ -369,8 +369,9 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 10,
             break
     else:
         raise RuntimeError(
-            f"neardup_clusters did not converge in {max_iters} "
-            f"pointer-jumped rounds (component diameter > ~2**{max_iters}); "
+            f"neardup_clusters did not converge in {max_iters} rounds "
+            f"(component diameter > ~{jump_after} * "
+            f"2**{max_iters - jump_after}); "
             "raising instead of returning unconverged labels"
         )
     return labels.select(
