@@ -427,8 +427,11 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
       FROM lineitem
     ), b AS (
-      SELECT CAST(LEAST(19.0, FLOOR((l_extendedprice - mn) / (mx - mn)
-                                    * 20.0)) AS INT) AS bucket,
+      SELECT CASE WHEN mx = mn THEN 0
+                  ELSE CAST(LEAST(19.0, FLOOR((l_extendedprice - mn)
+                                              / (mx - mn)
+                                              * 20.0)) AS INT)
+             END AS bucket,
              mn, mx
       FROM lineitem, st
     )
@@ -448,14 +451,18 @@ def agg_hist_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``least(19, floor((v - mn)/(mx - mn) * 20))`` and the edge
     expressions use one shared IEEE op order, so the oracle hashes
     bit-for-bit (the max value folds into the top bucket, standard
-    width_bucket behavior)."""
+    width_bucket behavior). A single-valued column (mx = mn) would
+    make the bucket 0/0 = NaN — and under ANSI mode CAST(NaN AS INT)
+    throws — so that case short-circuits to bucket 0, mirrored in the
+    oracle (review r7)."""
     li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
     st = li.agg(F.min("l_extendedprice").alias("mn"),
                 F.max("l_extendedprice").alias("mx"))
     b = (li.crossJoin(F.broadcast(st))
          .select(F.expr(
-             "CAST(LEAST(19.0D, FLOOR((l_extendedprice - mn) / (mx - mn)"
-             " * 20.0D)) AS INT)").alias("bucket"),
+             "CASE WHEN mx = mn THEN 0"
+             " ELSE CAST(LEAST(19.0D, FLOOR((l_extendedprice - mn)"
+             " / (mx - mn) * 20.0D)) AS INT) END").alias("bucket"),
              "mn", "mx"))
     return (b.groupBy("bucket", "mn", "mx")
             .agg(F.count(F.lit(1)).alias("n"))

@@ -94,7 +94,16 @@ _BLOOM_MAX_BITS = 1 << 21  # 256 KB cap per file per column
 _BLOOM_K = 5               # ~0.1% FP at the 10-bits/row sizing; FPs
 #                            only cost a wasted file read, never a
 #                            wrong row
-_RESERVED_STAT_KEYS = (ROWS_KEY, BLOOM_KEY)
+# reserved key inside per-chunk stats entries mapping each stats
+# column to its Spark dtype at write time. The scan side gates the
+# date-padding prune heuristic on the COLUMN's recorded dtype — gating
+# on the probe bound's Python type silently reverts a DATE/TIMESTAMP
+# column probed with ISO-string bounds to raw string comparison,
+# re-introducing the mixed-granularity misprune ('1997-06-01' vs
+# '1997-06-01T00:00:00') the padding exists to fix (review r7)
+DTYPES_KEY = "__dtypes__"
+
+_RESERVED_STAT_KEYS = (ROWS_KEY, BLOOM_KEY, DTYPES_KEY)
 
 
 def _vname(v: int) -> str:
@@ -185,6 +194,10 @@ class CowTable:
                 raise ValueError(
                     f"stats/bloom cols may not use reserved keys {bad}")
         self._constraints_arg = dict(constraints or {})
+        # chunk dir -> parquet footer schema string; chunks are
+        # immutable (append/rewrite create NEW dirs) so entries never
+        # go stale for this instance's lifetime
+        self._chunk_schema_cache: dict[str, str] = {}
 
     @property
     def stats_cols(self) -> list[str]:
@@ -323,6 +336,12 @@ class CowTable:
             if los and his:
                 cstats[c] = [min(los, key=lambda v: _prune_key(v, tmp)),
                              max(his, key=lambda v: _prune_key(v, tmp))]
+        if cstats:
+            # record the writer's dtype per stats column so the scan
+            # side can gate date-padding on the COLUMN type, not the
+            # probe bound's Python type (see DTYPES_KEY)
+            cstats[DTYPES_KEY] = {c: dtypes.get(c, "") for c in cols
+                                  if c in cstats}
         self._attach_blooms(df, cdir, fstats)
         return cstats, fstats
 
@@ -492,13 +511,13 @@ class CowTable:
         never lose rows). Driver-side, O(#chunks), zero file I/O."""
         man = self.manifest(version)
         stats = man.get("stats", {})
-        tmp = _temporal_bound(lo, hi)
         kept = []
         for c in man["chunks"]:
             s = stats.get(c, {}).get(col)
             if s is None:
                 kept.append(c)
                 continue
+            tmp = self._stat_temporal(stats.get(c, {}), col, lo, hi)
             try:
                 if not (_prune_key(lo, tmp) > _prune_key(s[1], tmp)
                         or _prune_key(hi, tmp) < _prune_key(s[0], tmp)):
@@ -506,6 +525,20 @@ class CowTable:
             except TypeError:  # incomparable types: never prune blind
                 kept.append(c)
         return kept
+
+    @staticmethod
+    def _stat_temporal(chunk_stats: dict, col: str, lo, hi) -> bool:
+        """Should [lo, hi] vs this chunk's ``col`` range use the
+        date-padding comparison? Gate on the column dtype the WRITER
+        recorded (per chunk — schema evolution can change it between
+        appends); only manifests predating DTYPES_KEY fall back to
+        the probe bound's Python type, the old heuristic that
+        silently compared a DATE column's stats as raw strings when
+        probed with ISO-string bounds (review r7)."""
+        dt = chunk_stats.get(DTYPES_KEY, {}).get(col)
+        if dt is not None:
+            return dt.startswith(("date", "timestamp"))
+        return _temporal_bound(lo, hi)
 
     def pruned_files(self, col: str, lo, hi,
                      version: int | None = None) -> list[str]:
@@ -519,7 +552,7 @@ class CowTable:
         data file at write time), so skipping it is exact."""
         man = self.manifest(version)
         fstats_all = man.get("file_stats", {})
-        tmp = _temporal_bound(lo, hi)
+        cstats_all = man.get("stats", {})
         paths: list[str] = []
         for c in self.pruned_chunks(col, lo, hi, version):
             cdir = os.path.join(self.path, c)
@@ -527,6 +560,8 @@ class CowTable:
             if not fstats:
                 paths.append(cdir)
                 continue
+            # files of a chunk share the chunk's written dtype
+            tmp = self._stat_temporal(cstats_all.get(c, {}), col, lo, hi)
             for fname in sorted(fstats):
                 rng = fstats[fname].get(col)
                 keep = True
@@ -609,6 +644,47 @@ class CowTable:
                 kept.append(path)
         return kept
 
+    def _footer_schema(self, chunk_dir: str) -> str:
+        """Footer schema fingerprint of one (immutable) chunk: one
+        driver-side metadata read of a single file per chunk, cached
+        for the table instance's lifetime. Files within a chunk share
+        a schema (a chunk is one write job's output)."""
+        sch = self._chunk_schema_cache.get(chunk_dir)
+        if sch is None:
+            import glob as _glob
+
+            import pyarrow.parquet as pq
+            files = sorted(_glob.glob(
+                os.path.join(_glob.escape(chunk_dir), "**", "*.parquet"),
+                recursive=True))
+            sch = pq.read_schema(files[0]).to_string() if files else ""
+            self._chunk_schema_cache[chunk_dir] = sch
+        return sch
+
+    def _read_pruned(self, paths: list[str]) -> DataFrame:
+        """Read a stats/Bloom-pruned file subset schema-safely. A
+        plain multi-path read infers ONE footer's schema, so when
+        pruning keeps files spanning a type-evolution boundary (the
+        int -> bigint append case) the result is footer-order
+        dependent — a parquet conversion error or a silently narrowed
+        column — and ``mergeSchema`` cannot reconcile it either
+        (42KD9: INT vs BIGINT don't merge). Group paths by their
+        chunk's footer schema and union the groups by name instead:
+        set-operation type coercion widens INT -> BIGINT and
+        ``allowMissingColumns`` null-fills additive evolution. The
+        overwhelmingly common single-schema case collapses to the one
+        multi-path read — identical plan, zero overhead beyond one
+        cached footer probe per chunk."""
+        groups: dict[str, list[str]] = {}
+        for p in paths:
+            cdir = p if os.path.isdir(p) else os.path.dirname(p)
+            groups.setdefault(self._footer_schema(cdir), []).append(p)
+        reads = [self.spark.read.parquet(*g) for g in groups.values()]
+        df = reads[0]
+        for r in reads[1:]:
+            df = df.unionByName(r, allowMissingColumns=True)
+        return df
+
     def point_scan(self, col: str, value,
                    version: int | None = None) -> DataFrame:
         """Bloom-pruned point lookup: ``col = value`` reading only the
@@ -620,7 +696,7 @@ class CowTable:
         kept = self.bloom_pruned_files(col, value, version)
         if not kept:
             return self.read(version).filter(F.lit(False))
-        return self.spark.read.parquet(*kept).filter(F.col(col) == value)
+        return self._read_pruned(kept).filter(F.col(col) == value)
 
     def scan(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
         """Stats-pruned range scan: ``col BETWEEN lo AND hi`` reading
@@ -633,8 +709,7 @@ class CowTable:
         kept = self.pruned_files(col, lo, hi, version)
         if not kept:
             return self.read(version).filter(F.lit(False))
-        df = self.spark.read.parquet(*kept)
-        return df.filter(F.col(col).between(lo, hi))
+        return self._read_pruned(kept).filter(F.col(col).between(lo, hi))
 
     def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Change data feed between two snapshots (Delta CDF's

@@ -149,6 +149,30 @@ def test_hist_bins_partition_the_table(spark):
     assert abs(rows[-1].hi_edge - mx) < 1e-9 or rows[-1].bucket < 19
 
 
+def test_hist_bins_single_valued_corpus(spark, tmp_path):
+    """A single-valued column makes the bucket expression 0/0 = NaN,
+    and under ANSI mode CAST(NaN AS INT) throws (review r7): the
+    mx = mn branch must short-circuit to bucket 0, identically in the
+    Spark query and the DuckDB oracle."""
+    import duckdb
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    df = spark.range(37).selectExpr("CAST(42.5 AS DOUBLE) AS l_extendedprice")
+    df.write.parquet(str(tmp_path / "lineitem.parquet"))
+    rows = REGISTRY["agg_hist_bins"].fn(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].bucket == 0 and rows[0].n == 37
+    assert rows[0].lo_edge == 42.5 and rows[0].hi_edge == 42.5
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM "
+        f"parquet_scan('{tmp_path}/lineitem.parquet/*.parquet')")
+    got = con.execute(REGISTRY["agg_hist_bins"].oracle).fetchall()
+    assert [(r[0], float(r[1]), float(r[2]), r[3]) for r in got] \
+        == [(0, 42.5, 42.5, 37)]
+
+
 def test_stratified_topk_is_exact_k_and_stable(spark):
     from lakehouse_automation_spark.queries import REGISTRY
 

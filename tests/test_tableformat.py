@@ -699,6 +699,63 @@ def test_bloom_probe_respects_per_file_dtype(spark, tmp_path):
     assert tbl.bloom_pruned_files("k", 10**9) == []
 
 
+def test_temporal_prune_gated_on_column_dtype(spark, tmp_path):
+    """A TIMESTAMP stats column probed with ISO-STRING bounds must
+    still get the date-padding comparison: gating on the bound's
+    Python type reverted to raw string order, where the day-probe hi
+    '1997-06-01' sorts BELOW the chunk min '1997-06-01T00:00:00' and
+    the chunk holding that day's rows is silently pruned (review r7).
+    The manifest now records the writer's dtype per stats column."""
+    import datetime as dt
+    df = spark.createDataFrame(
+        [(dt.datetime(1997, 6, 1, 0, 0),),
+         (dt.datetime(1997, 6, 1, 12, 0),)], "ts timestamp")
+    tbl = CowTable.create(spark, df.coalesce(1), str(tmp_path / "t"),
+                          stats_cols=["ts"])
+    # chunk-level: the string day-probe must keep the chunk
+    assert tbl.pruned_chunks("ts", "1997-06-01", "1997-06-01") \
+        == tbl.manifest()["chunks"]
+    assert len(tbl.pruned_files("ts", "1997-06-01", "1997-06-01")) == 1
+    # end-to-end: the midnight row comes back (Spark casts the string
+    # bounds to timestamp in the residual BETWEEN)
+    assert tbl.scan("ts", "1997-06-01", "1997-06-01").count() == 1
+    # and a genuinely disjoint string probe still prunes
+    assert tbl.pruned_chunks("ts", "1998-01-01", "1998-12-31") == []
+
+
+def test_pruned_read_spans_schema_evolved_chunks(spark, tmp_path):
+    """When pruning keeps files from BOTH sides of an int -> bigint
+    boundary in one read (overlapping key ranges, so every Bloom and
+    every [min, max] admits the probe), a plain multi-path read is
+    footer-order dependent and mergeSchema throws 42KD9 (review r7).
+    The schema-grouped union must return exact rows for both sides."""
+    big = spark.range(1000).select(
+        F.col("id").cast("long").alias("k"), F.lit("big").alias("src"))
+    small = (spark.range(500, 1500)
+             .select(F.col("id").cast("int").alias("k"),
+                     F.lit("small").alias("src")))
+    tbl = CowTable.create(spark, big.coalesce(1), str(tmp_path / "t"),
+                          bloom_cols=["k"], stats_cols=["k"])
+    tbl.append(small.coalesce(1))
+    # k=700 lives in both chunks: both files' Blooms admit it, so the
+    # point read MUST mix an int file and a bigint file
+    assert len(tbl.bloom_pruned_files("k", 700)) == 2
+    got = {(r.k, r.src) for r in tbl.point_scan("k", 700).collect()}
+    assert got == {(700, "big"), (700, "small")}
+    assert tbl.point_scan("k", 700).schema["k"].dataType.typeName() \
+        == "long"
+    # range scan across the boundary: same mixed-read shape
+    rows = tbl.scan("k", 600, 610).collect()
+    assert sorted(r.k for r in rows) == sorted(
+        list(range(600, 611)) * 2)
+    # the single-schema fast path stays a single multi-path read
+    one = CowTable.create(spark, big.coalesce(4), str(tmp_path / "u"),
+                          stats_cols=["k"])
+    plan = one.scan("k", 0, 999)._jdf.queryExecution().executedPlan() \
+        .toString()
+    assert "Union" not in plan
+
+
 def test_vacuum_tolerates_prior_deeper_horizon(spark, tmp_path):
     """vacuum(retain=3) after an earlier vacuum(retain=1) must skip
     the already-dropped manifests instead of crashing (review r6):
