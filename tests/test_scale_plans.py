@@ -282,3 +282,21 @@ def test_dpp_join_prunes_fact_partitions(spark, sf_dir):
             "spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
     got = {(r.day, r.n_events, round(r.revenue, 6)) for r in df.collect()}
     assert got == want and got
+
+
+def test_quantized_ann_window_has_partial_group_limit(spark, sf_dir):
+    """The quantized-ANN shortlist windows must carry Spark's
+    rank-limit pushdown: a WindowGroupLimit in Partial mode BEFORE the
+    q_id exchange caps the shuffle at shortlist rows per query per map
+    partition, which is what makes a 1000-query batch viable (measured
+    round 7, SCALE.md: the scoring expression, not the window
+    exchange, is the dominant term at n_queries=1000). A Spark conf or
+    plan change that silently drops the pushdown would re-expose the
+    full n_queries x n candidate shuffle."""
+    for key in ("vec_int8_topk", "vec_binary_topk"):
+        plan = _plan(REGISTRY[key].fn(spark, sf_dir))
+        assert re.search(r"WindowGroupLimit .*row_number\(\), \d+, Partial",
+                         plan), f"{key}: no partial group limit\n{plan[:900]}"
+        # the Partial limit must sit BELOW the q_id exchange
+        part = plan.split("Exchange hashpartitioning(q_id", 1)
+        assert len(part) == 2 and "Partial" in part[1], key
