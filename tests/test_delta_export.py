@@ -139,6 +139,81 @@ def test_reexport_after_vacuum_clears_stale_versions(spark, tmp_path):
         r["k"] for r in t.read().collect())
 
 
+def test_export_actions_match_delta_protocol_schema(spark, exported):
+    """Jar-free half of the native-Delta round trip (review r7):
+    validate every exported action against the documented action
+    schema in delta.io's PROTOCOL.md — the structural contract a real
+    Delta reader enforces before any data I/O. The skipif-gated
+    native read below remains the full proof where jars exist."""
+    t, log_dir = exported
+    jsons = sorted(f for f in os.listdir(log_dir) if f.endswith(".json"))
+    # file naming: 20-digit zero-padded versions, contiguous from 0
+    assert jsons == [f"{i:020d}.json" for i in range(len(jsons))]
+
+    known = {"protocol", "metaData", "add", "remove",
+             "commitInfo", "txn", "cdc"}
+    live: set[str] = set()
+    meta_ids = []
+    protocols = []
+    for i, fn in enumerate(jsons):
+        for line in open(os.path.join(log_dir, fn)):
+            if not line.strip():
+                continue
+            action = json.loads(line)
+            # exactly ONE action per line, of a spec-known type
+            assert len(action) == 1 and set(action) <= known, action
+            kind, body = next(iter(action.items()))
+            if kind == "protocol":
+                protocols.append((i, body))
+                assert isinstance(body["minReaderVersion"], int)
+                assert isinstance(body["minWriterVersion"], int)
+                assert body["minReaderVersion"] >= 1
+                assert body["minWriterVersion"] >= 1
+            elif kind == "metaData":
+                meta_ids.append(body["id"])
+                assert body["format"]["provider"] == "parquet"
+                assert isinstance(body["format"].get("options", {}), dict)
+                assert isinstance(body["partitionColumns"], list)
+                assert isinstance(body["configuration"], dict)
+                schema = json.loads(body["schemaString"])
+                assert schema["type"] == "struct"
+                assert schema["fields"], "empty schema"
+                for f in schema["fields"]:
+                    assert set(f) >= {"name", "type", "nullable",
+                                      "metadata"}, f
+            elif kind == "add":
+                path = body["path"]
+                assert path and "\\" not in path  # forward slashes only
+                assert isinstance(body["partitionValues"], dict)
+                assert isinstance(body["size"], int) and body["size"] > 0
+                assert isinstance(body["modificationTime"], int)
+                assert isinstance(body["dataChange"], bool)
+                assert path not in live, f"double-add of live {path}"
+                live.add(path)
+                # stats is a JSON *string* (spec), numRecords matches
+                # the actual parquet footer, min/max keys align
+                assert isinstance(body["stats"], str)
+                stats = json.loads(body["stats"])
+                full = os.path.join(t.path, path)
+                assert os.path.getsize(full) == body["size"]
+                import pyarrow.parquet as pq
+                assert stats["numRecords"] \
+                    == pq.ParquetFile(full).metadata.num_rows
+                if "minValues" in stats:
+                    assert set(stats["minValues"]) \
+                        == set(stats["maxValues"])
+            elif kind == "remove":
+                path = body["path"]
+                assert path in live, f"remove of non-live {path}"
+                live.remove(path)
+                assert isinstance(body["deletionTimestamp"], int)
+                assert isinstance(body["dataChange"], bool)
+    # protocol: exactly once, version 0, and it led the log
+    assert [v for v, _ in protocols] == [0]
+    # table id stable across metaData re-emissions
+    assert len(set(meta_ids)) == 1 and meta_ids
+
+
 @pytest.mark.skipif(not delta_available(),
                     reason="Delta jars not shipped in this runtime")
 def test_export_reads_as_native_delta(spark, exported):

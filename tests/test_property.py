@@ -379,3 +379,82 @@ def test_agg_mode_tiebreak_random(rows):
         assert got == want
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bloom_fp_rate_within_2x_theoretical():
+    """FP-rate law for the per-file Bloom index (review r7), across
+    the three sizing regimes — the 8192-bit floor, a mid pow2ceil,
+    and a large chunk: the measured false-positive rate of the
+    WRITTEN filters must stay within 2x the textbook
+    (1 - e^(-kn/m))^k bound (double hashing costs a constant factor
+    < 2 per Kirsch-Mitzenmacher), alongside the existing
+    no-false-negative law above. Deterministic: keys, probes, and
+    xxhash64 are all fixed, so the measured count never flakes."""
+    import base64
+    import math
+    import shutil
+    import struct
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_automation_spark.tableformat import BLOOM_KEY, CowTable
+
+    spark = _spark()
+    d = tempfile.mkdtemp(prefix="las_prop_bloomfp_")
+    try:
+        # even keys only; one file per chunk; sizes straddle the m
+        # floor (400 rows -> 8192 bits) and two pow2ceil points
+        sizes = [(0, 400), (1, 3000), (2, 8000)]
+        chunks = []
+        for tag, n_rows in sizes:
+            base = tag * 1_000_000
+            chunks.append(
+                spark.range(n_rows)
+                .select((F.lit(base) + F.col("id") * 2).alias("k"))
+                .coalesce(1))
+        tbl = CowTable.create(spark, chunks[0], f"{d}/t", bloom_cols=["k"])
+        for c in chunks[1:]:
+            tbl.append(c)
+
+        # batch-compute probe positions with ONE job per m (the read
+        # path's exact formula: mod-before-combine double hashing)
+        man = tbl.manifest()
+        specs = []   # (m, k, words, n_rows)
+        for chunk, fstats in man["file_stats"].items():
+            for fname, entry in fstats.items():
+                m, k, dtype, packed = entry[BLOOM_KEY]["k"]
+                assert dtype == "bigint"
+                words = struct.unpack(
+                    f"<{m // 64}q", base64.b64decode(packed))
+                specs.append((m, k, words, entry["__rows__"]))
+        assert len(specs) == 3
+        assert sorted(s[0] for s in specs) == [8192, 32768, 131072]
+
+        n_probes = 4000
+        probes = (spark.range(n_probes)
+                  .select((F.col("id") * 2 + 1).alias("k")))  # absent
+        for m, k, words, n_rows in specs:
+            hs = probes.select(
+                F.pmod(F.xxhash64(F.col("k").cast("long")),
+                       F.lit(m)).alias("h1"),
+                F.pmod(F.xxhash64(F.col("k").cast("long"), F.lit(1)),
+                       F.lit(m)).alias("h2")).collect()
+            fp = 0
+            for r in hs:
+                if all(words[p // 64] & (1 << (p % 64))
+                       for p in ((r.h1 + i * r.h2) % m
+                                 for i in range(k))):
+                    fp += 1
+            theo = (1.0 - math.exp(-k * n_rows / m)) ** k
+            bound = max(2.0 * theo * n_probes, 3.0)  # Poisson floor
+            assert fp <= bound, (m, n_rows, fp, theo * n_probes)
+
+        # tie the batch math to the real probe path: an absent odd key
+        # admitted by NO filter must prune every file
+        assert tbl.bloom_pruned_files("k", 10**9 + 1) == []
+        # and a present key keeps exactly its own file
+        assert len(tbl.bloom_pruned_files("k", 1_000_000 + 2)) >= 1
+        assert tbl.point_scan("k", 1_000_000 + 2).count() == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
