@@ -130,9 +130,12 @@ def test_interval_join_bucketed_is_hash_join_and_exact(spark, sf_dir):
 # sf1 (10x) plan-shape guards: the SAME physical strategies must hold
 # on the scaled corpus — pushdown/pruning, partial+final aggregation,
 # no cartesian on data joins, occupancy-bounded LSH banding. Data is
-# local-generated (gitignored); regenerate with
-#   python tools/gen_scale_data.py /root/testdata/sf0.1 .scaledata/sf1 10
+# local-generated (gitignored); regenerate all corpora with ONE
+# command:
+#   tools/regen_scaledata.sh
 # Measured counterpart: bench/BASELINE_sf1.json + SCALE.md ratio table.
+# CI mode: set LAS_REQUIRE_SCALEDATA=1 to FAIL (not skip) when the
+# corpus is missing — a silent skip reads as coverage it isn't.
 
 import os as _os
 
@@ -141,9 +144,20 @@ import pytest as _pytest
 SF1_DIR = _os.path.join(
     _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
     ".scaledata", "sf1")
+_require_scaledata = _os.environ.get("LAS_REQUIRE_SCALEDATA") == "1"
 _sf1 = _pytest.mark.skipif(
-    not _os.path.isdir(SF1_DIR),
-    reason="sf1 corpus not generated (tools/gen_scale_data.py)")
+    not _os.path.isdir(SF1_DIR) and not _require_scaledata,
+    reason="sf1 corpus not generated (tools/regen_scaledata.sh; "
+           "LAS_REQUIRE_SCALEDATA=1 fails instead of skipping)")
+
+
+def test_scale_corpus_present_when_required():
+    """In CI mode the sf1 corpus must exist — fail loudly with the
+    regenerate command instead of skipping the whole sf1 section."""
+    if _require_scaledata:
+        assert _os.path.isdir(SF1_DIR), (
+            "LAS_REQUIRE_SCALEDATA=1 but .scaledata/sf1 is missing — "
+            "run tools/regen_scaledata.sh")
 
 
 @_sf1
