@@ -65,6 +65,21 @@ LSH_PLANES = [
     [_rng.uniform(-1.0, 1.0) for _ in range(LSH_DIM)] for _ in range(N_PLANES)
 ]
 
+# Extended plane budget for large corpora (round-7 sf10 probe: the
+# 8-bit cap on 32 fixed planes lets candidates regrow n²/256 — 780
+# vectors/bucket at 200k). Holding recall while bits/band grows needs
+# MORE bands of LONGER signatures (1-(1-p^r)^b), i.e. a larger total
+# budget: the 16-bit × 16-band tier uses 256 planes. A SEPARATE rng
+# (not a continuation of ``_rng``) so extending the budget can never
+# perturb any other seeded constant; LSH_PLANES_EXT[:N_PLANES] is the
+# original 32-plane contract the SQL oracles embed, verbatim.
+N_PLANES_MAX = 256
+_rng_ext = random.Random(124)
+LSH_PLANES_EXT = LSH_PLANES + [
+    [_rng_ext.uniform(-1.0, 1.0) for _ in range(LSH_DIM)]
+    for _ in range(N_PLANES_MAX - N_PLANES)
+]
+
 
 def as_double(vec: Column) -> Column:
     return F.transform(vec, lambda x: x.cast("double"))
@@ -388,35 +403,65 @@ def adaptive_bits_per_band(n: int) -> int:
     parity, trading borderline-similarity recall for bounded
     candidates — the right default for dedup where targets are
     high-sim pairs."""
-    for bits in (BITS_PER_BAND, 8):  # divisors of N_PLANES only
-        if n / (1 << bits) <= 125:
-            return bits
-    return 8
+    return adaptive_banding(n)[0]
+
+
+def adaptive_banding(n: int) -> tuple[int, int]:
+    """(bits_per_band, n_bands) for a corpus of ``n`` vectors — the
+    TWO-knob version of :func:`adaptive_bits_per_band` (round 7).
+    Bits bound occupancy (candidates grow n²/2^bits per band); bands
+    hold recall, which collapses as bits grow unless the band count
+    grows with them (P(candidate) = 1-(1-p^bits)^bands; at sim 0.9
+    sign-LSH p ≈ 0.857, so 8-bit × 4-band ≈ 0.75 but 16-bit × 4-band
+    ≈ 0.30 — the standard LSH cost/recall curve). The round-6 design
+    capped the budget at the 32 oracle planes and documented plane
+    growth as the deferred knob; the round-7 100× probe measured the
+    cap's cost (vec_knn_join 158.9 s at sf10, ~780 vectors/bucket),
+    so the budget now steps to 256 planes (16 × 16) above the 8-bit
+    tier's ~32k-vector occupancy bound. Floor and mid tiers are
+    byte-identical to round 6 — the sf0.01 gate, sf0.1 baseline, and
+    sf1 corpora all resolve exactly as before, so every embedded SQL
+    oracle and recorded measurement stands."""
+    if n / (1 << BITS_PER_BAND) <= 125:
+        return BITS_PER_BAND, N_LSH_BANDS    # 4 x 8: the oracle floor
+    if n / (1 << 8) <= 125:
+        return 8, 4                          # 32 planes, round-6 tier
+    return 16, 16                            # 256-plane scale tier
 
 
 def lsh_bucket_table(emb: DataFrame,
-                     bits_per_band: int | None = None) -> DataFrame:
-    """(vec_id, band_id, bucket): sign-bit signatures over N_PLANES
-    fixed hyperplanes, packed per band.
+                     bits_per_band: int | None = None,
+                     n_bands: int | None = None) -> DataFrame:
+    """(vec_id, band_id, bucket): sign-bit signatures over fixed
+    hyperplanes, packed per band.
 
-    ``bits_per_band`` defaults to :func:`adaptive_bits_per_band` of
-    the corpus count (one metadata-cheap count job per invocation —
-    the signature table is keyed-persisted by callers, so this never
-    repeats per query). The planes themselves are always the same 32
-    constants; only their grouping into bands changes with scale.
+    Banding defaults to :func:`adaptive_banding` of the corpus count
+    (one metadata-cheap count job per invocation — the signature
+    table is keyed-persisted by callers, so this never repeats per
+    query). The small-sf tiers group the same 32 oracle-contract
+    planes; the 256-plane scale tier draws the extension planes from
+    ``LSH_PLANES_EXT`` (first 32 = the contract, verbatim).
 
-    The planes live in a broadcast 32-row DataFrame; each sign bit is
-    ONE 64-term dot after the join, and packing is a small
-    (vec_id, band) aggregation with map-side partials. Inlining all 32
+    The planes live in a broadcast ≤256-row DataFrame; each sign bit
+    is ONE 64-term dot after the join, and packing is a small
+    (vec_id, band) aggregation with map-side partials. Inlining the
     plane dots into a single projection instead generates a
     multi-megabyte codegen unit that OOMs small driver heaps (the
     external harness runs a default-memory session)."""
     spark = emb.sparkSession
     if bits_per_band is None:
-        bits_per_band = adaptive_bits_per_band(emb.count())
+        bits_per_band, n_bands = adaptive_banding(emb.count())
+    elif n_bands is None:
+        n_bands = N_PLANES // bits_per_band  # legacy single-knob call
+    n_used = bits_per_band * n_bands
+    if bits_per_band > 16 or n_used > N_PLANES_MAX:
+        # bucket packs into an INT (shiftleft(bit, 15) max) and the
+        # plane budget is fixed — raise rather than silently truncate
+        raise ValueError(f"banding {bits_per_band}x{n_bands} exceeds "
+                         f"the 16-bit/{N_PLANES_MAX}-plane budget")
     planes = F.broadcast(spark.createDataFrame(
-        [(i // bits_per_band, i % bits_per_band, LSH_PLANES[i])
-         for i in range(N_PLANES)],
+        [(i // bits_per_band, i % bits_per_band, LSH_PLANES_EXT[i])
+         for i in range(n_used)],
         "band_id int, bit_pos int, pv array<double>",
     ))
     n = with_vnorm(emb)

@@ -221,25 +221,76 @@ def test_ivf_pq_recall_vs_exact(emb):
 
 
 def test_adaptive_banding_never_leaves_runt_bands():
-    """Bits/band must always divide the 32-plane budget: a non-divisor
-    (e.g. a naive log2 ramp yielding 6) leaves a runt band of
-    ``32 % bits`` planes whose tiny bucket space regrows the n^2
-    candidate blowup adaptation exists to bound. Also pin the contract
-    boundaries: the sf0.01 gate and sf0.1 baseline corpora must keep
-    the 4-bit oracle banding."""
+    """Every tier's bands × bits must exactly consume its plane
+    budget (no runt band whose tiny bucket space regrows the n²
+    candidate blowup), stay inside the 16-bit/256-plane packing
+    limits, and pin the contract boundaries: the sf0.01 gate and
+    sf0.1 baseline corpora keep the 4-bit oracle banding, sf1 keeps
+    the round-6 8-bit tier (recorded measurements stand), and only
+    beyond the 8-bit occupancy bound does the 256-plane scale tier
+    engage. The extended plane table must embed the 32 contract
+    planes verbatim (the SQL oracles replay them as literals)."""
     from lakehouse_automation_spark.operators.vector import (
-        BITS_PER_BAND, N_PLANES, adaptive_bits_per_band)
+        BITS_PER_BAND, LSH_PLANES, LSH_PLANES_EXT, N_PLANES,
+        N_PLANES_MAX, adaptive_banding, adaptive_bits_per_band)
 
-    for n in [1, 125, 200, 2000, 2001, 5000, 8000, 16000, 20000, 10**7]:
-        bits = adaptive_bits_per_band(n)
-        assert N_PLANES % bits == 0, (n, bits)
-        assert BITS_PER_BAND <= bits <= 8
-    assert adaptive_bits_per_band(200) == BITS_PER_BAND    # sf0.01 gate
-    assert adaptive_bits_per_band(2000) == BITS_PER_BAND   # sf0.1 baseline
-    assert adaptive_bits_per_band(20000) == 8              # sf1
+    for n in [1, 125, 200, 2000, 2001, 5000, 8000, 16000, 20000,
+              60000, 200000, 10**7]:
+        bits, bands = adaptive_banding(n)
+        assert bits * bands in (N_PLANES, N_PLANES_MAX), (n, bits, bands)
+        assert BITS_PER_BAND <= bits <= 16
+        assert adaptive_bits_per_band(n) == bits
+    assert adaptive_banding(200) == (BITS_PER_BAND, 8)   # sf0.01 gate
+    assert adaptive_banding(2000) == (BITS_PER_BAND, 8)  # sf0.1 baseline
+    assert adaptive_banding(20000) == (8, 4)             # sf1 (round 6)
+    assert adaptive_banding(60000) == (16, 16)           # sf3+
     # monotone: a bigger corpus never gets a smaller signature
-    widths = [adaptive_bits_per_band(n) for n in range(1, 50_000, 997)]
+    widths = [adaptive_bits_per_band(n) for n in range(1, 250_000, 997)]
     assert widths == sorted(widths)
+    # the contract planes are the extension's prefix, bit-for-bit
+    assert LSH_PLANES_EXT[:N_PLANES] == LSH_PLANES
+    assert len(LSH_PLANES_EXT) == N_PLANES_MAX
+
+
+def test_scale_tier_banding_recall(spark):
+    """The 16x16 scale tier must keep recall in the regime it exists
+    for — HIGH-similarity (near-dup) pairs: sign-LSH collision p at
+    sim 0.95 is ~0.90, so 16-bit bands hit p^16 ~ 0.18 per band and
+    the 16-band growth is what rescues recall (1-(1-0.18)^16 ~ 0.96;
+    a 16-bit x 4-band misconfiguration collapses to ~0.55). The
+    testdata corpus plants no high-sim pairs (0 above 0.6), so the
+    test plants its own: 150 base vectors + 50 noisy near-copies at
+    sim >= ~0.9, then checks the 16x16 pair recall against the exact
+    scan. Low-sim generic kNN is NOT the tier's contract — at any
+    banding, sign-LSH needs band counts this budget doesn't target
+    (documented in adaptive_banding)."""
+    import numpy as np
+
+    from lakehouse_automation_spark.operators.cache import release_persisted
+    import lakehouse_automation_spark.operators.vector as V
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((150, 64))
+    dups = base[:50] + 0.25 * rng.standard_normal((50, 64))
+    vecs = np.vstack([base, dups]).astype("float64")
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(vecs)],
+        "vec_id long, embedding array<double>")
+    exact = {(r.id_a, r.id_b) for r in
+             V.cosine_neardup_pairs(emb, threshold=0.8).collect()}
+    assert len(exact) >= 30, "planting failed"
+    release_persisted()
+    orig = V.adaptive_banding
+    V.adaptive_banding = lambda n: (16, 16)
+    try:
+        approx = {(r.id_a, r.id_b) for r in
+                  V.lsh_neardup_pairs(emb, threshold=0.8).collect()}
+    finally:
+        V.adaptive_banding = orig
+        release_persisted()
+    assert approx <= exact          # precision 1.0: candidates re-verified
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.7, f"scale-tier near-dup recall {recall:.2f}"
 
 
 def test_matryoshka_recall_vs_exact(spark, emb):
