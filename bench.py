@@ -89,6 +89,10 @@ HEADLINE = [
     "vec_knn_join",
     "vec_int8_topk",
     "mm_decode_features",
+    # round 7 additions: the iterative-join graph family and the
+    # zero-filled time-series correlation
+    "graph_components",
+    "ts_autocorr",
 ]
 
 

@@ -41,6 +41,7 @@ from . import udfs            # noqa: E402,F401
 from . import cowtable        # noqa: E402,F401
 from . import events_analytics  # noqa: E402,F401
 from . import timeseries      # noqa: E402,F401
+from . import graph           # noqa: E402,F401
 
 # ------------------------------------------------------------------
 # Sweep ordering. The driver's per-round correctness gate evaluates
@@ -88,12 +89,15 @@ _SWEEP_ORDER = [
     "analyze_stats", "jdbc_source",
     "udf_pandas_scalar", "udf_sql_register", "udf_grouped_map",
     "udtf_lateral",
-    # --- 3: r4 cohort head (4 of 48) — starts the next freshness
-    # wave and re-greens the round's two bench watch items ---
-    "flagship_regional_revenue", "vec_knn_join", "join_asof",
-    "curate_pipeline",
+    # --- 3: the round-7 NEW keys (never swept — a new key without an
+    # official entry reads as unverified; they take the last four
+    # fold slots): relational connected components, daily-volume
+    # autocorrelation, the Markov transition matrix, and
+    # priority-sampling weighted selection ---
+    "graph_components", "ts_autocorr", "event_markov_transitions",
+    "sample_weighted",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-8 queue: the 44 remaining r4 keys (derive with
+    # Round-8 queue: the full 48-key r4 cohort (derive with
     # tools/sweep_plan.py — never hand-count), fronting any key
     # whose implementation changes this round.
 ]

@@ -855,3 +855,49 @@ def event_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rk", F.row_number().over(wr))
             .filter(F.col("rk") <= 5)
             .select("path", F.col("n").cast("long").alias("n"), "rk"))
+
+
+@register(
+    "event_markov_transitions",
+    oracle="""
+    WITH e AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY us, event_id) AS to_type
+      FROM (SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events)
+    ), tr AS (
+      SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM e WHERE to_type IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) /
+             SUM(n) OVER (PARTITION BY from_type) AS p
+    FROM tr
+    """,
+)
+def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types — the
+    behavioral model behind next-action prediction and anomaly scoring
+    (a session whose transitions are improbable under the matrix is an
+    outlier). One lead over the per-user time order produces the
+    bigram stream; the transition aggregate partial-combines to
+    <= |types|^2 rows per partition before its shuffle; row
+    probabilities are one exact integer ratio per row (count over the
+    from-type window on the BOUNDED matrix), bit-identical across
+    engines — no rounding needed."""
+    ev = (t(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp")).alias("us")))
+    w = W.partitionBy("user_id").orderBy("us", "event_id")
+    tr = (ev
+          .withColumn("to_type", F.lead("event_type").over(w))
+          .filter(F.col("to_type").isNotNull())
+          .groupBy(F.col("event_type").alias("from_type"), "to_type")
+          .agg(F.count(F.lit(1)).alias("n")))
+    wf = W.partitionBy("from_type")
+    return tr.select(
+        "from_type", "to_type", F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"))

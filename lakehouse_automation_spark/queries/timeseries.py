@@ -314,3 +314,93 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
         ((wsum / nsum) / F.lit(100.0)).alias("ewma"))
+
+
+_DAY_US = 86_400_000_000
+_AC_CAP = 119  # demo bound: first 120 days of each type's span
+
+
+@register(
+    "ts_autocorr",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day
+      FROM events
+    ), cnt AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, MIN(day) AS lo,
+             LEAST(MAX(day), MIN(day) + {_AC_CAP}) AS hi
+      FROM cnt GROUP BY 1
+    ), grid AS (
+      SELECT s.event_type, u.day
+      FROM span s, LATERAL unnest(generate_series(s.lo, s.hi)) AS u(day)
+    ), series AS (
+      SELECT g.event_type, g.day, COALESCE(c.c, 0) AS x
+      FROM grid g LEFT JOIN cnt c
+        ON g.event_type = c.event_type AND g.day = c.day
+    ), lagged AS (
+      SELECT event_type, x,
+             lead(x) OVER (PARTITION BY event_type ORDER BY day) AS y
+      FROM series
+    ), m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(x * x) AS sxx,
+             SUM(y) AS sy, SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM lagged WHERE y IS NOT NULL GROUP BY 1
+    )
+    SELECT event_type, n AS n_pairs,
+           ROUND((n * sxy - sx * sy) /
+                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS autocorr_lag1
+    FROM m
+    """,
+)
+def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each event type's DAILY volume — the
+    seasonality/burstiness probe behind monitoring and
+    forecast-readiness checks. The series is zero-filled over the
+    type's (capped) day span — a sparse series without the fill
+    silently skips gap days and overstates correlation. All moment
+    sums are INTEGER (daily counts), so the Pearson numerator and
+    variance terms are exact in both engines; one shared double
+    formula + round(6) at the end, the ``agg_stddev_corr`` recipe.
+
+    100-TB shape: the count agg partial-combines to |types| x days
+    rows, the grid explodes from a |types|-row span table (never a
+    calendar cross join), and the lead window partitions by
+    event_type — per-type state is one row."""
+    ev = (t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}")
+                  .alias("day")))
+    cnt = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("c"))
+    span = cnt.groupBy("event_type").agg(
+        F.min("day").alias("lo"),
+        F.least(F.max("day"), F.min("day") + F.lit(_AC_CAP)).alias("hi"))
+    grid = span.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("day"))
+    series = (grid.join(cnt, ["event_type", "day"], "left")
+              .select("event_type", "day",
+                      F.coalesce(F.col("c"), F.lit(0)).alias("x")))
+    w = W.partitionBy("event_type").orderBy("day")
+    lagged = (series
+              .withColumn("y", F.lead("x").over(w))
+              .filter(F.col("y").isNotNull()))
+    m = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"), F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("y").alias("sy"), F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n, sx, sxx, sy, syy, sxy = (
+        F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    return m.select(
+        "event_type", n.alias("n_pairs"),
+        F.round((n * sxy - sx * sy) /
+                (F.sqrt((n * sxx - sx * sx).cast("double")) *
+                 F.sqrt((n * syy - sy * sy).cast("double"))), 6)
+        .alias("autocorr_lag1"))

@@ -251,3 +251,49 @@ def sample_stratified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.row_number().over(w).alias("rk"))
             .filter(F.col("rk") <= 3)
             .drop("rk"))
+
+
+@register(
+    "sample_weighted",
+    oracle="""
+    SELECT doc_id, n_chars,
+           ROUND(CAST(n_chars AS DOUBLE) * 1152921504606846976.0 /
+                 (CAST(('0x' || substr(md5('pri:' ||
+                    CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0),
+                 6) AS priority
+    FROM documents
+    ORDER BY priority DESC, doc_id
+    LIMIT 100
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield-Lund-Thorup, JACM '07): each doc draws priority
+    w / u with u uniform on (0, 1] and w = n_chars, and the sample is
+    the top-k priorities — inclusion probability grows with weight,
+    the scheme's subset-sum estimates are provably near-optimal, and
+    (the reason it's here rather than A-Res) priority needs ONE
+    multiply and ONE divide, so it is bit-identical across engines
+    with no transcendental (``exp``/``ln``) whose last-ulp behavior
+    differs between libm and the JVM. The uniform is the md5-derived
+    60-bit hash shifted to (0, 1] — reproducible across runs, engines,
+    and cluster layouts, and re-picks (almost) the same rows as the
+    corpus grows, the eval-holdout property.
+
+    Weighted sampling is the data-mixture primitive quality-weighted
+    training pipelines need: w = a quality or dedup-cluster-size
+    score, and the sample IS the mixing. At scale ORDER BY + LIMIT
+    plans as TakeOrderedAndProject — per-partition partial top-k,
+    only k rows per partition reach the driver-side merge; nothing
+    global is sorted."""
+    from ..operators.dedup import portable_hash
+
+    h = portable_hash(F.concat(F.lit("pri:"),
+                               F.col("doc_id").cast("string")))
+    pri = F.round(
+        F.col("n_chars").cast("double") * F.lit(1152921504606846976.0)
+        / (h + F.lit(1.0)), 6)
+    return (t(spark, sf_dir, "documents")
+            .select("doc_id", "n_chars", pri.alias("priority"))
+            .orderBy(F.desc("priority"), F.asc("doc_id"))
+            .limit(100))

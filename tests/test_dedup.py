@@ -169,3 +169,57 @@ def test_substring_dedup_flags_planted_shared_span(spark, tmp_path):
     for r in out.values():
         assert 0 <= r.n_dup_windows <= r.n_windows
         assert r.dup_frac == r.n_dup_windows / r.n_windows
+
+
+def test_graph_components_match_union_find(spark):
+    """The registry's relational connected-components key must agree
+    with a reference union-find over the same edge set, and roots
+    must be component minima."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    # sf0.01, not sf0.001: with only 10 suppliers over 25 nations the
+    # smoke corpus has no same-nation co-supplier pair at all
+    sf = "/root/testdata/sf0.01"
+    out = {r.node: r for r in
+           REGISTRY["graph_components"].fn(spark, sf).collect()}
+    assert out, "empty graph"
+    # rebuild the edge set the key defines
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .filter(F.col("l_orderkey") % 10 == 0)
+          .select("l_orderkey", "l_suppkey"))
+    sup = (spark.read.parquet(f"{sf}/supplier.parquet")
+           .select("s_suppkey", "s_nationkey"))
+    rows = (li.join(sup, li.l_suppkey == sup.s_suppkey)
+            .select("l_orderkey", "l_suppkey", "s_nationkey").collect())
+    by_order = {}
+    for r in rows:
+        by_order.setdefault((r.l_orderkey, r.s_nationkey), set()) \
+            .add(r.l_suppkey)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    nodes = set()
+    for members in by_order.values():
+        members = sorted(members)
+        if len(members) < 2:
+            continue
+        nodes.update(members)
+        for b in members[1:]:
+            ra, rb = find(members[0]), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    assert set(out) == nodes
+    want = {}
+    for n in nodes:
+        want.setdefault(find(n), set()).add(n)
+    for root, members in want.items():
+        mn = min(members)
+        for m in members:
+            assert out[m].component_id == mn, (m, root)
+            assert out[m].is_root == (1 if m == mn else 0)

@@ -344,3 +344,24 @@ def test_attribution_last_touch_law(spark):
     got = {r.touch_type: r.n_purchases
            for r in run("event_attribution", spark).collect()}
     assert got == expect
+
+
+def test_markov_transitions_rows_sum_to_one_and_count_bigrams(spark):
+    """Each from_type's probabilities sum to 1; total transition count
+    equals sum over users of (events - 1); every (from, to) count is
+    positive."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["event_markov_transitions"].fn(spark, sf).collect()
+    assert rows and all(r.n > 0 for r in rows)
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for ft, rs in by_from.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-12, ft
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    import pyspark.sql.functions as F
+    want = (ev.groupBy("user_id").count()
+            .agg(F.sum(F.col("count") - 1)).first()[0])
+    assert sum(r.n for r in rows) == want

@@ -244,3 +244,23 @@ def test_scan_text_roundtrip_counts(spark):
     assert r.n_lines == docs.count()
     assert r.total_chars == docs.agg(
         F.sum(F.length(F.regexp_replace("text", r"[\r\n]+", " ")))).first()[0]
+
+
+def test_weighted_sample_favors_heavy_docs_and_is_stable(spark):
+    """Priority sampling: exactly k rows, reproducible, and the
+    sample's mean weight exceeds the corpus mean (heavier docs are
+    likelier in) while priorities are the documented w/u form."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out1 = REGISTRY["sample_weighted"].fn(spark, sf).collect()
+    out2 = REGISTRY["sample_weighted"].fn(spark, sf).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert len(out1) == 100
+    pris = [r.priority for r in out1]
+    assert pris == sorted(pris, reverse=True)
+    import pyspark.sql.functions as F
+    corpus_mean = (spark.read.parquet(f"{sf}/documents.parquet")
+                   .agg(F.avg("n_chars")).first()[0])
+    sample_mean = sum(r.n_chars for r in out1) / len(out1)
+    assert sample_mean > corpus_mean

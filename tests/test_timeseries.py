@@ -161,3 +161,31 @@ def test_ewma_replays_in_python(spark):
             wsum = sum(float(c) * 0.5 ** k for k, c in enumerate(taps))
             nsum = sum(0.5 ** k for k in range(len(taps)))
             assert got[(u, eid)] == (wsum / nsum) / 100.0, (u, eid)
+
+
+def test_autocorr_bounds_and_pandas_replay(spark):
+    """autocorr in [-1, 1]; n_pairs = capped span - 1; and the whole
+    computation replays exactly in pandas from the raw events."""
+    import pandas as pd
+
+    out = {r.event_type: r for r in run("ts_autocorr", spark).collect()}
+    assert out, "no event types"
+    ev = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+          .select("event_type",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                         " div 86400000000").alias("day"))
+          .toPandas())
+    for et, g in ev.groupby("event_type"):
+        cnt = g.groupby("day").size()
+        lo, hi = cnt.index.min(), min(cnt.index.max(), cnt.index.min() + 119)
+        series = cnt.reindex(range(lo, hi + 1), fill_value=0)
+        x = series.values[:-1].astype("int64")
+        y = series.values[1:].astype("int64")
+        r = out[et]
+        assert r.n_pairs == len(x)
+        assert -1.0 <= r.autocorr_lag1 <= 1.0
+        n = len(x)
+        num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        den = ((n * int((x * x).sum()) - int(x.sum()) ** 2) ** 0.5
+               * (n * int((y * y).sum()) - int(y.sum()) ** 2) ** 0.5)
+        assert abs(r.autocorr_lag1 - round(num / den, 6)) <= 1e-6, et
