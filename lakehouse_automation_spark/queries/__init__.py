@@ -97,9 +97,11 @@ _SWEEP_ORDER = [
     "graph_components", "ts_autocorr", "event_markov_transitions",
     "sample_weighted",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-8 queue: the full 48-key r4 cohort (derive with
-    # tools/sweep_plan.py — never hand-count), fronting any key
-    # whose implementation changes this round.
+    # Round-8 queue: FIRST the four keys added after this fold froze
+    # (graph_pagerank, ts_changepoint, event_cooccurrence, agg_gini —
+    # never officially swept), then the full 48-key r4 cohort (derive
+    # with tools/sweep_plan.py — never hand-count), fronting any key
+    # whose implementation changed this round.
 ]
 
 

@@ -522,3 +522,81 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("n_users"))
              .select(F.lit("__all__").alias("event_type"), "n_users"))
     return per.unionByName(total)
+
+
+@register(
+    "agg_gini",
+    oracle="""
+    WITH rev AS (
+      SELECT l.l_suppkey, s.s_nationkey,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(20,4))) * 10000 AS BIGINT) AS r4
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT s_nationkey, r4,
+             CAST(row_number() OVER (
+               PARTITION BY s_nationkey
+               ORDER BY r4, l_suppkey) AS BIGINT) AS i
+      FROM rev
+    ), m AS (
+      SELECT s_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r4) AS BIGINT) AS s,
+             CAST(SUM(i * r4) AS BIGINT) AS w
+      FROM rk GROUP BY 1
+    )
+    SELECT nn.n_name, m.n AS n_suppliers,
+           CAST(m.s AS DOUBLE) / 10000 AS total_revenue,
+           ROUND(CAST(2 * m.w - (m.n + 1) * m.s AS DOUBLE) /
+                 CAST(m.n * m.s AS DOUBLE), 6) AS gini
+    FROM m JOIN nation nn ON m.s_nationkey = nn.n_nationkey
+    """,
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of supplier revenue per nation — the
+    concentration/inequality aggregate (0 = revenue evenly spread,
+    -> 1 = one supplier takes all) behind vendor-risk and
+    data-source-diversity dashboards; over a training corpus the same
+    statistic measures how skewed token mass is across sources.
+
+    Computed from the sorted-rank identity
+    G = (2*SUM(i*x_i) - (n+1)*SUM(x)) / (n*SUM(x)) with x ascending:
+    revenues become exact BIGINT ten-thousandths via the DECIMAL-sum
+    convention, ranks tie-break on supplier key, and both moment sums
+    are integers — one double division at the end (+ round 6), so the
+    value hashes identically across engines.
+
+    100-TB shape: the revenue agg partial-combines per supplier
+    before one shuffle; the rank window partitions BY NATION so the
+    sort is parallel across groups (a global gini would need the
+    two-pass range-partitioned ranking); the nation dim broadcasts."""
+    from pyspark.sql import Window as W
+
+    # revenue per supplier in exact 1e-4 units
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,4)").alias("rev"))
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    rev = (li.join(F.broadcast(sup), "l_suppkey")
+           .groupBy("l_suppkey", "s_nationkey")
+           .agg((F.sum("rev") * 10000).cast("long").alias("r4")))
+    w = W.partitionBy("s_nationkey").orderBy("r4", "l_suppkey")
+    rk = rev.select("s_nationkey", "r4",
+                    F.row_number().over(w).cast("long").alias("i"))
+    m = rk.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r4").alias("s"),
+        F.sum(F.col("i") * F.col("r4")).alias("w"))
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name")
+    two_w = F.lit(2) * F.col("w")
+    return (m.join(F.broadcast(nat), "s_nationkey")
+            .select("n_name", F.col("n").alias("n_suppliers"),
+                    (F.col("s").cast("double") / F.lit(10000))
+                    .alias("total_revenue"),
+                    F.round((two_w - (F.col("n") + 1) * F.col("s"))
+                            .cast("double")
+                            / (F.col("n") * F.col("s")).cast("double"), 6)
+                    .alias("gini")))

@@ -901,3 +901,74 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tr.select(
         "from_type", "to_type", F.col("n").cast("long").alias("n"),
         (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"))
+
+
+@register(
+    "event_cooccurrence",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), nu AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut
+    ), per_type AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t
+      FROM ut GROUP BY 1
+    ), pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT pr.type_a, pr.type_b, pr.n_ab,
+           ta.n_t AS n_a, tb.n_t AS n_b,
+           (CAST(pr.n_ab AS DOUBLE) * CAST(nu.n_users AS DOUBLE)) /
+           (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)) AS lift
+    FROM pr
+    JOIN per_type ta ON pr.type_a = ta.event_type
+    JOIN per_type tb ON pr.type_b = tb.event_type
+    CROSS JOIN nu
+    """,
+)
+def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type co-occurrence lift at user granularity —
+    market-basket association (lift = P(a,b) / (P(a)·P(b)) over the
+    user population), the feature-correlation probe behind
+    recommendation and funnel design. lift > 1 means the types attract
+    (users doing A do B more than independence predicts), < 1 repels.
+
+    Exactness: every count is an integer; lift is computed with ONE
+    identical IEEE expression in both engines — the doubles cast from
+    exact BIGINTs, two multiplies and a divide in the same order —
+    so it is bit-identical with no rounding step.
+
+    100-TB shape: the distinct (user, type) projection
+    partial-combines before its shuffle; the pair self-join shuffles
+    on user_id with per-user fan-out bounded by |types|; the
+    per-type and 1-row population tables broadcast into the final
+    join — nothing corpus-proportional moves."""
+    ut = (t(spark, sf_dir, "events")
+          .select("user_id", "event_type").distinct())
+    from ..operators.cache import tracked_persist
+    ut = tracked_persist(ut)
+    nu = ut.agg(F.countDistinct("user_id").alias("n_users"))
+    per_type = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pr = (a.join(b, "user_id")
+          .filter(F.col("type_a") < F.col("type_b"))
+          .groupBy("type_a", "type_b")
+          .agg(F.count(F.lit(1)).alias("n_ab")))
+    ta = per_type.select(F.col("event_type").alias("type_a"),
+                         F.col("n_t").alias("n_a"))
+    tb = per_type.select(F.col("event_type").alias("type_b"),
+                         F.col("n_t").alias("n_b"))
+    return (pr.join(F.broadcast(ta), "type_a")
+            .join(F.broadcast(tb), "type_b")
+            .crossJoin(F.broadcast(nu))
+            .select("type_a", "type_b", "n_ab", "n_a", "n_b",
+                    ((F.col("n_ab").cast("double")
+                      * F.col("n_users").cast("double"))
+                     / (F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double"))).alias("lift")))

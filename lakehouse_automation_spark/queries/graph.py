@@ -1,4 +1,5 @@
-"""Graph keys: connected components as a first-class operator.
+"""Graph keys: connected components and PageRank as first-class
+operators.
 
 The reference's lakehouse feeds entity tables (customers, suppliers,
 uploaded documents — `/root/reference/datagen.py:62-135` generates
@@ -32,11 +33,11 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .base import register, t
 
-
-@register(
-    "graph_components",
-    oracle="""
-    WITH RECURSIVE li AS (
+# Shared graph construction (both keys, and both oracles, use the
+# SAME edge set): suppliers linked when they co-supply one thinned
+# order within one nation — see the module docstring.
+_EDGE_CTES = """
+    li AS (
       SELECT l.l_orderkey AS o, l.l_suppkey AS s, su.s_nationkey AS nat
       FROM lineitem l JOIN supplier su ON l.l_suppkey = su.s_suppkey
       WHERE l.l_orderkey % 10 = 0
@@ -50,7 +51,32 @@ from .base import register, t
       SELECT u0 AS u, v0 AS v FROM pairs
       UNION SELECT v0, u0 FROM pairs
     ),
-    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    nodes AS (SELECT DISTINCT u AS node FROM edges)
+"""
+
+
+def _co_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b: the deterministic co-supplier
+    pair set both graph keys run on. The self-join shuffles on
+    l_orderkey (fan-out bounded by TPC-H's <= 7 lineitems/order);
+    the supplier dim is broadcast."""
+    li = (t(spark, sf_dir, "lineitem")
+          .filter(F.col("l_orderkey") % 10 == 0)
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_suppkey").alias("s")))
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("nat"))
+    li = li.join(F.broadcast(sup), "s")
+    a = li.select("o", "nat", F.col("s").alias("id_a"))
+    b = li.select("o", "nat", F.col("s").alias("id_b"))
+    return (a.join(b, ["o", "nat"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+
+@register(
+    "graph_components",
+    oracle="WITH RECURSIVE " + _EDGE_CTES + """,
     reach(node, r) AS (
       SELECT node, node FROM nodes
       UNION
@@ -72,19 +98,100 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked exactly."""
     from ..operators.dedup import neardup_clusters
 
-    li = (t(spark, sf_dir, "lineitem")
-          .filter(F.col("l_orderkey") % 10 == 0)
-          .select(F.col("l_orderkey").alias("o"),
-                  F.col("l_suppkey").alias("s")))
-    sup = t(spark, sf_dir, "supplier").select(
-        F.col("s_suppkey").alias("s"), F.col("s_nationkey").alias("nat"))
-    li = li.join(F.broadcast(sup), "s")
-    a = li.select("o", "nat", F.col("s").alias("id_a"))
-    b = li.select("o", "nat", F.col("s").alias("id_b"))
-    pairs = (a.join(b, ["o", "nat"])
-             .filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b").distinct())
+    pairs = _co_supplier_pairs(spark, sf_dir)
     return neardup_clusters(pairs).select(
         F.col("doc_id").alias("node"),
         F.col("cluster_id").alias("component_id"),
         F.col("is_keeper").alias("is_root"))
+
+
+# ------------------------------------------------------------------
+# PageRank — fixed-point integer arithmetic so the iterative result
+# is EXACT and cross-engine hashable.
+# ------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000       # rank units: 1.0 == 1e9
+_PR_TELEPORT = 150_000_000      # 0.15 * _PR_SCALE
+_PR_ITERS = 8
+
+
+def _pagerank_oracle() -> str:
+    """Unroll the fixed iteration count as chained CTEs (pr0..prN) —
+    standard SQL forbids aggregation over the recursive reference a
+    recursive-CTE formulation would need, and a fixed unroll is
+    bit-exact by construction."""
+    ctes = [
+        "deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg"
+        " FROM edges GROUP BY u)",
+        f"pr0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS units"
+        " FROM nodes)",
+    ]
+    for k in range(1, _PR_ITERS + 1):
+        ctes.append(f"""pr{k} AS (
+      SELECT n.node,
+             CAST({_PR_TELEPORT} + (85 * COALESCE(s.su, 0)) // 100
+                  AS BIGINT) AS units
+      FROM nodes n LEFT JOIN (
+        SELECT e.v AS node, SUM(p.units // d.deg) AS su
+        FROM edges e
+        JOIN pr{k - 1} p ON e.u = p.node
+        JOIN deg d ON d.node = e.u
+        GROUP BY e.v) s ON n.node = s.node)""")
+    return ("WITH " + _EDGE_CTES + ",\n    " + ",\n    ".join(ctes) + f"""
+    SELECT node, units AS rank_units,
+           CAST(units AS DOUBLE) / {_PR_SCALE} AS rank
+    FROM pr{_PR_ITERS}""")
+
+
+@register("graph_pagerank", oracle=_pagerank_oracle())
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the supplier co-order graph (d = 0.85, 8 power
+    iterations) — the influence/centrality ranking complementing
+    `graph_components`' grouping; at corpus scale the same loop ranks
+    domains or citation graphs for crawl prioritization.
+
+    Deterministic by FIXED-POINT INTEGER arithmetic: ranks live in
+    BIGINT units of 1e-9, each node's per-neighbor share is
+    `units div deg` (integer floor), and damping is
+    `(85 * sum) div 100` — every operation is exact and
+    order-independent, so an iterative float algorithm that would
+    drift by summation order (doubles sum differently per partitioning)
+    becomes hash-comparable across Spark, DuckDB, and any cluster
+    layout. The small mass the floors shed (< 1e-9 * degree per node
+    per round) is part of the spec, not an error term; the double
+    `rank` column is derived from the exact units at the very end.
+
+    100-TB shape: one equi-join + one groupBy per iteration, shuffled
+    on node keys (the same alternating shape `neardup_clusters`
+    scales); the edge and degree tables are built once and persisted;
+    iteration count is fixed at 8 so the plan is O(iters) stages with
+    nothing driver-side."""
+    from ..operators.cache import tracked_persist
+
+    pairs = _co_supplier_pairs(spark, sf_dir)
+    edges = tracked_persist(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"),
+                                  F.col("id_a").alias("v")))
+        .distinct())
+    deg = tracked_persist(
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("u").alias("node"), "deg"))
+    nodes = deg.select("node")          # every node has deg >= 1
+    pr = nodes.select(
+        "node", F.lit(_PR_SCALE).cast("long").alias("units"))
+    for _ in range(_PR_ITERS):
+        shares = (pr.join(deg, "node")
+                  .select(F.col("node").alias("u"),
+                          F.expr("units div deg").alias("share")))
+        contrib = (edges.join(shares, "u")
+                   .groupBy("v").agg(F.sum("share").alias("su")))
+        pr = (nodes.join(contrib, nodes.node == contrib.v, "left")
+              .select(nodes.node,
+                      (F.lit(_PR_TELEPORT)
+                       + F.expr("(85 * coalesce(su, 0L)) div 100"))
+                      .cast("long").alias("units")))
+    return pr.select(
+        "node", F.col("units").alias("rank_units"),
+        (F.col("units").cast("double")
+         / F.lit(float(_PR_SCALE))).alias("rank"))

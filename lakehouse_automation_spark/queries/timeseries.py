@@ -404,3 +404,97 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.sqrt((n * sxx - sx * sx).cast("double")) *
                  F.sqrt((n * syy - sy * sy).cast("double"))), 6)
         .alias("autocorr_lag1"))
+
+
+@register(
+    "ts_changepoint",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US} AS day
+      FROM events
+    ), cnt AS (
+      SELECT event_type, day, CAST(COUNT(*) AS BIGINT) AS c
+      FROM ev GROUP BY 1, 2
+    ), span AS (
+      SELECT event_type, MIN(day) AS lo,
+             LEAST(MAX(day), MIN(day) + {_AC_CAP}) AS hi
+      FROM cnt GROUP BY 1
+    ), grid AS (
+      SELECT s.event_type, u.day
+      FROM span s, LATERAL unnest(generate_series(s.lo, s.hi)) AS u(day)
+    ), series AS (
+      SELECT g.event_type, g.day, COALESCE(c.c, 0) AS x
+      FROM grid g LEFT JOIN cnt c
+        ON g.event_type = c.event_type AND g.day = c.day
+    ), tot AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
+             CAST(SUM(x) AS BIGINT) AS t
+      FROM series GROUP BY 1
+    ), cs AS (
+      SELECT s.event_type, s.day, tt.d AS n_days,
+             CAST(SUM(tt.d * s.x - tt.t) OVER (
+               PARTITION BY s.event_type ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cusum
+      FROM series s JOIN tot tt ON s.event_type = tt.event_type
+    ), rk AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY abs(cusum) DESC, day) AS rk
+      FROM cs
+    )
+    SELECT event_type, day AS cp_day, cusum, n_days,
+           ROUND(CAST(cusum AS DOUBLE) / n_days, 6) AS mean_shift
+    FROM rk WHERE rk = 1
+    """,
+)
+def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection on each event type's daily volume
+    (zero-filled over the capped day span, like ``ts_autocorr``): the
+    day where the cumulative deviation from the span mean peaks is the
+    classic single-changepoint estimate (Page's CUSUM / binary
+    segmentation's first split) — regime-shift detection for
+    monitoring and pipeline drift alerts.
+
+    Exactness: the per-day deviation is scaled by the span length —
+    ``dev = D*x - T`` (so no fractional mean appears) — making the
+    cumulative sums pure BIGINT arithmetic, order-independent and
+    hash-identical across engines; the argmax tie-breaks to the
+    earliest day deterministically, and only the final reported
+    ``mean_shift`` (cusum/D) divides into a double.
+
+    100-TB shape: the daily count agg partial-combines to
+    |types| x days rows; the cumulative window partitions by
+    event_type over the bounded span; argmax is a row_number over the
+    same partitioning — nothing global, nothing driver-side."""
+    ev = (t(spark, sf_dir, "events")
+          .select("event_type",
+                  F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}")
+                  .alias("day")))
+    cnt = ev.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("c"))
+    span = cnt.groupBy("event_type").agg(
+        F.min("day").alias("lo"),
+        F.least(F.max("day"), F.min("day") + F.lit(_AC_CAP)).alias("hi"))
+    grid = span.select(
+        "event_type", F.explode(F.sequence("lo", "hi")).alias("day"))
+    series = (grid.join(cnt, ["event_type", "day"], "left")
+              .select("event_type", "day",
+                      F.coalesce(F.col("c"), F.lit(0)).alias("x")))
+    tot = series.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("d"), F.sum("x").alias("t"))
+    wcs = (W.partitionBy("event_type").orderBy("day")
+           .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cs = (series.join(tot, "event_type")
+          .select("event_type", "day", F.col("d").alias("n_days"),
+                  F.sum(F.col("d") * F.col("x") - F.col("t")).over(wcs)
+                  .alias("cusum")))
+    wrk = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum")).desc(), F.col("day"))
+    return (cs.withColumn("rk", F.row_number().over(wrk))
+            .filter(F.col("rk") == 1)
+            .select("event_type", F.col("day").alias("cp_day"),
+                    "cusum", "n_days",
+                    F.round(F.col("cusum").cast("double")
+                            / F.col("n_days"), 6).alias("mean_shift")))

@@ -223,3 +223,47 @@ def test_graph_components_match_union_find(spark):
         for m in members:
             assert out[m].component_id == mn, (m, root)
             assert out[m].is_root == (1 if m == mn else 0)
+
+
+def test_graph_pagerank_replays_in_python(spark):
+    """The fixed-point PageRank must match an exact pure-python
+    integer replay of the same 8 iterations over the same edge set —
+    every unit value identical, no tolerance."""
+    from lakehouse_automation_spark.queries import REGISTRY
+    from lakehouse_automation_spark.queries.graph import (
+        _PR_ITERS, _PR_SCALE, _PR_TELEPORT)
+
+    sf = "/root/testdata/sf0.01"
+    out = {r.node: r for r in
+           REGISTRY["graph_pagerank"].fn(spark, sf).collect()}
+    assert out, "empty graph"
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .filter(F.col("l_orderkey") % 10 == 0)
+          .select("l_orderkey", "l_suppkey"))
+    sup = (spark.read.parquet(f"{sf}/supplier.parquet")
+           .select("s_suppkey", "s_nationkey"))
+    rows = (li.join(sup, li.l_suppkey == sup.s_suppkey)
+            .select("l_orderkey", "l_suppkey", "s_nationkey").collect())
+    by_order = {}
+    for r in rows:
+        by_order.setdefault((r.l_orderkey, r.s_nationkey), set()) \
+            .add(r.l_suppkey)
+    nbrs = {}
+    for members in by_order.values():
+        members = sorted(members)
+        for i, u in enumerate(members):
+            for v in members[i + 1:]:
+                nbrs.setdefault(u, set()).add(v)
+                nbrs.setdefault(v, set()).add(u)
+    assert set(out) == set(nbrs)
+    pr = {n: _PR_SCALE for n in nbrs}
+    for _ in range(_PR_ITERS):
+        recv = {n: 0 for n in nbrs}
+        for u, vs in nbrs.items():
+            share = pr[u] // len(vs)
+            for v in vs:
+                recv[v] += share
+        pr = {n: _PR_TELEPORT + (85 * recv[n]) // 100 for n in nbrs}
+    for n, units in pr.items():
+        assert out[n].rank_units == units, n
+        assert out[n].rank == units / float(_PR_SCALE)

@@ -365,3 +365,29 @@ def test_markov_transitions_rows_sum_to_one_and_count_bigrams(spark):
     want = (ev.groupBy("user_id").count()
             .agg(F.sum(F.col("count") - 1)).first()[0])
     assert sum(r.n for r in rows) == want
+
+
+def test_cooccurrence_lift_exact_counts(spark):
+    """Co-occurrence: pair/user counts replay exactly from the
+    distinct (user, type) set, and lift is the one-expression ratio."""
+    rows = run("event_cooccurrence", spark).collect()
+    assert rows
+    ut = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+          .select("user_id", "event_type").distinct().collect())
+    users = {}
+    for r in ut:
+        users.setdefault(r.user_id, set()).add(r.event_type)
+    n_users = len(users)
+    per_type, pair = {}, {}
+    for ts in users.values():
+        for a in ts:
+            per_type[a] = per_type.get(a, 0) + 1
+        ts = sorted(ts)
+        for i, a in enumerate(ts):
+            for b in ts[i + 1:]:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    assert {(r.type_a, r.type_b): r.n_ab for r in rows} == pair
+    for r in rows:
+        assert (r.n_a, r.n_b) == (per_type[r.type_a], per_type[r.type_b])
+        assert r.lift == (float(r.n_ab) * float(n_users)) / \
+            (float(r.n_a) * float(r.n_b))

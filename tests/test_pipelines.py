@@ -264,3 +264,46 @@ def test_weighted_sample_favors_heavy_docs_and_is_stable(spark):
                    .agg(F.avg("n_chars")).first()[0])
     sample_mean = sum(r.n_chars for r in out1) / len(out1)
     assert sample_mean > corpus_mean
+
+
+def test_gini_replays_in_python(spark):
+    """Per-nation supplier-revenue gini: exact integer replay of the
+    sorted-rank identity from raw lineitems (4-decimal units), plus
+    the [0, 1) bound and the n=1 => 0 degenerate case."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_gini"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_suppkey", "l_extendedprice", "l_discount").collect())
+    sup = {r.s_suppkey: r.s_nationkey for r in
+           spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    nat = {r.n_nationkey: r.n_name for r in
+           spark.read.parquet(f"{sf}/nation.parquet").collect()}
+    rev = {}
+    for r in li:
+        # price/discount have <= 2 decimals so the product has an
+        # exact 4-decimal value; nearest-int recovers it from double
+        r4 = round(r.l_extendedprice * (1 - r.l_discount) * 10000)
+        rev[r.l_suppkey] = rev.get(r.l_suppkey, 0) + r4
+    by_nat = {}
+    for sk, r4 in rev.items():
+        by_nat.setdefault(sup[sk], []).append((r4, sk))
+    want = {}
+    for nk, xs in by_nat.items():
+        xs.sort()
+        n, s = len(xs), sum(r for r, _ in xs)
+        w = sum((i + 1) * r for i, (r, _) in enumerate(xs))
+        want[nat[nk]] = (n, round((2 * w - (n + 1) * s) / (n * s), 6),
+                         s / 10000)
+    got = {r.n_name: (r.n_suppliers, r.gini, r.total_revenue)
+           for r in rows}
+    assert set(got) == set(want)
+    for name, (n, gini, tot) in want.items():
+        gn, gg, gt = got[name]
+        assert (gn, gg) == (n, gini), name
+        assert abs(gt - tot) < 1e-6
+        assert 0.0 <= gg < 1.0
+        if n == 1:
+            assert gg == 0.0

@@ -189,3 +189,29 @@ def test_autocorr_bounds_and_pandas_replay(spark):
         den = ((n * int((x * x).sum()) - int(x.sum()) ** 2) ** 0.5
                * (n * int((y * y).sum()) - int(y.sum()) ** 2) ** 0.5)
         assert abs(r.autocorr_lag1 - round(num / den, 6)) <= 1e-6, et
+
+
+def test_changepoint_replays_in_python(spark):
+    """CUSUM changepoint: exact integer replay — per type, the
+    reported day maximizes |cusum| (earliest on ties) and the cusum /
+    n_days / mean_shift values match the python computation."""
+    out = {r.event_type: r for r in run("ts_changepoint", spark).collect()}
+    assert out, "no event types"
+    ev = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+          .select("event_type",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                         " div 86400000000").alias("day"))
+          .toPandas())
+    for et, g in ev.groupby("event_type"):
+        cnt = g.groupby("day").size()
+        lo, hi = cnt.index.min(), min(cnt.index.max(), cnt.index.min() + 119)
+        xs = [int(cnt.get(d, 0)) for d in range(lo, hi + 1)]
+        d_ct, tot = len(xs), sum(xs)
+        best_day, best_cs, cs = None, None, 0
+        for off, x in enumerate(xs):
+            cs += d_ct * x - tot
+            if best_cs is None or abs(cs) > abs(best_cs):
+                best_day, best_cs = lo + off, cs
+        r = out[et]
+        assert (r.cp_day, r.cusum, r.n_days) == (best_day, best_cs, d_ct)
+        assert r.mean_shift == round(best_cs / d_ct, 6)
