@@ -58,6 +58,8 @@ NOTES = {
     "agg_hist_bins": "1-row stats agg broadcast into the bin projection; bin agg partial-combines to <=20 rows.",
     "sample_stratified_topk": "one stratum-key Exchange; rank filter drops all but k rows per stratum.",
     "event_path_analysis": "two leads share one user_id window sort; bounded path agg then a 5-row rank.",
+    "graph_components": "final labeling plan of the min-label/pointer-jump loop: per-round join+groupBy on node keys; the co-supplier pair build shuffles on l_orderkey with the supplier dim broadcast.",
+    "ts_autocorr": "daily count agg partial-combines to |types|xdays; grid explodes from a |types|-row span table; one event_type window then a 6-sum moment agg.",
     "agg_bitmap_distinct": "partial agg folds ids into <=4-KB bucket bitmaps; bitmap_or_agg merges per-type bitmaps for the union row.",
     "join_dpp_partition_pruned": "DynamicPruning subquery in the fact scan's PartitionFilters — unmatched day directories never listed.",
     "vec_binary_topk": "sign-bit packing in one projection; Hamming rank via two popcounts; rerank joins the 32-wide shortlist only.",
