@@ -187,7 +187,8 @@ def test_sf1_data_joins_never_cartesian(spark):
     on the scaled corpus (broadcast-nested-loop over a tiny literal
     side — e.g. the 32-row LSH plane table — is fine and excluded)."""
     for key in ["join_inner_equi", "join_broadcast", "join_self",
-                "join_asof", "flagship_regional_revenue"]:
+                "join_asof", "flagship_regional_revenue",
+                "graph_pagerank"]:
         plan = _plan(REGISTRY[key].fn(spark, SF1_DIR))
         assert "CartesianProduct" not in plan, f"{key} went cartesian"
 
