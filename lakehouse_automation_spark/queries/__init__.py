@@ -97,8 +97,9 @@ _SWEEP_ORDER = [
     "graph_components", "ts_autocorr", "event_markov_transitions",
     "sample_weighted",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-8 queue: FIRST the four keys added after this fold froze
-    # (graph_pagerank, ts_changepoint, event_cooccurrence, agg_gini —
+    # Round-8 queue: FIRST the eight keys added after this fold froze
+    # (graph_pagerank, ts_changepoint, event_cooccurrence, agg_gini,
+    # win_streaks, ts_seasonality, agg_entropy, text_rake_keywords —
     # never officially swept), then the full 48-key r4 cohort (derive
     # with tools/sweep_plan.py — never hand-count), fronting any key
     # whose implementation changed this round.

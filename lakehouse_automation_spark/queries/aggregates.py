@@ -600,3 +600,55 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                             .cast("double")
                             / (F.col("n") * F.col("s")).cast("double"), 6)
                     .alias("gini")))
+
+
+@register(
+    "agg_entropy",
+    oracle="""
+    WITH ev AS (
+      SELECT epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day,
+             event_type
+      FROM events
+    ), cnt AS (
+      SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2
+    ), p AS (
+      SELECT day, n,
+             CAST(SUM(n) OVER (PARTITION BY day) AS BIGINT) AS total
+      FROM cnt
+    )
+    SELECT day, CAST(MAX(total) AS BIGINT) AS n_events,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(SUM(-(CAST(n AS DOUBLE) / total)
+                     * ln(CAST(n AS DOUBLE) / total)), 6) AS entropy
+    FROM p GROUP BY day
+    """,
+)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the daily event-type mix — the
+    diversity/monoculture probe (0 = one type dominates the day,
+    ln(|types|) = perfectly mixed) behind traffic-anomaly and
+    data-mixture monitoring; over a training corpus the same shape
+    scores source diversity per shard. Counts are exact integers; the
+    per-type terms use one shared double expression and the ≤ |types|
+    term sum rounds at 6 dp — the `text_unigram_logprob`/`text_bm25`
+    convention for ln()-based keys.
+
+    100-TB shape: the count agg partial-combines to |days|×|types|
+    rows before the only data shuffle; the total rides a same-key
+    window (no second Exchange — day partitioning is shared), and the
+    final agg collapses to one row per day."""
+    from pyspark.sql import Window as W
+
+    ev = (t(spark, sf_dir, "events")
+          .select(F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                         " div 86400000000").alias("day"),
+                  "event_type"))
+    cnt = ev.groupBy("day", "event_type").agg(
+        F.count(F.lit(1)).alias("n"))
+    p = cnt.withColumn("total", F.sum("n").over(W.partitionBy("day")))
+    frac = F.col("n").cast("double") / F.col("total")
+    return (p.groupBy("day")
+            .agg(F.max("total").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_types"),
+                 F.round(F.sum(-frac * F.log(frac)), 6).alias("entropy")))

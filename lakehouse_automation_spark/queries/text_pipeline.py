@@ -1119,3 +1119,72 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("isdup").cast("long").alias("n_dup_windows"),
                  (F.count("isdup").cast("double") / F.count(F.lit(1)))
                  .alias("dup_frac")))
+
+
+@register(
+    "text_rake_keywords",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ), ns AS (
+      SELECT doc_id, tok, pos,
+             pos - row_number() OVER (
+               PARTITION BY doc_id ORDER BY pos) AS g
+      FROM toks WHERE tok <> '' AND tok NOT IN ('the', 'a')
+    ), occ AS (
+      SELECT doc_id, tok,
+             CAST(COUNT(*) OVER (PARTITION BY doc_id, g) AS BIGINT)
+               AS plen
+      FROM ns
+    ), words AS (
+      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(plen) AS BIGINT) AS degree
+      FROM occ GROUP BY 1
+    )
+    SELECT word, freq, degree,
+           CAST(degree AS DOUBLE) / freq AS score
+    FROM words
+    ORDER BY score DESC, word
+    LIMIT 50
+    """,
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010, word-level): candidate
+    phrases are maximal stopword-free token runs (gaps-and-islands on
+    token position — the corpus stopwords are 'the'/'a', matching
+    `text_quality_score`); word degree sums the lengths of every
+    phrase containing the word, and score = degree/freq favors words
+    that live in long multi-word phrases — the unsupervised keyword
+    tier between `tfidf_keywords` (corpus-statistical) and
+    `text_bm25_rank` (query-relevance).
+
+    Exactness: freq and degree are pure integers; score is one exact
+    division; ORDER BY (score, word) is a total order so the LIMIT cut
+    is deterministic.
+
+    100-TB shape: tokens explode inline (no materialized token
+    table); BOTH windows (phrase grouping, phrase length) ride one
+    doc_id Exchange — the (doc_id, phrase) window needs only a sort,
+    not a second shuffle, because doc partitioning already co-locates
+    phrases; the word agg partial-combines to vocab size; the final
+    ORDER BY + LIMIT plans as TakeOrderedAndProject."""
+    toks = (t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.posexplode(F.split("text", " "))
+                    .alias("pos", "tok")))
+    ns = toks.filter((F.col("tok") != "")
+                     & ~F.col("tok").isin("the", "a"))
+    wg = Window.partitionBy("doc_id").orderBy("pos")
+    grp = ns.withColumn("g", F.col("pos") - F.row_number().over(wg))
+    occ = grp.withColumn(
+        "plen", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "g")))
+    words = occ.groupBy(F.col("tok").alias("word")).agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("degree"))
+    return (words.select(
+        "word", "freq", "degree",
+        (F.col("degree").cast("double") / F.col("freq")).alias("score"))
+        .orderBy(F.desc("score"), F.asc("word"))
+        .limit(50))

@@ -498,3 +498,54 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cusum", "n_days",
                     F.round(F.col("cusum").cast("double")
                             / F.col("n_days"), 6).alias("mean_shift")))
+
+
+@register(
+    "ts_seasonality",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_type,
+             (epoch_us(CAST(ts AS TIMESTAMP)) // {_DAY_US}) % 7 AS dow_idx
+      FROM events
+    ), cnt AS (
+      SELECT event_type, dow_idx, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ev GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+             CAST(MAX(n) AS BIGINT) AS peak
+      FROM cnt GROUP BY 1
+    )
+    SELECT c.event_type, c.dow_idx, c.n,
+           CAST(c.n AS DOUBLE) / m.total AS share,
+           CAST(7 * m.peak AS DOUBLE) / m.total AS peak_ratio
+    FROM cnt c JOIN m ON c.event_type = m.event_type
+    """,
+)
+def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type: volume share
+    by weekday plus the peak ratio (7·max/total — 1.0 means perfectly
+    flat, 7.0 means all volume on one weekday), the weekly-cycle
+    probe behind capacity planning and burst diagnosis. The weekday
+    index is the EPOCH-DAY mod 7 (0 = Thursday) — derived from the
+    same integer day arithmetic both engines share, deliberately
+    avoiding calendar APIs whose week-start conventions differ across
+    engines. Counts are exact integers; share and peak_ratio are one
+    division each on exact-int doubles — bit-identical, no rounding.
+
+    100-TB shape: the count agg partial-combines to ≤ |types|×7 rows
+    per partition before its only data shuffle; the per-type moment
+    table is ≤ |types| rows and broadcasts back."""
+    ev = (t(spark, sf_dir, "events")
+          .select("event_type",
+                  (F.expr(f"unix_micros(CAST(ts AS TIMESTAMP))"
+                          f" div {_DAY_US}") % 7).alias("dow_idx")))
+    cnt = ev.groupBy("event_type", "dow_idx").agg(
+        F.count(F.lit(1)).alias("n"))
+    m = cnt.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.max("n").alias("peak"))
+    return (cnt.join(F.broadcast(m), "event_type")
+            .select("event_type", "dow_idx", "n",
+                    (F.col("n").cast("double") / F.col("total"))
+                    .alias("share"),
+                    ((F.lit(7) * F.col("peak")).cast("double")
+                     / F.col("total")).alias("peak_ratio")))

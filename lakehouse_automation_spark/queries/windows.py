@@ -297,3 +297,73 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_chars", pri.alias("priority"))
             .orderBy(F.desc("priority"), F.asc("doc_id"))
             .limit(100))
+
+
+@register(
+    "win_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ), grp AS (
+      SELECT user_id, day,
+             day - row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS g
+      FROM days
+    ), runs AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS run_len,
+             MIN(day) AS run_start
+      FROM grp GROUP BY user_id, g
+    ), best AS (
+      SELECT user_id, run_len, run_start,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY run_len DESC, run_start) AS rk,
+             CAST(SUM(run_len) OVER (PARTITION BY user_id) AS BIGINT)
+               AS n_active_days
+      FROM runs
+    )
+    SELECT user_id, run_len AS longest_streak, run_start AS streak_start,
+           n_active_days
+    FROM best WHERE rk = 1
+    ORDER BY longest_streak DESC, user_id
+    LIMIT 100
+    """,
+)
+def win_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    gaps-and-islands idiom (group key = day − row_number, constant
+    within a consecutive run) behind engagement/retention metrics and
+    habit scoring. Top-100 by streak (user_id ties deterministic);
+    every value is an exact integer.
+
+    100-TB shape: the distinct-day projection partial-combines before
+    one user_id shuffle; both windows and the run aggregate share the
+    SAME user_id(-superset) partitioning so no further Exchange is
+    needed; the final ORDER BY + LIMIT plans as TakeOrderedAndProject
+    (per-partition top-k, never a global sort)."""
+    days = (t(spark, sf_dir, "events")
+            .select("user_id",
+                    F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                           " div 86400000000").alias("day"))
+            .distinct())
+    wg = W.partitionBy("user_id").orderBy("day")
+    grp = days.withColumn("g", F.col("day") - F.row_number().over(wg))
+    runs = (grp.groupBy("user_id", "g")
+            .agg(F.count(F.lit(1)).alias("run_len"),
+                 F.min("day").alias("run_start")))
+    wb = W.partitionBy("user_id").orderBy(
+        F.desc("run_len"), F.asc("run_start"))
+    wtot = W.partitionBy("user_id")
+    best = (runs
+            .withColumn("rk", F.row_number().over(wb))
+            .withColumn("n_active_days",
+                        F.sum("run_len").over(wtot))
+            .filter(F.col("rk") == 1))
+    return (best.select("user_id",
+                        F.col("run_len").alias("longest_streak"),
+                        F.col("run_start").alias("streak_start"),
+                        "n_active_days")
+            .orderBy(F.desc("longest_streak"), F.asc("user_id"))
+            .limit(100))

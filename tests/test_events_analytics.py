@@ -391,3 +391,36 @@ def test_cooccurrence_lift_exact_counts(spark):
         assert (r.n_a, r.n_b) == (per_type[r.type_a], per_type[r.type_b])
         assert r.lift == (float(r.n_ab) * float(n_users)) / \
             (float(r.n_a) * float(r.n_b))
+
+
+def test_streaks_replay_in_python(spark):
+    """Longest-streak: exact replay of the gaps-and-islands result
+    from the distinct (user, day) set, including the top-100 cut."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    rows = REGISTRY["win_streaks"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    days = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+            .select("user_id",
+                    F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                           " div 86400000000").alias("day"))
+            .distinct().collect())
+    by_user = {}
+    for r in days:
+        by_user.setdefault(r.user_id, set()).add(r.day)
+    want = {}
+    for u, ds in by_user.items():
+        ds = sorted(ds)
+        best_len, best_start, run_len, run_start = 0, None, 0, None
+        for i, d in enumerate(ds):
+            if i and d == ds[i - 1] + 1:
+                run_len += 1
+            else:
+                run_len, run_start = 1, d
+            if run_len > best_len:
+                best_len, best_start = run_len, run_start
+        want[u] = (best_len, best_start, len(ds))
+    expect = sorted(want.items(), key=lambda kv: (-kv[1][0], kv[0]))[:100]
+    got = [(r.user_id, (r.longest_streak, r.streak_start,
+                        r.n_active_days)) for r in rows]
+    assert got == expect

@@ -307,3 +307,60 @@ def test_gini_replays_in_python(spark):
         assert 0.0 <= gg < 1.0
         if n == 1:
             assert gg == 0.0
+
+
+def test_entropy_bounds_and_replay(spark):
+    """Daily event-type entropy: 0 <= H <= ln(n_types), exact counts,
+    and a float replay within the 6-dp rounding tolerance."""
+    import math
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_entropy"].fn(spark, sf).collect()
+    assert rows
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select(F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                         " div 86400000000").alias("day"), "event_type")
+          .collect())
+    cnt = {}
+    for r in ev:
+        cnt.setdefault(r.day, {}).setdefault(r.event_type, 0)
+        cnt[r.day][r.event_type] += 1
+    assert {r.day for r in rows} == set(cnt)
+    for r in rows:
+        per = cnt[r.day]
+        tot = sum(per.values())
+        assert (r.n_events, r.n_types) == (tot, len(per))
+        h = -sum((n / tot) * math.log(n / tot) for n in per.values())
+        assert abs(r.entropy - h) < 2e-6
+        assert -1e-9 <= r.entropy <= math.log(len(per)) + 1e-9
+
+
+def test_rake_replays_in_python(spark):
+    """Word-level RAKE: freq/degree/score replay exactly from the raw
+    text (python gaps-and-islands), including the top-50 cut."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["text_rake_keywords"].fn(spark, sf).collect()
+    assert rows
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .select("text").collect()
+    freq, degree = {}, {}
+    for d in docs:
+        phrase = []
+        for tok in d.text.split(" ") + ["the"]:  # sentinel flush
+            if tok == "" or tok in ("the", "a"):
+                for w in phrase:
+                    freq[w] = freq.get(w, 0) + 1
+                    degree[w] = degree.get(w, 0) + len(phrase)
+                phrase = []
+            else:
+                phrase.append(tok)
+    scored = sorted(((degree[w] / freq[w], w) for w in freq),
+                    key=lambda t: (-t[0], t[1]))[:50]
+    got = [(r.score, r.word) for r in rows]
+    assert got == scored
+    for r in rows:
+        assert r.degree >= r.freq and r.score >= 1.0

@@ -215,3 +215,29 @@ def test_changepoint_replays_in_python(spark):
         r = out[et]
         assert (r.cp_day, r.cusum, r.n_days) == (best_day, best_cs, d_ct)
         assert r.mean_shift == round(best_cs / d_ct, 6)
+
+
+def test_seasonality_shares_and_peak(spark):
+    """Per-type weekday shares sum to 1, peak_ratio = 7·max share,
+    and counts replay exactly from the raw events."""
+    rows = run("ts_seasonality", spark).collect()
+    assert rows
+    ev = (spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+          .select("event_type",
+                  (F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                          " div 86400000000") % 7).alias("dow"))
+          .collect())
+    cnt = {}
+    for r in ev:
+        cnt[(r.event_type, r.dow)] = cnt.get((r.event_type, r.dow), 0) + 1
+    assert {(r.event_type, r.dow_idx): r.n for r in rows} == cnt
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, rs in by_type.items():
+        total = sum(r.n for r in rs)
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-12
+        peak = max(r.n for r in rs)
+        for r in rs:
+            assert r.share == r.n / total
+            assert r.peak_ratio == 7 * peak / total
