@@ -97,12 +97,20 @@ _SWEEP_ORDER = [
     "graph_components", "ts_autocorr", "event_markov_transitions",
     "sample_weighted",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # Round-8 queue: FIRST the eight keys added after this fold froze
-    # (graph_pagerank, ts_changepoint, event_cooccurrence, agg_gini,
-    # win_streaks, ts_seasonality, agg_entropy, text_rake_keywords —
-    # never officially swept), then the full 48-key r4 cohort (derive
-    # with tools/sweep_plan.py — never hand-count), fronting any key
-    # whose implementation changed this round.
+    # The round-8 queue continues in _NEXT_SWEEP_QUEUE below.
+]
+
+# Keys added AFTER this round's 50-slot fold froze (the fold is fully
+# committed to the r3-stale re-green + the first 4 new keys). These
+# are pytest- and local-oracle-green but have never been officially
+# swept; they MUST front the next round's fold, before the r4 cohort
+# (derive the remainder with tools/sweep_plan.py — never hand-count).
+# tests/test_smoke.py enforces that every never-swept key is either
+# inside the fold or named here, so nothing lingers unswept invisibly.
+_NEXT_SWEEP_QUEUE = [
+    "graph_pagerank", "ts_changepoint", "event_cooccurrence",
+    "agg_gini", "win_streaks", "ts_seasonality", "agg_entropy",
+    "text_rake_keywords",
 ]
 
 

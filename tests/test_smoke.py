@@ -50,7 +50,8 @@ def test_sweep_order_fronts_unswept_keys():
     import json
     import os
 
-    from lakehouse_automation_spark.queries import REGISTRY, _SWEEP_ORDER
+    from lakehouse_automation_spark.queries import (
+        REGISTRY, _NEXT_SWEEP_QUEUE, _SWEEP_ORDER)
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -60,9 +61,20 @@ def test_sweep_order_fronts_unswept_keys():
     for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
         covered |= set(json.load(open(f)))
     never_swept = set(keys) - covered
-    assert never_swept <= set(keys[:50]), (
-        "never-swept keys left outside the sweep fold: "
-        f"{sorted(never_swept - set(keys[:50]))}"
+    # a never-swept key must be in the current fold OR explicitly
+    # declared as the next round's queue front — never invisible
+    declared = set(keys[:50]) | set(_NEXT_SWEEP_QUEUE)
+    assert never_swept <= declared, (
+        "never-swept keys neither in the fold nor in "
+        "_NEXT_SWEEP_QUEUE: "
+        f"{sorted(never_swept - declared)}"
+    )
+    assert set(_NEXT_SWEEP_QUEUE) <= set(keys)
+    # the queue exists for never-swept keys only; once a key has an
+    # official entry it must leave the queue (rotation hygiene)
+    assert set(_NEXT_SWEEP_QUEUE) & covered == set(), (
+        "officially-swept keys still in _NEXT_SWEEP_QUEUE: "
+        f"{sorted(set(_NEXT_SWEEP_QUEUE) & covered)}"
     )
     # wedge isolation: any live-stream key INSIDE the fold must close
     # the block (a hung stream must not starve batch results). A fold

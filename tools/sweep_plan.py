@@ -56,6 +56,12 @@ def main() -> None:
         mark = "NEW" if k not in latest else f"r{latest[k]}"
         print(f"  {i + 1:2d}. [{mark:>3s}] {k}")
 
+    from lakehouse_automation_spark.queries import _NEXT_SWEEP_QUEUE
+    if _NEXT_SWEEP_QUEUE:
+        print("\ndeclared next-round queue front (_NEXT_SWEEP_QUEUE):")
+        for k in _NEXT_SWEEP_QUEUE:
+            print(f"  {k}")
+
 
 if __name__ == "__main__":
     main()
