@@ -511,14 +511,17 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, dow_idx, CAST(COUNT(*) AS BIGINT) AS n
       FROM ev GROUP BY 1, 2
     ), m AS (
-      SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
-             CAST(MAX(n) AS BIGINT) AS peak
-      FROM cnt GROUP BY 1
+      SELECT event_type, dow_idx, n,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS BIGINT)
+               AS total,
+             CAST(MAX(n) OVER (PARTITION BY event_type) AS BIGINT)
+               AS peak
+      FROM cnt
     )
-    SELECT c.event_type, c.dow_idx, c.n,
-           CAST(c.n AS DOUBLE) / m.total AS share,
-           CAST(7 * m.peak AS DOUBLE) / m.total AS peak_ratio
-    FROM cnt c JOIN m ON c.event_type = m.event_type
+    SELECT event_type, dow_idx, n,
+           CAST(n AS DOUBLE) / total AS share,
+           CAST(7 * peak AS DOUBLE) / total AS peak_ratio
+    FROM m
     """,
 )
 def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -533,19 +536,26 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
     division each on exact-int doubles — bit-identical, no rounding.
 
     100-TB shape: the count agg partial-combines to ≤ |types|×7 rows
-    per partition before its only data shuffle; the per-type moment
-    table is ≤ |types| rows and broadcasts back."""
+    per partition before its shuffle, and the per-type total/peak
+    ride WINDOWS over the ≤ |types|×7 rowset (one event_type
+    Exchange) rather than a separate aggregate branch — a groupBy +
+    self-join formulation re-scans events for the moment side (4
+    Exchanges measured vs this plan's 2)."""
+    from pyspark.sql import Window as W
+
     ev = (t(spark, sf_dir, "events")
           .select("event_type",
                   (F.expr(f"unix_micros(CAST(ts AS TIMESTAMP))"
                           f" div {_DAY_US}") % 7).alias("dow_idx")))
     cnt = ev.groupBy("event_type", "dow_idx").agg(
         F.count(F.lit(1)).alias("n"))
-    m = cnt.groupBy("event_type").agg(
-        F.sum("n").alias("total"), F.max("n").alias("peak"))
-    return (cnt.join(F.broadcast(m), "event_type")
-            .select("event_type", "dow_idx", "n",
-                    (F.col("n").cast("double") / F.col("total"))
-                    .alias("share"),
-                    ((F.lit(7) * F.col("peak")).cast("double")
-                     / F.col("total")).alias("peak_ratio")))
+    wt = W.partitionBy("event_type")
+    m = cnt.select(
+        "event_type", "dow_idx", "n",
+        F.sum("n").over(wt).alias("total"),
+        F.max("n").over(wt).alias("peak"))
+    return m.select(
+        "event_type", "dow_idx", "n",
+        (F.col("n").cast("double") / F.col("total")).alias("share"),
+        ((F.lit(7) * F.col("peak")).cast("double")
+         / F.col("total")).alias("peak_ratio"))
