@@ -635,9 +635,9 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention for ln()-based keys.
 
     100-TB shape: the count agg partial-combines to |days|×|types|
-    rows before the only data shuffle; the total rides a same-key
-    window (no second Exchange — day partitioning is shared), and the
-    final agg collapses to one row per day."""
+    rows before its shuffle; the day-total window re-keys once to day
+    partitioning, which the final per-day agg then REUSES (two
+    Exchanges total over the bounded count rowset — measured)."""
     from pyspark.sql import Window as W
 
     ev = (t(spark, sf_dir, "events")
