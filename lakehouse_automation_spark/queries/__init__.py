@@ -110,7 +110,7 @@ _SWEEP_ORDER = [
 _NEXT_SWEEP_QUEUE = [
     "graph_pagerank", "ts_changepoint", "event_cooccurrence",
     "agg_gini", "win_streaks", "ts_seasonality", "agg_entropy",
-    "text_rake_keywords",
+    "text_rake_keywords", "graph_triangles", "rfm_segments",
 ]
 
 

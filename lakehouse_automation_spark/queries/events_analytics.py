@@ -972,3 +972,88 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * F.col("n_users").cast("double"))
                      / (F.col("n_a").cast("double")
                         * F.col("n_b").cast("double"))).alias("lift")))
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS last_day,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    ), mx AS (
+      SELECT MAX(last_day) AS max_day FROM per_cust
+    ), scored AS (
+      SELECT CASE WHEN mx.max_day - last_day <= 90 THEN 5
+                  WHEN mx.max_day - last_day <= 180 THEN 4
+                  WHEN mx.max_day - last_day <= 365 THEN 3
+                  WHEN mx.max_day - last_day <= 730 THEN 2
+                  ELSE 1 END AS r_score,
+             CASE WHEN freq >= 20 THEN 5 WHEN freq >= 10 THEN 4
+                  WHEN freq >= 5 THEN 3 WHEN freq >= 2 THEN 2
+                  ELSE 1 END AS f_score,
+             CASE WHEN cents >= 30000000 THEN 5
+                  WHEN cents >= 15000000 THEN 4
+                  WHEN cents >= 7500000 THEN 3
+                  WHEN cents >= 3000000 THEN 2
+                  ELSE 1 END AS m_score,
+             cents
+      FROM per_cust CROSS JOIN mx
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100
+             AS total_spend
+    FROM scored GROUP BY 1, 2, 3
+    """,
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation over
+    orders — the lifecycle-marketing and churn-risk grid. Scores use
+    FIXED integer thresholds (days-since ladder, order-count ladder,
+    spend-cents ladder) rather than ntile quantiles: a global ntile
+    needs a single-partition sort of every customer — the classic
+    100-TB anti-plan — while fixed ladders are one CASE expression per
+    row, deterministic, and partial-combine all the way. Recency
+    anchors to the corpus max day (a 1-row broadcast aggregate, not a
+    sort); spend goes through the DECIMAL-cents convention so sums are
+    exact; output is the bounded ≤125-cell segment grid.
+
+    100-TB shape: per-customer agg partial-combines before one
+    o_custkey shuffle; the 1-row max broadcasts; the segment agg
+    collapses to ≤125 rows per partition."""
+    from ..operators.cache import tracked_persist
+
+    per_cust = (t(spark, sf_dir, "orders")
+                .groupBy("o_custkey")
+                .agg(F.max(F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                                  " div 86400000000")).alias("last_day"),
+                     F.count(F.lit(1)).alias("freq"),
+                     (F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                      * 100).cast("long").alias("cents")))
+    per_cust = tracked_persist(per_cust)  # two consumers: mx + scored
+    mx = per_cust.agg(F.max("last_day").alias("max_day"))
+    rec = F.col("max_day") - F.col("last_day")
+    scored = (per_cust.crossJoin(F.broadcast(mx))
+              .select(
+                  F.when(rec <= 90, 5).when(rec <= 180, 4)
+                  .when(rec <= 365, 3).when(rec <= 730, 2)
+                  .otherwise(1).alias("r_score"),
+                  F.when(F.col("freq") >= 20, 5)
+                  .when(F.col("freq") >= 10, 4)
+                  .when(F.col("freq") >= 5, 3)
+                  .when(F.col("freq") >= 2, 2)
+                  .otherwise(1).alias("f_score"),
+                  F.when(F.col("cents") >= 30_000_000, 5)
+                  .when(F.col("cents") >= 15_000_000, 4)
+                  .when(F.col("cents") >= 7_500_000, 3)
+                  .when(F.col("cents") >= 3_000_000, 2)
+                  .otherwise(1).alias("m_score"),
+                  "cents"))
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 (F.sum("cents").cast("double") / F.lit(100))
+                 .alias("total_spend")))

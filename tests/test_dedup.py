@@ -267,3 +267,48 @@ def test_graph_pagerank_replays_in_python(spark):
     for n, units in pr.items():
         assert out[n].rank_units == units, n
         assert out[n].rank == units / float(_PR_SCALE)
+
+
+def test_graph_triangles_replay_in_python(spark):
+    """Per-node triangle counts replay exactly from the ordered edge
+    set; total = sum/3 and matches the constant column."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    out = {r.node: r for r in
+           REGISTRY["graph_triangles"].fn(spark, sf).collect()}
+    assert out
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .filter(F.col("l_orderkey") % 10 == 0)
+          .select("l_orderkey", "l_suppkey"))
+    sup = (spark.read.parquet(f"{sf}/supplier.parquet")
+           .select("s_suppkey", "s_nationkey"))
+    rows = (li.join(sup, li.l_suppkey == sup.s_suppkey)
+            .select("l_orderkey", "l_suppkey", "s_nationkey").collect())
+    by_order = {}
+    for r in rows:
+        by_order.setdefault((r.l_orderkey, r.s_nationkey), set()) \
+            .add(r.l_suppkey)
+    nbrs = {}
+    for members in by_order.values():
+        members = sorted(members)
+        for i, u in enumerate(members):
+            for v in members[i + 1:]:
+                nbrs.setdefault(u, set()).add(v)
+                nbrs.setdefault(v, set()).add(u)
+    want = {n: 0 for n in nbrs}
+    total = 0
+    for a in nbrs:
+        for b in nbrs[a]:
+            if b <= a:
+                continue
+            for c in nbrs[a] & nbrs[b]:
+                if c > b:
+                    total += 1
+                    want[a] += 1
+                    want[b] += 1
+                    want[c] += 1
+    assert set(out) == set(want)
+    for n, cnt in want.items():
+        assert out[n].n_triangles == cnt, n
+        assert out[n].total_triangles == total

@@ -424,3 +424,46 @@ def test_streaks_replay_in_python(spark):
     got = [(r.user_id, (r.longest_streak, r.streak_start,
                         r.n_active_days)) for r in rows]
     assert got == expect
+
+
+def test_rfm_segments_replay_in_python(spark):
+    """Fixed-ladder RFM: segment counts and exact cent spends replay
+    from raw orders; customer total is conserved across cells."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    rows = REGISTRY["rfm_segments"].fn(spark, SF_SMOKE).collect()
+    assert rows
+    orders = (spark.read.parquet(f"{SF_SMOKE}/orders.parquet")
+              .select("o_custkey", "o_totalprice",
+                      F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                             " div 86400000000").alias("day"))
+              .collect())
+    per = {}
+    for r in orders:
+        d = per.setdefault(r.o_custkey, [0, 0, 0])
+        d[0] = max(d[0], r.day)
+        d[1] += 1
+        # 2-decimal input: cents recover exactly from the double
+        d[2] += int(Decimal(str(r.o_totalprice)) * 100)
+    mx = max(d[0] for d in per.values())
+    want = {}
+    for last, freq, cents in per.values():
+        rec = mx - last
+        r_s = 5 if rec <= 90 else 4 if rec <= 180 else \
+            3 if rec <= 365 else 2 if rec <= 730 else 1
+        f_s = 5 if freq >= 20 else 4 if freq >= 10 else \
+            3 if freq >= 5 else 2 if freq >= 2 else 1
+        m_s = 5 if cents >= 30_000_000 else 4 if cents >= 15_000_000 \
+            else 3 if cents >= 7_500_000 else 2 if cents >= 3_000_000 \
+            else 1
+        cell = want.setdefault((r_s, f_s, m_s), [0, 0])
+        cell[0] += 1
+        cell[1] += cents
+    got = {(r.r_score, r.f_score, r.m_score):
+           (r.n_customers, r.total_spend) for r in rows}
+    assert set(got) == set(want)
+    for cell, (n, cents) in want.items():
+        assert got[cell] == (n, cents / 100), cell
+    assert sum(n for n, _ in want.values()) == len(per)
