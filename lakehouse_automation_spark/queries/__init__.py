@@ -111,6 +111,10 @@ _NEXT_SWEEP_QUEUE = [
     "graph_pagerank", "ts_changepoint", "event_cooccurrence",
     "agg_gini", "win_streaks", "ts_seasonality", "agg_entropy",
     "text_rake_keywords", "graph_triangles", "rfm_segments",
+    "win_intervals_overlap", "graph_jaccard_neighbors",
+    "ts_linreg_trend", "text_collocations",
+    "agg_mad_outliers", "agg_skew_kurt", "agg_weighted_median",
+    "ts_crosscorr",
 ]
 
 

@@ -652,3 +652,285 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("total").alias("n_events"),
                  F.count(F.lit(1)).alias("n_types"),
                  F.round(F.sum(-frac * F.log(frac)), 6).alias("entropy")))
+
+
+@register(
+    "agg_mad_outliers",
+    oracle="""
+    WITH rev AS (
+      SELECT l.l_suppkey, s.s_nationkey,
+             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(20,4))) * 10000 AS BIGINT) AS r4
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT s_nationkey, r4,
+             CAST(row_number() OVER (
+               PARTITION BY s_nationkey ORDER BY r4) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER (PARTITION BY s_nationkey)
+                  AS BIGINT) AS n
+      FROM rev
+    ), med AS (
+      SELECT s_nationkey, MAX(n) AS n,
+             CAST(SUM(CASE WHEN i = (n + 1) // 2 THEN r4 ELSE 0 END)
+                + SUM(CASE WHEN i = (n + 2) // 2 THEN r4 ELSE 0 END)
+                AS BIGINT) AS med2
+      FROM rk GROUP BY 1
+    ), dev AS (
+      SELECT r.s_nationkey, m.n, m.med2,
+             ABS(2 * r.r4 - m.med2) AS dev2,
+             CAST(row_number() OVER (
+               PARTITION BY r.s_nationkey
+               ORDER BY ABS(2 * r.r4 - m.med2)) AS BIGINT) AS i
+      FROM rev r JOIN med m ON r.s_nationkey = m.s_nationkey
+    ), mad AS (
+      SELECT s_nationkey, MAX(n) AS n, MAX(med2) AS med2,
+             CAST(SUM(CASE WHEN i = (n + 1) // 2 THEN dev2 ELSE 0 END)
+                + SUM(CASE WHEN i = (n + 2) // 2 THEN dev2 ELSE 0 END)
+                AS BIGINT) AS mad4
+      FROM dev GROUP BY s_nationkey
+    ), outl AS (
+      SELECT d.s_nationkey,
+             CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * m.mad4
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad m ON d.s_nationkey = m.s_nationkey
+      GROUP BY 1
+    )
+    SELECT nn.n_name, mad.n AS n_suppliers,
+           CAST(mad.med2 AS DOUBLE) / 20000 AS median_revenue,
+           CAST(mad.mad4 AS DOUBLE) / 40000 AS mad_revenue,
+           outl.n_outliers
+    FROM mad
+    JOIN outl ON mad.s_nationkey = outl.s_nationkey
+    JOIN nation nn ON mad.s_nationkey = nn.n_nationkey
+    """,
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per nation: median / MAD (median
+    absolute deviation) of supplier revenue, and the count of
+    suppliers beyond the classic 3-MAD fence — the robust-statistics
+    alternative to 3-sigma that a single whale supplier cannot drag.
+
+    EXACT by integer doubling: revenue is BIGINT 1e-4 units (the
+    agg_gini convention); the median of n values is (x[(n+1)//2] +
+    x[(n+2)//2]) kept DOUBLED (med2, so odd/even cases need no
+    fractions); deviations are |2x - med2| (still integers); the MAD
+    is kept QUADRUPLED (mad4); and the fence |x - med| > 3*MAD
+    becomes the pure-integer predicate 2*dev2 > 3*mad4. Every
+    comparison and count is integer arithmetic — the two division-
+    by-20000/40000 display columns are the only doubles, derived at
+    the very end. Rank ties are harmless: equal values give the same
+    rank-k element regardless of tie order.
+
+    100-TB shape: revenue partial-combines per supplier before one
+    shuffle; both rank windows partition BY NATION (parallel across
+    groups); the per-nation median table is group-count-sized and
+    broadcasts back; the nation dim broadcasts."""
+    from pyspark.sql import Window as W
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(20,4)").alias("rev"))
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
+    rev = (li.join(F.broadcast(sup), "l_suppkey")
+           .groupBy("l_suppkey", "s_nationkey")
+           .agg((F.sum("rev") * 10000).cast("long").alias("r4")))
+    from ..operators.cache import tracked_persist
+    rev = tracked_persist(rev)   # two ranked passes read it
+
+    def rank2(df, val):
+        wn = W.partitionBy("s_nationkey")
+        wr = wn.orderBy(val)
+        return (df.withColumn("i", F.row_number().over(wr).cast("long"))
+                .withColumn("n", F.count(F.lit(1)).over(wn).cast("long")))
+
+    rk = rank2(rev, F.col("r4"))
+    med = rk.groupBy("s_nationkey").agg(
+        F.max("n").alias("n"),
+        (F.sum(F.when(F.col("i") == F.expr("(n + 1) div 2"), F.col("r4"))
+               .otherwise(0))
+         + F.sum(F.when(F.col("i") == F.expr("(n + 2) div 2"),
+                        F.col("r4")).otherwise(0)))
+        .cast("long").alias("med2"))
+    dev = (rev.join(F.broadcast(med.select("s_nationkey", "med2")),
+                    "s_nationkey")
+           .withColumn("dev2", F.abs(2 * F.col("r4") - F.col("med2"))))
+    dev = tracked_persist(dev)   # ranked pass + outlier count read it
+    dv = rank2(dev, F.col("dev2"))
+    mad = dv.groupBy("s_nationkey").agg(
+        F.max("n").alias("n"), F.max("med2").alias("med2"),
+        (F.sum(F.when(F.col("i") == F.expr("(n + 1) div 2"),
+                      F.col("dev2")).otherwise(0))
+         + F.sum(F.when(F.col("i") == F.expr("(n + 2) div 2"),
+                        F.col("dev2")).otherwise(0)))
+        .cast("long").alias("mad4"))
+    mad = tracked_persist(mad)   # outlier fence + final output read it
+    out = (dev.join(F.broadcast(mad.select("s_nationkey", "mad4")),
+                    "s_nationkey")
+           .groupBy("s_nationkey")
+           .agg(F.sum(F.when(2 * F.col("dev2") > 3 * F.col("mad4"), 1)
+                      .otherwise(0)).cast("long").alias("n_outliers")))
+    nat = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_name")
+    return (mad.join(out, "s_nationkey")
+            .join(F.broadcast(nat), "s_nationkey")
+            .select("n_name", F.col("n").alias("n_suppliers"),
+                    (F.col("med2").cast("double") / F.lit(20000))
+                    .alias("median_revenue"),
+                    (F.col("mad4").cast("double") / F.lit(40000))
+                    .alias("mad_revenue"),
+                    "n_outliers"))
+
+
+@register(
+    "agg_skew_kurt",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s3,
+             CAST(SUM(CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)
+                      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
+      FROM lineitem GROUP BY 1
+    ), m AS (
+      SELECT l_returnflag, n, s1, s2, s3, s4,
+             CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+             CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+             CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+      FROM s
+    ), c AS (
+      SELECT l_returnflag, n, mean,
+             r2 - mean * mean AS m2,
+             r3 - 3 * mean * r2 + 2 * mean * mean * mean AS m3,
+             r4 - 4 * mean * r3 + 6 * mean * mean * r2
+                - 3 * mean * mean * mean * mean AS m4
+      FROM m
+    )
+    SELECT l_returnflag, n AS n_rows, mean AS mean_qty,
+           m2 AS var_pop,
+           m3 / (m2 * sqrt(m2)) AS skewness_pop,
+           m4 / (m2 * m2) - 3 AS kurtosis_excess
+    FROM c
+    """,
+)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis of quantity per return
+    flag — the 3rd/4th-moment distribution-shape aggregates behind
+    drift monitors and data-quality dashboards. NOT Spark's builtin
+    `skewness`/`kurtosis` (whose sample-vs-population corrections
+    differ between engines): both statistics are derived from EXACT
+    BIGINT power sums S1..S4 of the integer quantities (q <= 50 so
+    q^4 <= 6.25e6; the sums stay inside int64 far past 1e11 rows),
+    then ONE shared sequence of IEEE expressions — raw moments r_k =
+    S_k/n, central moments by the binomial identities, and
+    m2*sqrt(m2) instead of pow(m2, 1.5) because sqrt is correctly
+    rounded in every IEEE implementation while pow/exp/ln are not.
+
+    100-TB shape: a single partial+final hash aggregate over 3 flag
+    groups — the power sums combine map-side, so the shuffle carries
+    five longs per flag per task and nothing else."""
+    q = F.col("l_quantity").cast("long")
+    s = (t(spark, sf_dir, "lineitem")
+         .select("l_returnflag", q.alias("q"))
+         .groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum("q").alias("s1"),
+              F.sum(F.col("q") * F.col("q")).alias("s2"),
+              F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+              F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q"))
+              .alias("s4")))
+    nd = F.col("n").cast("double")
+    mean = F.col("s1").cast("double") / nd
+    r2 = F.col("s2").cast("double") / nd
+    r3 = F.col("s3").cast("double") / nd
+    r4 = F.col("s4").cast("double") / nd
+    m = s.select("l_returnflag", F.col("n").alias("n_rows"),
+                 mean.alias("mean"), r2.alias("r2"), r3.alias("r3"),
+                 r4.alias("r4"))
+    m2 = F.col("r2") - F.col("mean") * F.col("mean")
+    m3 = (F.col("r3") - 3 * F.col("mean") * F.col("r2")
+          + 2 * F.col("mean") * F.col("mean") * F.col("mean"))
+    m4 = (F.col("r4") - 4 * F.col("mean") * F.col("r3")
+          + 6 * F.col("mean") * F.col("mean") * F.col("r2")
+          - 3 * F.col("mean") * F.col("mean") * F.col("mean")
+          * F.col("mean"))
+    c = m.select("l_returnflag", "n_rows",
+                 F.col("mean").alias("mean_qty"),
+                 m2.alias("m2"), m3.alias("m3"), m4.alias("m4"))
+    return c.select(
+        "l_returnflag", "n_rows", "mean_qty",
+        F.col("m2").alias("var_pop"),
+        (F.col("m3") / (F.col("m2") * F.sqrt(F.col("m2"))))
+        .alias("skewness_pop"),
+        (F.col("m4") / (F.col("m2") * F.col("m2")) - 3)
+        .alias("kurtosis_excess"))
+
+
+@register(
+    "agg_weighted_median",
+    oracle="""
+    WITH pv AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, cents, w,
+             CAST(SUM(w) OVER (
+               PARTITION BY l_returnflag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag)
+               AS BIGINT) AS tw
+      FROM pv
+    )
+    SELECT l_returnflag, CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END) AS DOUBLE)
+             / 100 AS weighted_median_price
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the lower
+    weighted median (smallest price whose cumulative weight reaches
+    half the total), the robust 'typical unit price' that a plain
+    median of line items (ignoring volumes) misstates. Prices
+    collapse to exact cents, weights to BIGINT quantity sums, and
+    the defining inequality 2*cum >= total is pure integer — no
+    interpolation, no doubles until the display column.
+
+    100-TB shape: the (flag, cents) pre-aggregate partial-combines
+    raw lineitems down to <= |distinct prices| rows per flag BEFORE
+    the window — the cumulative sum then runs over the compacted
+    value histogram (price-cardinality-bounded, not row-bounded),
+    partitioned by flag so groups proceed in parallel."""
+    from pyspark.sql import Window as W
+
+    pv = (t(spark, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                  .cast("long").alias("cents"),
+                  F.col("l_quantity").cast("long").alias("q"))
+          .groupBy("l_returnflag", "cents")
+          .agg(F.sum("q").alias("w")))
+    wc = (W.partitionBy("l_returnflag").orderBy("cents")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = (pv.withColumn("cw", F.sum("w").over(wc))
+           .withColumn("tw",
+                       F.sum("w").over(W.partitionBy("l_returnflag"))))
+    return (cum.groupBy("l_returnflag")
+            .agg(F.max("tw").alias("total_weight"),
+                 (F.min(F.when(2 * F.col("cw") >= F.col("tw"),
+                               F.col("cents"))).cast("double")
+                  / F.lit(100)).alias("weighted_median_price")))

@@ -256,3 +256,77 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per.crossJoin(F.broadcast(total))
             .select("node", "n_triangles",
                     F.col("tt").alias("total_triangles")))
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle="WITH " + _EDGE_CTES + """,
+    deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u
+    ),
+    wedge AS (
+      SELECT e1.u AS a, e2.u AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM edges e1 JOIN edges e2 ON e1.v = e2.v AND e1.u < e2.u
+      GROUP BY 1, 2
+    )
+    SELECT p.u0 AS node_a, p.v0 AS node_b,
+           CAST(COALESCE(w.n_common, 0) AS BIGINT) AS n_common,
+           da.deg AS deg_a, db.deg AS deg_b,
+           CAST(COALESCE(w.n_common, 0) AS DOUBLE)
+             / CAST(da.deg + db.deg - COALESCE(w.n_common, 0)
+                    AS DOUBLE) AS jaccard
+    FROM pairs p
+    JOIN deg da ON da.u = p.u0
+    JOIN deg db ON db.u = p.v0
+    LEFT JOIN wedge w ON w.a = p.u0 AND w.b = p.v0
+    """,
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood Jaccard similarity for every edge of the supplier
+    co-order graph — the structural-equivalence / link-strength score
+    (|N(a) n N(b)| / |N(a) u N(b)|) behind entity-resolution edge
+    weighting and link prediction. Common neighbors come from the
+    wedge join (edges sharing an endpoint, generated once per ordered
+    pair); the union size is the inclusion-exclusion identity
+    deg(a) + deg(b) - common, so no second pass over adjacency sets
+    is ever made. Counts are exact integers; jaccard is ONE identical
+    IEEE divide in both engines (denominator >= 2 always: each
+    endpoint's adjacency contains the other).
+
+    100-TB shape: the wedge join shuffles on the shared endpoint with
+    fan-out bounded by the blocking-key degree (same bound as
+    `graph_triangles`); degree attach is two node-keyed equi-joins;
+    nothing is broadcast corpus-side and nothing driver-side."""
+    from ..operators.cache import tracked_persist
+
+    pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
+    edges = (pairs.select(F.col("id_a").alias("u"),
+                          F.col("id_b").alias("v"))
+             .unionByName(pairs.select(F.col("id_b").alias("u"),
+                                       F.col("id_a").alias("v"))))
+    edges = tracked_persist(edges)
+    deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    e1 = edges.select(F.col("v").alias("x"), F.col("u").alias("a"))
+    e2 = edges.select(F.col("v").alias("x"), F.col("u").alias("b"))
+    wedge = (e1.join(e2, "x")
+             .filter(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).alias("n_common")))
+    da = deg.select(F.col("u").alias("node_a"),
+                    F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("u").alias("node_b"),
+                    F.col("deg").alias("deg_b"))
+    base = (pairs.select(F.col("id_a").alias("node_a"),
+                         F.col("id_b").alias("node_b"))
+            .join(wedge,
+                  (F.col("node_a") == wedge.a)
+                  & (F.col("node_b") == wedge.b), "left")
+            .select("node_a", "node_b",
+                    F.coalesce("n_common", F.lit(0).cast("long"))
+                    .alias("n_common")))
+    return (base.join(da, "node_a").join(db, "node_b")
+            .select("node_a", "node_b", "n_common", "deg_a", "deg_b",
+                    (F.col("n_common").cast("double")
+                     / (F.col("deg_a") + F.col("deg_b")
+                        - F.col("n_common")).cast("double"))
+                    .alias("jaccard")))

@@ -1188,3 +1188,82 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("degree").cast("double") / F.col("freq")).alias("score"))
         .orderBy(F.desc("score"), F.asc("word"))
         .limit(50))
+
+
+# ------------------------------------------------ collocations (lift/PMI)
+
+@register(
+    "text_collocations",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), uni AS (
+      SELECT unnest(t) AS tok FROM toks
+    ), ucnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM uni GROUP BY tok
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM uni
+    ), big AS (
+      SELECT t[i] AS x, t[i+1] AS y, CAST(COUNT(*) AS BIGINT) AS c_xy
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+      GROUP BY 1, 2
+    )
+    SELECT b.x, b.y, b.c_xy, cx.c AS c_x, cy.c AS c_y,
+           (CAST(b.c_xy AS DOUBLE) * CAST(tot.n AS DOUBLE))
+             / (CAST(cx.c AS DOUBLE) * CAST(cy.c AS DOUBLE)) AS lift
+    FROM big b
+    JOIN ucnt cx ON cx.tok = b.x
+    JOIN ucnt cy ON cy.tok = b.y
+    CROSS JOIN tot
+    WHERE b.c_xy >= 5
+    ORDER BY lift DESC, x, y
+    LIMIT 100
+    """,
+)
+def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top corpus collocations by bigram lift — the PMI-family
+    association score P(xy)/(P(x)P(y)) that surfaces multi-word
+    expressions ("new york", "machine learning") for tokenizer vocab
+    building and phrase mining. Ranking by the RAW lift ratio rather
+    than its log keeps the score monotone-identical to PMI while
+    avoiding the one cross-engine hazard: ln() is not guaranteed
+    bit-identical between libm implementations, but the counts are
+    exact integers and the ratio is ONE shared IEEE expression
+    (two multiplies, one divide, same order in both engines). The
+    c_xy >= 5 support floor is the standard collocation noise gate —
+    and the scale lever: it prunes the singleton-pair tail (the vast
+    majority of distinct bigrams) before any join.
+
+    100-TB shape: unigram and bigram counts partial-combine before
+    their token-keyed shuffles; the support floor cuts the bigram
+    side before the two vocabulary-sized attach joins; the 1-row
+    total broadcasts; the final ORDER BY + LIMIT plans as
+    TakeOrderedAndProject (per-partition top-k, no global sort)."""
+    from ..operators.cache import tracked_persist
+
+    toked = (t(spark, sf_dir, "documents")
+             .select("doc_id", tokens_col(F.col("text")).alias("_toks")))
+    toked = tracked_persist(toked)
+    uni = toked.select(F.explode("_toks").alias("tok"))
+    uni = tracked_persist(uni)
+    ucnt = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = uni.agg(F.count(F.lit(1)).alias("n"))
+    big = (toked.select(F.explode(F.expr(
+        "transform(slice(_toks, 1, greatest(size(_toks) - 1, 0)),"
+        " (tk, j) -> struct(tk AS x, element_at(_toks, j + 2) AS y))"))
+        .alias("g"))
+        .select("g.x", "g.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= 5))
+    cx = ucnt.select(F.col("tok").alias("x"), F.col("c").alias("c_x"))
+    cy = ucnt.select(F.col("tok").alias("y"), F.col("c").alias("c_y"))
+    return (big.join(cx, "x").join(cy, "y")
+            .crossJoin(F.broadcast(tot))
+            .select("x", "y", "c_xy", "c_x", "c_y",
+                    ((F.col("c_xy").cast("double")
+                      * F.col("n").cast("double"))
+                     / (F.col("c_x").cast("double")
+                        * F.col("c_y").cast("double"))).alias("lift"))
+            .orderBy(F.desc("lift"), F.asc("x"), F.asc("y"))
+            .limit(100))

@@ -559,3 +559,184 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n").cast("double") / F.col("total")).alias("share"),
         ((F.lit(7) * F.col("peak")).cast("double")
          / F.col("total")).alias("peak_ratio"))
+
+
+@register(
+    "ts_linreg_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT s.s_nationkey AS nation,
+             epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+               AS day,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS HUGEINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), mn AS (
+      SELECT MIN(day) AS day0 FROM daily
+    ), xy AS (
+      SELECT nation, day - mn.day0 AS x, cents AS y
+      FROM daily CROSS JOIN mn
+    ), sums AS (
+      SELECT nation,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             SUM(y) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx
+      FROM xy GROUP BY nation
+    )
+    SELECT nation,
+           CAST(n AS BIGINT) AS n_days,
+           CAST(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE) AS DOUBLE)
+             AS slope_cents_per_day,
+           CAST((CAST(sy AS DOUBLE)
+                 - (CAST(n * sxy - sx * sy AS DOUBLE)
+                    / CAST(n * sxx - sx * sx AS DOUBLE))
+                   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+                AS DOUBLE) AS intercept_cents,
+           CAST(CAST(sy AS DOUBLE) / 100 AS DOUBLE) AS total_revenue
+    FROM sums
+    """,
+)
+def ts_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS trend of daily shipped revenue — the
+    feature-store / monitoring primitive "is this series growing and
+    how fast" as a closed-form aggregate, not an iterative fit. The
+    slope comes from the textbook normal equations over EXACT integer
+    power sums: x = day offset from the corpus min day (a 1-row
+    broadcast, keeps x small), y = daily revenue in DECIMAL-cents,
+    and n/Sx/Sy/Sxy/Sxx accumulate as 128-bit integers (Spark
+    DECIMAL(38,0), DuckDB HUGEINT) so no sum can overflow below
+    1e38 — order-independent and bit-reproducible on any cluster
+    layout, where a naive double accumulation would drift by
+    partitioning. Only the FINAL slope/intercept divisions are IEEE,
+    written as one identical expression in both engines.
+
+    100-TB shape: the (nation, day) daily rollup partial-combines
+    before its shuffle; the power-sum agg collapses 25 nations x
+    ~2.5k days to 25 rows; supplier attaches by broadcast (dim-sized);
+    nothing iterative, nothing driver-side but the 1-row min."""
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_suppkey",
+                  F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                         " div 86400000000").alias("day"),
+                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  .alias("price")))
+    sup = (t(spark, sf_dir, "supplier")
+           .select(F.col("s_suppkey").alias("l_suppkey"),
+                   F.col("s_nationkey").alias("nation")))
+    daily = (li.join(F.broadcast(sup), "l_suppkey")
+             .groupBy("nation", "day")
+             .agg((F.sum("price") * 100).cast("decimal(38,0)")
+                  .alias("cents")))
+    mn = daily.agg(F.min("day").alias("day0"))
+    xy = (daily.crossJoin(F.broadcast(mn))
+          .select("nation",
+                  (F.col("day") - F.col("day0")).alias("x"),
+                  F.col("cents").alias("y")))
+    d38 = "decimal(38,0)"
+    sums = xy.groupBy("nation").agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"))
+    num = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx")
+           - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return sums.select(
+        "nation",
+        F.col("n").cast("long").alias("n_days"),
+        slope.alias("slope_cents_per_day"),
+        ((F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+         / F.col("n").cast("double")).alias("intercept_cents"),
+        (F.col("sy").cast("double") / F.lit(100)).alias("total_revenue"))
+
+
+@register(
+    "ts_crosscorr",
+    oracle="""
+    WITH daily AS (
+      SELECT s.s_nationkey AS nation,
+             epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
+               AS day,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS HUGEINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.nation AS nation_a, b.nation AS nation_b,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(a.cents) AS sx, SUM(b.cents) AS sy,
+             SUM(a.cents * b.cents) AS sxy,
+             SUM(a.cents * a.cents) AS sxx,
+             SUM(b.cents * b.cents) AS syy
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.nation < b.nation
+      GROUP BY 1, 2
+    )
+    SELECT nation_a, nation_b, CAST(n AS BIGINT) AS n_days,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr
+    FROM pairs
+    """,
+)
+def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the 25 nations' daily shipped
+    revenue — the co-movement matrix ("which markets move together")
+    behind portfolio-style monitoring and redundancy analysis of data
+    sources. NOT Spark's `corr` (float accumulation order differs per
+    partitioning): the five cross sums accumulate as 128-bit integers
+    over exact cents (Spark DECIMAL(38,0), DuckDB HUGEINT), and the
+    Pearson value is ONE shared IEEE expression — the numerator and
+    the two variance terms are exact integers cast to double, with
+    sqrt (correctly rounded everywhere) rather than pow.
+
+    100-TB shape: the daily rollup partial-combines lineitems down
+    to ~25 x 2.5k rows before the self-join; the pair join shuffles
+    on day with fan-out bounded by |nations| per side, and the pair
+    agg collapses to a 300-row triangle. Raw data is touched exactly
+    once."""
+    from ..operators.cache import tracked_persist
+
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_suppkey",
+                  F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                         " div 86400000000").alias("day"),
+                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  .alias("price")))
+    sup = (t(spark, sf_dir, "supplier")
+           .select(F.col("s_suppkey").alias("l_suppkey"),
+                   F.col("s_nationkey").alias("nation")))
+    daily = (li.join(F.broadcast(sup), "l_suppkey")
+             .groupBy("nation", "day")
+             .agg((F.sum("price") * 100).cast("decimal(38,0)")
+                  .alias("cents")))
+    daily = tracked_persist(daily)   # both sides of the self-join
+    a = daily.select(F.col("nation").alias("nation_a"), "day",
+                     F.col("cents").alias("xa"))
+    b = daily.select(F.col("nation").alias("nation_b"), "day",
+                     F.col("cents").alias("xb"))
+    pairs = (a.join(b, "day")
+             .filter(F.col("nation_a") < F.col("nation_b"))
+             .groupBy("nation_a", "nation_b")
+             .agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+                  F.sum("xa").alias("sx"), F.sum("xb").alias("sy"),
+                  F.sum(F.col("xa") * F.col("xb")).alias("sxy"),
+                  F.sum(F.col("xa") * F.col("xa")).alias("sxx"),
+                  F.sum(F.col("xb") * F.col("xb")).alias("syy")))
+    num = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx")
+          - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy")
+          - F.col("sy") * F.col("sy")).cast("double")
+    return pairs.select(
+        "nation_a", "nation_b",
+        F.col("n").cast("long").alias("n_days"),
+        (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr"))

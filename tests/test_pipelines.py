@@ -364,3 +364,332 @@ def test_rake_replays_in_python(spark):
     assert got == scored
     for r in rows:
         assert r.degree >= r.freq and r.score >= 1.0
+
+
+def test_intervals_overlap_replays_in_python(spark):
+    """Sweep-line peak concurrency: exact replay of per-priority open
+    counts, first-peak-day tie-break, and order totals."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["win_intervals_overlap"].fn(spark, sf).collect()
+    assert rows
+    orders = (spark.read.parquet(f"{sf}/orders.parquet")
+              .select("o_orderkey", "o_orderpriority",
+                      F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"
+                             " div 86400000000").alias("d0")).collect())
+    ship = (spark.read.parquet(f"{sf}/lineitem.parquet")
+            .select("l_orderkey",
+                    F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                           " div 86400000000").alias("sd")).collect())
+    d1 = {}
+    for r in ship:
+        d1[r.l_orderkey] = max(d1.get(r.l_orderkey, r.sd), r.sd)
+    want = {}
+    for o in orders:
+        if o.o_orderkey not in d1:      # inner join drops lineless
+            continue
+        deltas, n = want.setdefault(o.o_orderpriority, ({}, [0]))
+        deltas[o.d0] = deltas.get(o.d0, 0) + 1
+        e = d1[o.o_orderkey] + 1
+        deltas[e] = deltas.get(e, 0) - 1
+        n[0] += 1
+    expect = {}
+    for pri, (deltas, n) in want.items():
+        open_now, best, best_day = 0, None, None
+        for day in sorted(deltas):
+            open_now += deltas[day]
+            if best is None or open_now > best:
+                best, best_day = open_now, day
+        expect[pri] = (best, best_day, n[0])
+    got = {r.priority: (r.peak_open, r.peak_day, r.n_orders)
+           for r in rows}
+    assert got == expect
+
+
+def test_jaccard_neighbors_replays_in_python(spark):
+    """Edge-wise neighborhood Jaccard: adjacency sets rebuilt from the
+    thinned co-supplier graph; counts exact, ratio the one shared
+    IEEE divide; bounds (0, 1]."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"   # the thinned graph is empty at sf0.001
+    rows = REGISTRY["graph_jaccard_neighbors"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .filter(F.col("l_orderkey") % 10 == 0)
+          .select("l_orderkey", "l_suppkey").collect())
+    nat = {r.s_suppkey: r.s_nationkey for r in
+           spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    per_order = {}
+    for r in li:
+        per_order.setdefault((r.l_orderkey, nat[r.l_suppkey]),
+                             set()).add(r.l_suppkey)
+    adj = {}
+    edges = set()
+    for sups in per_order.values():
+        ss = sorted(sups)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                edges.add((a, b))
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    got = {(r.node_a, r.node_b):
+           (r.n_common, r.deg_a, r.deg_b, r.jaccard) for r in rows}
+    assert set(got) == edges
+    for (a, b), (nc, da, db, j) in got.items():
+        common = len(adj[a] & adj[b])
+        assert (nc, da, db) == (common, len(adj[a]), len(adj[b]))
+        assert j == float(common) / float(da + db - common)
+        assert 0.0 <= j <= 1.0
+        assert da + db - common >= 2
+
+
+def test_linreg_trend_replays_in_python(spark):
+    """Per-nation OLS: integer power sums replay exactly (python ints
+    are unbounded, mirroring the 128-bit engine sums) and the final
+    IEEE divisions are bit-equal."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["ts_linreg_trend"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_suppkey", "l_extendedprice",
+                  F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                         " div 86400000000").alias("day")).collect())
+    nat = {r.s_suppkey: r.s_nationkey for r in
+           spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    daily = {}
+    for r in li:
+        k = (nat[r.l_suppkey], r.day)
+        daily[k] = daily.get(k, 0) + int(
+            Decimal(str(r.l_extendedprice)) * 100)
+    day0 = min(d for _, d in daily)
+    sums = {}
+    for (nk, d), cents in daily.items():
+        x = d - day0
+        s = sums.setdefault(nk, [0, 0, 0, 0, 0])
+        s[0] += 1
+        s[1] += x
+        s[2] += cents
+        s[3] += x * cents
+        s[4] += x * x
+    got = {r.nation: r for r in rows}
+    assert set(got) == set(sums)
+    for nk, (n, sx, sy, sxy, sxx) in sums.items():
+        r = got[nk]
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        assert r.n_days == n
+        assert r.slope_cents_per_day == slope
+        assert r.intercept_cents == \
+            (float(sy) - slope * float(sx)) / float(n)
+        assert abs(r.total_revenue - sy / 100) < 1e-6
+
+
+def test_collocations_replay_in_python(spark):
+    """Bigram lift: exact count replay, the support floor, the shared
+    IEEE ratio, and the deterministic top-100 ordering."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["text_collocations"].fn(spark, sf).collect()
+    assert rows
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("text").collect())
+    uni, big, total = {}, {}, 0
+    for r in docs:
+        toks = r.text.split(" ")
+        total += len(toks)
+        for tk in toks:
+            uni[tk] = uni.get(tk, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    scored = []
+    for (x, y), c_xy in big.items():
+        if c_xy < 5:
+            continue
+        lift = (float(c_xy) * float(total)) / \
+            (float(uni[x]) * float(uni[y]))
+        scored.append((x, y, c_xy, uni[x], uni[y], lift))
+    scored.sort(key=lambda s: (-s[5], s[0], s[1]))
+    expect = scored[:100]
+    got = [(r.x, r.y, r.c_xy, r.c_x, r.c_y, r.lift) for r in rows]
+    assert got == expect
+
+
+def test_mad_outliers_replays_in_python(spark):
+    """Median/MAD/3-MAD fence: exact doubled/quadrupled-integer
+    replay from raw lineitems, including odd and even group sizes."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_mad_outliers"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_suppkey", "l_extendedprice", "l_discount")
+          .collect())
+    sup = {r.s_suppkey: r.s_nationkey for r in
+           spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    nat = {r.n_nationkey: r.n_name for r in
+           spark.read.parquet(f"{sf}/nation.parquet").collect()}
+    rev = {}
+    for r in li:
+        r4 = round(r.l_extendedprice * (1 - r.l_discount) * 10000)
+        rev[r.l_suppkey] = rev.get(r.l_suppkey, 0) + r4
+    by_nat = {}
+    for sk, r4 in rev.items():
+        by_nat.setdefault(sup[sk], []).append(r4)
+
+    def med2(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return xs[(n + 1) // 2 - 1] + xs[(n + 2) // 2 - 1]
+
+    got = {r.n_name: r for r in rows}
+    assert len(got) == len(by_nat)
+    for nk, xs in by_nat.items():
+        m2 = med2(xs)
+        dev2 = [abs(2 * x - m2) for x in xs]
+        m4 = med2(dev2)
+        n_out = sum(1 for d in dev2 if 2 * d > 3 * m4)
+        r = got[nat[nk]]
+        assert r.n_suppliers == len(xs)
+        assert r.median_revenue == m2 / 20000
+        assert r.mad_revenue == m4 / 40000
+        assert r.n_outliers == n_out
+
+
+def test_skew_kurt_replays_in_python(spark):
+    """Moment sums replay as unbounded ints; skew/kurt equal the
+    shared IEEE expression bit-for-bit; sanity bounds hold."""
+    import math
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_skew_kurt"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_returnflag", "l_quantity").collect())
+    sums = {}
+    for r in li:
+        q = int(r.l_quantity)
+        s = sums.setdefault(r.l_returnflag, [0, 0, 0, 0, 0])
+        s[0] += 1
+        s[1] += q
+        s[2] += q * q
+        s[3] += q ** 3
+        s[4] += q ** 4
+    got = {r.l_returnflag: r for r in rows}
+    assert set(got) == set(sums)
+    for fl, (n, s1, s2, s3, s4) in sums.items():
+        r = got[fl]
+        nd = float(n)
+        mean = float(s1) / nd
+        r2, r3, r4 = float(s2) / nd, float(s3) / nd, float(s4) / nd
+        m2 = r2 - mean * mean
+        m3 = r3 - 3 * mean * r2 + 2 * mean * mean * mean
+        m4 = (r4 - 4 * mean * r3 + 6 * mean * mean * r2
+              - 3 * mean * mean * mean * mean)
+        assert r.n_rows == n
+        assert r.mean_qty == mean
+        assert r.var_pop == m2
+        assert r.skewness_pop == m3 / (m2 * math.sqrt(m2))
+        assert r.kurtosis_excess == m4 / (m2 * m2) - 3
+        # uniform-ish quantity: near-flat distribution
+        assert abs(r.skewness_pop) < 0.5
+        assert -2.0 < r.kurtosis_excess < 1.0
+
+
+def test_weighted_median_replays_in_python(spark):
+    """Lower weighted median: integer 2*cum >= total replay, and the
+    weighted median differs from the unweighted when volumes skew."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_weighted_median"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_returnflag", "l_extendedprice", "l_quantity")
+          .collect())
+    agg = {}
+    for r in li:
+        cents = int(Decimal(str(r.l_extendedprice)) * 100)
+        key = (r.l_returnflag, cents)
+        agg[key] = agg.get(key, 0) + int(r.l_quantity)
+    by_flag = {}
+    for (fl, cents), w in agg.items():
+        by_flag.setdefault(fl, []).append((cents, w))
+    got = {r.l_returnflag: r for r in rows}
+    assert set(got) == set(by_flag)
+    for fl, vw in by_flag.items():
+        vw.sort()
+        tw = sum(w for _, w in vw)
+        cum = 0
+        wm = None
+        for cents, w in vw:
+            cum += w
+            if 2 * cum >= tw:
+                wm = cents
+                break
+        r = got[fl]
+        assert r.total_weight == tw
+        assert r.weighted_median_price == wm / 100
+
+
+def test_crosscorr_replays_in_python(spark):
+    """Nation-pair Pearson: 128-bit-exact sums replay as python ints;
+    the final expression is bit-equal; values lie in [-1, 1]."""
+    import math
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["ts_crosscorr"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_suppkey", "l_extendedprice",
+                  F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                         " div 86400000000").alias("day")).collect())
+    nat = {r.s_suppkey: r.s_nationkey for r in
+           spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    daily = {}
+    for r in li:
+        k = (nat[r.l_suppkey], r.day)
+        daily[k] = daily.get(k, 0) + int(
+            Decimal(str(r.l_extendedprice)) * 100)
+    series = {}
+    for (nk, d), cents in daily.items():
+        series.setdefault(nk, {})[d] = cents
+    got = {(r.nation_a, r.nation_b): r for r in rows}
+    nations = sorted(series)
+    want_pairs = set()
+    for i, a in enumerate(nations):
+        for b in nations[i + 1:]:
+            common = set(series[a]) & set(series[b])
+            if common:
+                want_pairs.add((a, b))
+    assert set(got) == want_pairs
+    for (a, b), r in got.items():
+        common = sorted(set(series[a]) & set(series[b]))
+        xs = [series[a][d] for d in common]
+        ys = [series[b][d] for d in common]
+        n = len(common)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(x * y for x, y in zip(xs, ys))
+        sxx = sum(x * x for x in xs)
+        syy = sum(y * y for y in ys)
+        corr = float(n * sxy - sx * sy) / (
+            math.sqrt(float(n * sxx - sx * sx))
+            * math.sqrt(float(n * syy - sy * sy)))
+        assert r.n_days == n
+        assert r.corr == corr
+        assert -1.0 <= r.corr <= 1.0
