@@ -93,6 +93,11 @@ HEADLINE = [
     # zero-filled time-series correlation
     "graph_components",
     "ts_autocorr",
+    # round 7 third wave: the wedge self-join (heaviest new graph
+    # key) and the double ranked-window robust-stats key — baselines
+    # recorded at introduction, earlier keys unchanged.
+    "graph_jaccard_neighbors",
+    "agg_mad_outliers",
 ]
 
 

@@ -115,6 +115,8 @@ _NEXT_SWEEP_QUEUE = [
     "ts_linreg_trend", "text_collocations",
     "agg_mad_outliers", "agg_skew_kurt", "agg_weighted_median",
     "ts_crosscorr",
+    "graph_shortest_paths", "ts_monthly_growth", "vec_dispersion",
+    "agg_freq_histogram",
 ]
 
 

@@ -934,3 +934,47 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (F.min(F.when(2 * F.col("cw") >= F.col("tw"),
                                F.col("cents"))).cast("double")
                   / F.lit(100)).alias("weighted_median_price")))
+
+
+@register(
+    "agg_freq_histogram",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+      FROM orders GROUP BY 1
+    ), hist AS (
+      SELECT k, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM per_cust GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n_customers) AS BIGINT) AS total FROM hist
+    )
+    SELECT h.k AS orders_per_customer, h.n_customers,
+           CAST(h.n_customers AS DOUBLE) / CAST(tot.total AS DOUBLE)
+             AS share
+    FROM hist h CROSS JOIN tot
+    """,
+)
+def agg_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequencies: how many customers placed exactly k
+    orders — the Good-Turing-style diagnostic behind dedup tuning
+    (cluster-size spectra), long-tail analysis, and sampling design.
+    Two chained hash aggregates; counts exact, the share column one
+    shared IEEE divide against a 1-row broadcast total.
+
+    100-TB shape: the per-customer count partial-combines before its
+    shuffle; the histogram agg collapses to <= max-k rows (bounded
+    by the heaviest customer, not row count); the total broadcasts."""
+    from ..operators.cache import tracked_persist
+
+    hist = (t(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("k"))
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n_customers")))
+    hist = tracked_persist(hist)   # total + share read it
+    tot = hist.agg(F.sum("n_customers").alias("total"))
+    return (hist.crossJoin(F.broadcast(tot))
+            .select(F.col("k").alias("orders_per_customer"),
+                    "n_customers",
+                    (F.col("n_customers").cast("double")
+                     / F.col("total").cast("double")).alias("share")))

@@ -330,3 +330,71 @@ def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.col("deg_a") + F.col("deg_b")
                         - F.col("n_common")).cast("double"))
                     .alias("jaccard")))
+
+
+def _bfs_oracle(iters: int = 6) -> str:
+    """Unrolled multi-source BFS (d0..dN) — the graph_pagerank
+    pattern: standard SQL cannot aggregate over a recursive
+    reference, so a fixed hop budget unrolls into chained CTEs,
+    bit-exact by construction."""
+    ctes = [
+        "d0 AS (SELECT node, CAST(0 AS BIGINT) AS d FROM nodes"
+        " WHERE node % 10 = 0)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(f"""d{k} AS (
+      SELECT node, CAST(MIN(d) AS BIGINT) AS d FROM (
+        SELECT node, d FROM d{k - 1}
+        UNION ALL
+        SELECT e.u AS node, p.d + 1 AS d
+        FROM edges e JOIN d{k - 1} p ON e.v = p.node
+      ) GROUP BY node)""")
+    return ("WITH " + _EDGE_CTES + ",\n    " + ",\n    ".join(ctes) + f"""
+    SELECT n.node,
+           CAST(COALESCE(r.d, -1) AS BIGINT) AS dist,
+           CAST(CASE WHEN n.node % 10 = 0 THEN 1 ELSE 0 END AS INT)
+             AS is_landmark
+    FROM nodes n LEFT JOIN d{iters} r ON n.node = r.node""")
+
+
+_BFS_ITERS = 6
+
+
+@register("graph_shortest_paths", oracle=_bfs_oracle(_BFS_ITERS))
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the supplier co-order graph: hop distance
+    from every node to its nearest LANDMARK (suppliers with key % 10
+    = 0), capped at 6 hops (-1 = unreachable within the budget) — the
+    hub-distance / coverage-radius primitive behind landmark-based
+    shortest-path indexes and blast-radius analyses. Distances are
+    exact small integers; the frontier relaxation
+    d'(v) = min(d(v), min_u d(u) + 1) is one equi-join + one min-agg
+    per hop, the same alternating shape as `graph_pagerank`, and the
+    hop budget fixes the stage count.
+
+    100-TB shape: each round shuffles on node keys only; the reached
+    set only grows so no round rescans raw data; landmark selection
+    is a pushed-down filter, never a driver-side list."""
+    from ..operators.cache import tracked_persist
+
+    pairs = _co_supplier_pairs(spark, sf_dir)
+    edges = tracked_persist(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"),
+                                  F.col("id_a").alias("v")))
+        .distinct())
+    nodes = tracked_persist(
+        edges.select(F.col("u").alias("node")).distinct())
+    reached = (nodes.filter(F.col("node") % 10 == 0)
+               .select("node", F.lit(0).cast("long").alias("d")))
+    for _ in range(_BFS_ITERS):
+        grown = (edges.join(reached.withColumnRenamed("node", "v"), "v")
+                 .select(F.col("u").alias("node"),
+                         (F.col("d") + 1).alias("d")))
+        reached = (reached.unionByName(grown)
+                   .groupBy("node").agg(F.min("d").alias("d")))
+    return (nodes.join(reached, "node", "left")
+            .select("node",
+                    F.coalesce("d", F.lit(-1)).cast("long").alias("dist"),
+                    F.when(F.col("node") % 10 == 0, 1).otherwise(0)
+                    .cast("int").alias("is_landmark")))

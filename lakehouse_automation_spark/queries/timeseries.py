@@ -740,3 +740,69 @@ def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation_a", "nation_b",
         F.col("n").cast("long").alias("n_days"),
         (num / (F.sqrt(dx) * F.sqrt(dy))).alias("corr"))
+
+
+@register(
+    "ts_monthly_growth",
+    oracle="""
+    WITH monthly AS (
+      SELECT s.s_nationkey AS nation,
+             CAST(date_part('year', CAST(l.l_shipdate AS DATE)) * 100
+                  + date_part('month', CAST(l.l_shipdate AS DATE))
+                  AS BIGINT) AS ym,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), lagged AS (
+      SELECT nation, ym, cents,
+             lag(cents) OVER (PARTITION BY nation ORDER BY ym)
+               AS prev_cents
+      FROM monthly
+    )
+    SELECT nation, ym,
+           CAST(cents AS DOUBLE) / 100 AS revenue,
+           CAST(cents - prev_cents AS BIGINT) AS delta_cents,
+           CAST(cents - prev_cents AS DOUBLE)
+             / CAST(prev_cents AS DOUBLE) AS growth
+    FROM lagged
+    """,
+)
+def ts_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth per nation — the
+    period-over-period BI primitive (lag + ratio) every dashboard
+    derives. Months key as the integer year*100+month (calendar
+    months, not fixed-width epoch buckets); revenue goes through the
+    DECIMAL-cents convention so the level and delta columns are exact
+    integers; growth is ONE shared IEEE divide. First months
+    correctly surface NULL delta/growth (no prior period) rather
+    than a fabricated zero.
+
+    100-TB shape: raw lineitems partial-combine into the ~25 x 84
+    (nation, month) grid before any window; the lag window then runs
+    over the aggregated series partitioned by nation — window input
+    is calendar-bounded, independent of row count; supplier attaches
+    by broadcast."""
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_suppkey",
+                  (F.year(F.col("l_shipdate").cast("date")) * 100
+                   + F.month(F.col("l_shipdate").cast("date")))
+                  .cast("long").alias("ym"),
+                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  .alias("price")))
+    sup = (t(spark, sf_dir, "supplier")
+           .select(F.col("s_suppkey").alias("l_suppkey"),
+                   F.col("s_nationkey").alias("nation")))
+    monthly = (li.join(F.broadcast(sup), "l_suppkey")
+               .groupBy("nation", "ym")
+               .agg((F.sum("price") * 100).cast("long").alias("cents")))
+    wl = W.partitionBy("nation").orderBy("ym")
+    lagged = monthly.withColumn("prev_cents",
+                                F.lag("cents").over(wl))
+    return lagged.select(
+        "nation", "ym",
+        (F.col("cents").cast("double") / F.lit(100)).alias("revenue"),
+        (F.col("cents") - F.col("prev_cents")).cast("long")
+        .alias("delta_cents"),
+        ((F.col("cents") - F.col("prev_cents")).cast("double")
+         / F.col("prev_cents").cast("double")).alias("growth"))

@@ -726,3 +726,78 @@ def vec_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.vector import binary_hamming_topk
 
     return binary_hamming_topk(t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "vec_dispersion",
+    oracle="""
+    WITH u AS (
+      SELECT label, vec_id, d,
+             CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d)
+    ), per_dim AS (
+      SELECT label, d, CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s
+      FROM u GROUP BY 1, 2
+    ), per_label AS (
+      SELECT label,
+             CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n,
+             SUM(CAST(v AS HUGEINT) * v) AS q
+      FROM u GROUP BY 1
+    ), ss AS (
+      SELECT label, SUM(s * s) AS ssd FROM per_dim GROUP BY 1
+    )
+    SELECT p.label, CAST(p.n AS BIGINT) AS n_vectors,
+           CAST(p.n * p.q - s.ssd AS DOUBLE)
+             / (CAST(p.n AS DOUBLE) * CAST(p.n AS DOUBLE))
+             / 1e12 AS dispersion
+    FROM per_label p JOIN ss s ON p.label = s.label
+    """,
+)
+def vec_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cluster dispersion per label: the mean squared
+    distance of each vector to its label centroid — the diversity /
+    compactness diagnostic for training-data mixtures and clustering
+    QA — computed in ONE PASS from the algebraic identity
+    E||v - c||^2 = (n*Q - sum_d S_d^2) / n^2 with Q = sum ||v||^2 and
+    S_d the per-dimension sums. NO pairwise join and NO second pass:
+    the naive per-pair formulation is O(n^2) per label and the
+    two-pass (centroid, then distances) rescans the corpus.
+
+    Exact by fixed-point: components floor to 1e-6 integer units
+    (floor, not round — banker's-vs-half-up tie divergence cannot
+    bite), all three sums accumulate as 128-bit integers (Spark
+    DECIMAL(38,0), DuckDB HUGEINT), and the single closing division
+    is one shared IEEE expression scaled back by 1e12.
+
+    100-TB shape: the posexplode fans each vector into 64 (dim, unit)
+    rows that partial-combine to |labels| x 64 partials map-side —
+    the shuffle carries per-label-dim sums, never vectors; both aggs
+    reuse the same exploded projection."""
+    from ..operators.cache import tracked_persist
+
+    emb = t(spark, sf_dir, "embeddings")
+    u = (emb.select("label", "vec_id",
+                    F.posexplode("embedding").alias("d", "ev"))
+         .select("label", "vec_id", "d",
+                 F.floor(F.col("ev").cast("double") * 1000000)
+                 .cast("long").alias("v")))
+    u = tracked_persist(u)   # feeds both aggregates
+    d38 = "decimal(38,0)"
+    per_dim = (u.groupBy("label", "d")
+               .agg(F.sum(F.col("v").cast(d38)).alias("s")))
+    ss = (per_dim.groupBy("label")
+          .agg(F.sum(F.col("s") * F.col("s")).alias("ssd")))
+    per_label = (u.groupBy("label")
+                 .agg(F.countDistinct("vec_id").cast(d38).alias("n"),
+                      F.sum(F.col("v").cast(d38) * F.col("v"))
+                      .alias("q")))
+    return (per_label.join(ss, "label")
+            .select("label",
+                    F.col("n").cast("long").alias("n_vectors"),
+                    ((F.col("n") * F.col("q") - F.col("ssd"))
+                     .cast("double")
+                     / (F.col("n").cast("double")
+                        * F.col("n").cast("double"))
+                     / F.lit(1e12)).alias("dispersion")))

@@ -693,3 +693,150 @@ def test_crosscorr_replays_in_python(spark):
         assert r.n_days == n
         assert r.corr == corr
         assert -1.0 <= r.corr <= 1.0
+
+
+def test_shortest_paths_replays_in_python(spark):
+    """Multi-source BFS: exact hop distances vs a python BFS over the
+    rebuilt graph, the 6-hop cap, and the landmark flag."""
+    from collections import deque
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"   # thinned graph empty at sf0.001
+    rows = REGISTRY["graph_shortest_paths"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .filter(F.col("l_orderkey") % 10 == 0)
+          .select("l_orderkey", "l_suppkey").collect())
+    nat = {r.s_suppkey: r.s_nationkey for r in
+           spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    per_order = {}
+    for r in li:
+        per_order.setdefault((r.l_orderkey, nat[r.l_suppkey]),
+                             set()).add(r.l_suppkey)
+    adj = {}
+    for sups in per_order.values():
+        ss = sorted(sups)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    dist = {n: 0 for n in adj if n % 10 == 0}
+    frontier = deque(dist)
+    while frontier:
+        u = frontier.popleft()
+        if dist[u] >= 6:
+            continue
+        for v in adj[u]:
+            if v not in dist:
+                dist[v] = dist[u] + 1
+                frontier.append(v)
+    got = {r.node: (r.dist, r.is_landmark) for r in rows}
+    assert set(got) == set(adj)
+    for n in adj:
+        d = dist.get(n, -1)
+        if d > 6:
+            d = -1
+        assert got[n] == (d, 1 if n % 10 == 0 else 0), n
+
+
+def test_monthly_growth_replays_in_python(spark):
+    """Month-over-month: exact cent levels/deltas, shared-IEEE
+    growth, NULL first periods."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["ts_monthly_growth"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_suppkey", "l_extendedprice",
+                  F.year(F.col("l_shipdate").cast("date")).alias("y"),
+                  F.month(F.col("l_shipdate").cast("date")).alias("m"))
+          .collect())
+    nat = {r.s_suppkey: r.s_nationkey for r in
+           spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    monthly = {}
+    for r in li:
+        k = (nat[r.l_suppkey], r.y * 100 + r.m)
+        monthly[k] = monthly.get(k, 0) + int(
+            Decimal(str(r.l_extendedprice)) * 100)
+    series = {}
+    for (nk, ym), cents in monthly.items():
+        series.setdefault(nk, []).append((ym, cents))
+    got = {(r.nation, r.ym): r for r in rows}
+    assert len(got) == len(monthly)
+    for nk, pts in series.items():
+        pts.sort()
+        prev = None
+        for ym, cents in pts:
+            r = got[(nk, ym)]
+            assert r.revenue == cents / 100
+            if prev is None:
+                assert r.delta_cents is None and r.growth is None
+            else:
+                assert r.delta_cents == cents - prev
+                assert r.growth == float(cents - prev) / float(prev)
+            prev = cents
+
+
+def test_vec_dispersion_replays_in_python(spark):
+    """Single-pass dispersion identity vs the direct two-pass python
+    computation on floored fixed-point units; non-negative."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["vec_dispersion"].fn(spark, sf).collect()
+    assert rows
+    import math
+
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("label", "embedding").collect())
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            [math.floor(float(v) * 1000000) for v in r.embedding])
+    got = {r.label: r for r in rows}
+    assert set(got) == set(by_label)
+    for lb, vecs in by_label.items():
+        n = len(vecs)
+        q = sum(sum(v * v for v in vec) for vec in vecs)
+        sd = [sum(col) for col in zip(*vecs)]
+        ssd = sum(s * s for s in sd)
+        disp = float(n * q - ssd) / (float(n) * float(n)) / 1e12
+        r = got[lb]
+        assert r.n_vectors == n
+        assert r.dispersion == disp
+        assert r.dispersion >= 0.0
+        # cross-check the identity against the direct formulation
+        cent = [s / n for s in sd]
+        direct = sum(
+            sum((v - c) ** 2 for v, c in zip(vec, cent))
+            for vec in vecs) / n / 1e12
+        assert abs(direct - disp) < 1e-6 * max(1.0, disp)
+
+
+def test_freq_histogram_replays_in_python(spark):
+    """Frequency-of-frequencies: mass conservation (sum k*n = orders,
+    sum n = customers, shares sum to 1) and exact counts."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_freq_histogram"].fn(spark, sf).collect()
+    assert rows
+    orders = (spark.read.parquet(f"{sf}/orders.parquet")
+              .select("o_custkey").collect())
+    per = {}
+    for r in orders:
+        per[r.o_custkey] = per.get(r.o_custkey, 0) + 1
+    hist = {}
+    for k in per.values():
+        hist[k] = hist.get(k, 0) + 1
+    got = {r.orders_per_customer: r for r in rows}
+    assert {k: r.n_customers for k, r in got.items()} == hist
+    assert sum(k * r.n_customers for k, r in got.items()) == len(orders)
+    total = len(per)
+    for k, r in got.items():
+        assert r.share == float(hist[k]) / float(total)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-12

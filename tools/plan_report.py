@@ -63,6 +63,12 @@ NOTES = {
     "agg_bitmap_distinct": "partial agg folds ids into <=4-KB bucket bitmaps; bitmap_or_agg merges per-type bitmaps for the union row.",
     "join_dpp_partition_pruned": "DynamicPruning subquery in the fact scan's PartitionFilters — unmatched day directories never listed.",
     "vec_binary_topk": "sign-bit packing in one projection; Hamming rank via two popcounts; rerank joins the 32-wide shortlist only.",
+    "graph_jaccard_neighbors": "wedge self-join shuffles on the shared endpoint (fan-out bounded by blocking-key degree); degree attach is two node-keyed joins; nothing broadcast corpus-side.",
+    "agg_mad_outliers": "both rank windows partition by nation over the supplier-level rollup; the per-nation median/MAD tables broadcast back for the integer 3-MAD fence.",
+    "win_intervals_overlap": "order-lineitem join + per-order MAX share one l_orderkey Exchange; sweep-line deltas partial-combine so the cumsum window sees only the (priority, day) series.",
+    "ts_crosscorr": "day-keyed self-join over the persisted 25xdays rollup; 128-bit integer cross sums collapse to the 300-row pair triangle.",
+    "vec_dispersion": "64-way posexplode partial-combines to labelx64 sums map-side; both aggregates reuse one persisted exploded projection.",
+    "text_collocations": "unigram/bigram aggs partial-combine before token-keyed shuffles; the support floor prunes the bigram tail before the vocab joins; top-100 is TakeOrderedAndProject.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -80,7 +86,9 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "stream_tws_state", "agg_count_min_sketch", "agg_hist_bins",
           "sample_stratified_topk", "event_path_analysis",
           "agg_bitmap_distinct", "join_dpp_partition_pruned",
-          "vec_binary_topk"]
+          "vec_binary_topk",
+          "win_intervals_overlap", "ts_crosscorr", "vec_dispersion",
+          "text_collocations"]
 
 
 def main() -> int:
