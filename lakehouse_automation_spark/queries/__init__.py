@@ -117,6 +117,8 @@ _NEXT_SWEEP_QUEUE = [
     "ts_crosscorr",
     "graph_shortest_paths", "ts_monthly_growth", "vec_dispersion",
     "agg_freq_histogram",
+    "agg_sample_estimate", "graph_assortativity",
+    "win_cumulative_distinct",
 ]
 
 

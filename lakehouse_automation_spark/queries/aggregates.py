@@ -978,3 +978,86 @@ def agg_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_customers",
                     (F.col("n_customers").cast("double")
                      / F.col("total").cast("double")).alias("share")))
+
+
+@register(
+    "agg_sample_estimate",
+    oracle="""
+    WITH tagged AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents,
+             CAST(('0x' || substr(md5('se:' || CAST(l_orderkey AS VARCHAR)
+                   || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+      FROM lineitem
+    ), both_sides AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS BIGINT) AS n_exact,
+             CAST(SUM(cents) AS BIGINT) AS cents_exact,
+             CAST(SUM(CASE WHEN bucket = 0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_sample,
+             CAST(SUM(CASE WHEN bucket = 0 THEN cents ELSE 0 END) * 100
+                  AS BIGINT) AS cents_est
+      FROM tagged GROUP BY 1
+    )
+    SELECT l_returnflag, n_exact,
+           CAST(cents_exact AS DOUBLE) / 100 AS sum_exact,
+           n_sample,
+           CAST(cents_est AS DOUBLE) / 100 AS sum_estimate,
+           abs(CAST(cents_est - cents_exact AS DOUBLE))
+             / CAST(cents_exact AS DOUBLE) AS rel_err,
+           abs(CAST(cents_est - cents_exact AS DOUBLE))
+             / CAST(cents_exact AS DOUBLE) <= 0.05 AS within_bound
+    FROM both_sides
+    """,
+)
+def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-based SUM estimation with a self-verified error bound —
+    the query-acceleration pattern for 100-TB interactive analytics:
+    a DETERMINISTIC 1% hash sample (md5 of the row key, so the sample
+    is identical across engines, runs, and cluster layouts — never
+    rand(), which is irreproducible and per-task-seeded) estimates
+    per-flag revenue as 100x the sample sum, and the query also
+    computes the exact answer and emits the relative error plus a
+    <= 5% acceptance boolean. The oracle hash-checks the exact side,
+    the estimate (integer-exact: the same rows are sampled), and pins
+    the boolean — an estimator drifting out of bound fails the gate
+    loudly instead of passing unexamined (the `agg_approx_distinct`
+    self-verification convention).
+
+    100-TB shape: ONE scan computes both sides (the sample is a CASE
+    inside the aggregate, not a second pass); everything
+    partial-combines; in production the sampled aggregate alone runs
+    ~100x less reducer traffic — this key carries the accuracy
+    contract for that trade."""
+    from ..operators.dedup import portable_hash
+
+    h = portable_hash(F.concat(
+        F.lit("se:"), F.col("l_orderkey").cast("string"),
+        F.lit(":"), F.col("l_linenumber").cast("string")))
+    tagged = (t(spark, sf_dir, "lineitem")
+              .select("l_returnflag",
+                      (F.col("l_extendedprice").cast("decimal(18,2)")
+                       * 100).cast("long").alias("cents"),
+                      (h % 100).alias("bucket")))
+    g = (tagged.groupBy("l_returnflag")
+         .agg(F.count(F.lit(1)).alias("n_exact"),
+              F.sum("cents").alias("cents_exact"),
+              F.sum(F.when(F.col("bucket") == 0, 1).otherwise(0))
+              .cast("long").alias("n_sample"),
+              (F.sum(F.when(F.col("bucket") == 0, F.col("cents"))
+                     .otherwise(0)) * 100).cast("long")
+              .alias("cents_est")))
+    err = (F.abs((F.col("cents_est") - F.col("cents_exact"))
+                 .cast("double"))
+           / F.col("cents_exact").cast("double"))
+    return g.select(
+        "l_returnflag", "n_exact",
+        (F.col("cents_exact").cast("double") / F.lit(100))
+        .alias("sum_exact"),
+        "n_sample",
+        (F.col("cents_est").cast("double") / F.lit(100))
+        .alias("sum_estimate"),
+        err.alias("rel_err"),
+        (err <= 0.05).alias("within_bound"))

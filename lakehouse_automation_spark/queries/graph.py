@@ -398,3 +398,80 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("d", F.lit(-1)).cast("long").alias("dist"),
                     F.when(F.col("node") % 10 == 0, 1).otherwise(0)
                     .cast("int").alias("is_landmark")))
+
+
+@register(
+    "graph_assortativity",
+    oracle="WITH " + _EDGE_CTES + """,
+    deg AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY u
+    ), ed AS (
+      SELECT da.deg AS x, db.deg AS y
+      FROM edges e
+      JOIN deg da ON da.u = e.u
+      JOIN deg db ON db.u = e.v
+    ), s AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(x) AS HUGEINT) AS sx,
+             CAST(SUM(y) AS HUGEINT) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx,
+             SUM(CAST(y AS HUGEINT) * y) AS syy
+      FROM ed
+    )
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(n / 2 AS BIGINT) AS n_edges,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+             AS assortativity
+    FROM s
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier co-order graph: the
+    Pearson correlation of endpoint degrees over all directed edges
+    (Newman's r) — positive means hubs link hubs (rich-club),
+    negative means hub-and-spoke; the one-number structural summary
+    used to sanity-check generated/ingested graphs. The five cross
+    sums accumulate as 128-bit integers over exact degrees, and the
+    closing Pearson expression is the `ts_crosscorr` shared-IEEE
+    recipe (sqrt, never pow).
+
+    100-TB shape: two node-keyed joins attach endpoint degrees to
+    the edge list, then one global partial+final agg collapses to a
+    single row — nothing driver-side, nothing broadcast
+    corpus-side."""
+    from ..operators.cache import tracked_persist
+
+    pairs = _co_supplier_pairs(spark, sf_dir)
+    edges = tracked_persist(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"),
+                                  F.col("id_a").alias("v")))
+        .distinct())
+    deg = tracked_persist(
+        edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
+    nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    da = deg.select(F.col("u").alias("u"), F.col("deg").alias("x"))
+    db = deg.select(F.col("u").alias("v"), F.col("deg").alias("y"))
+    ed = edges.join(da, "u").join(db, "v")
+    d38 = "decimal(38,0)"
+    s = ed.agg(
+        F.count(F.lit(1)).cast(d38).alias("n"),
+        F.sum("x").cast(d38).alias("sx"),
+        F.sum("y").cast(d38).alias("sy"),
+        F.sum(F.col("x").cast(d38) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(d38) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(d38) * F.col("y")).alias("syy"))
+    num = (F.col("n") * F.col("sxy")
+           - F.col("sx") * F.col("sy")).cast("double")
+    dx = (F.col("n") * F.col("sxx")
+          - F.col("sx") * F.col("sx")).cast("double")
+    dy = (F.col("n") * F.col("syy")
+          - F.col("sy") * F.col("sy")).cast("double")
+    return (s.crossJoin(F.broadcast(nn))
+            .select("n_nodes",
+                    (F.col("n") / 2).cast("long").alias("n_edges"),
+                    (num / (F.sqrt(dx) * F.sqrt(dy)))
+                    .alias("assortativity")))

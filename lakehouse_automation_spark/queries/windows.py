@@ -465,3 +465,66 @@ def win_intervals_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == 1)
             .select("priority", F.col("open_now").alias("peak_open"),
                     F.col("day").alias("peak_day"), "n_orders"))
+
+
+@register(
+    "win_cumulative_distinct",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ), days AS (
+      SELECT DISTINCT user_id, day FROM ev
+    ), firsts AS (
+      SELECT user_id, event_type, MIN(day) AS first_day
+      FROM ev GROUP BY 1, 2
+    ), daily_new AS (
+      SELECT user_id, first_day AS day,
+             CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM firsts GROUP BY 1, 2
+    )
+    SELECT d.user_id, d.day,
+           CAST(COALESCE(dn.n_new, 0) AS BIGINT) AS n_new_types,
+           CAST(SUM(COALESCE(dn.n_new, 0)) OVER (
+             PARTITION BY d.user_id ORDER BY d.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS n_cum_distinct
+    FROM days d LEFT JOIN daily_new dn
+      ON d.user_id = dn.user_id AND d.day = dn.day
+    """,
+)
+def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct event types per user per active day — the
+    running COUNT(DISTINCT) that window functions famously cannot
+    express directly (DISTINCT is unsupported in window aggregates in
+    every engine). The scalable rewrite: distinct-ness is a property
+    of each value's FIRST occurrence, so min(day) per (user, type)
+    turns the problem into a plain cumulative SUM of first-occurrence
+    counts — one extra aggregate instead of a per-frame distinct scan
+    whose state grows with history. All values exact integers.
+
+    100-TB shape: both the first-occurrence and active-day aggregates
+    partial-combine before one user_id(-superset) shuffle; the cumsum
+    window input is active-days-sized (calendar-bounded per user),
+    never raw events; the daily_new side is first-occurrences-only
+    (<= |types| rows per user)."""
+    ev = (t(spark, sf_dir, "events")
+          .select("user_id", "event_type",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                         " div 86400000000").alias("day")))
+    from ..operators.cache import tracked_persist
+    ev = tracked_persist(ev)   # feeds both aggregates
+    days = ev.select("user_id", "day").distinct()
+    daily_new = (ev.groupBy("user_id", "event_type")
+                 .agg(F.min("day").alias("day"))
+                 .groupBy("user_id", "day")
+                 .agg(F.count(F.lit(1)).alias("n_new")))
+    wc = (W.partitionBy("user_id").orderBy("day")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    j = (days.join(daily_new, ["user_id", "day"], "left")
+         .select("user_id", "day",
+                 F.coalesce("n_new", F.lit(0)).cast("long")
+                 .alias("n_new_types")))
+    return j.withColumn("n_cum_distinct",
+                        F.sum("n_new_types").over(wc).cast("long"))

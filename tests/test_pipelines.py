@@ -840,3 +840,133 @@ def test_freq_histogram_replays_in_python(spark):
     for k, r in got.items():
         assert r.share == float(hist[k]) / float(total)
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-12
+
+
+def test_sample_estimate_replays_in_python(spark):
+    """Deterministic hash sample: exact replay of both sides from raw
+    rows (same md5 sample membership), and estimate consistency."""
+    import hashlib
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_sample_estimate"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_returnflag", "l_orderkey", "l_linenumber",
+                  "l_extendedprice").collect())
+    agg = {}
+    for r in li:
+        cents = int(Decimal(str(r.l_extendedprice)) * 100)
+        key = f"se:{r.l_orderkey}:{r.l_linenumber}"
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        s = agg.setdefault(r.l_returnflag, [0, 0, 0, 0])
+        s[0] += 1
+        s[1] += cents
+        if h % 100 == 0:
+            s[2] += 1
+            s[3] += cents
+    got = {r.l_returnflag: r for r in rows}
+    assert set(got) == set(agg)
+    for fl, (n, cents, ns, sc) in agg.items():
+        r = got[fl]
+        est = sc * 100
+        assert r.n_exact == n
+        assert r.sum_exact == cents / 100
+        assert r.n_sample == ns
+        assert r.sum_estimate == est / 100
+        rel = abs(float(est - cents)) / float(cents)
+        assert r.rel_err == rel
+        assert r.within_bound == (rel <= 0.05)
+
+
+def test_assortativity_replays_in_python(spark):
+    """Newman's r: exact degree cross sums over the rebuilt graph and
+    the shared-IEEE Pearson value; r in [-1, 1]."""
+    import math
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"   # thinned graph empty at sf0.001
+    rows = REGISTRY["graph_assortativity"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .filter(F.col("l_orderkey") % 10 == 0)
+          .select("l_orderkey", "l_suppkey").collect())
+    nat = {r.s_suppkey: r.s_nationkey for r in
+           spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    per_order = {}
+    for r in li:
+        per_order.setdefault((r.l_orderkey, nat[r.l_suppkey]),
+                             set()).add(r.l_suppkey)
+    adj = {}
+    for sups in per_order.values():
+        ss = sorted(sups)
+        for i, a in enumerate(ss):
+            for b in ss[i + 1:]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    n = sx = sy = sxy = sxx = syy = 0
+    for u, nbrs in adj.items():
+        du = len(nbrs)
+        for v in nbrs:
+            dv = len(adj[v])
+            n += 1
+            sx += du
+            sy += dv
+            sxy += du * dv
+            sxx += du * du
+            syy += dv * dv
+    r = rows[0]
+    assert r.n_nodes == len(adj)
+    assert r.n_edges == n // 2
+    want = float(n * sxy - sx * sy) / (
+        math.sqrt(float(n * sxx - sx * sx))
+        * math.sqrt(float(n * syy - sy * sy)))
+    assert r.assortativity == want
+    assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_cumulative_distinct_replays_in_python(spark):
+    """Running COUNT(DISTINCT) via first-occurrence cumsum: exact
+    replay, monotone non-decreasing, ends at the user's true
+    distinct-type count."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["win_cumulative_distinct"].fn(spark, sf).collect()
+    assert rows
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("user_id", "event_type",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                         " div 86400000000").alias("day")).collect())
+    seen_days = {}
+    first = {}
+    types = {}
+    for r in ev:
+        seen_days.setdefault(r.user_id, set()).add(r.day)
+        k = (r.user_id, r.event_type)
+        first[k] = min(first.get(k, r.day), r.day)
+        types.setdefault(r.user_id, set()).add(r.event_type)
+    want = {}
+    for (u, _), fd in first.items():
+        want.setdefault(u, {}).setdefault(fd, 0)
+        want[u][fd] += 1
+    got = {}
+    for r in rows:
+        got.setdefault(r.user_id, []).append(
+            (r.day, r.n_new_types, r.n_cum_distinct))
+    assert set(got) == set(seen_days)
+    for u, recs in got.items():
+        recs.sort()
+        assert [d for d, _, _ in recs] == sorted(seen_days[u])
+        cum = 0
+        prev = 0
+        for d, nn, nc in recs:
+            assert nn == want.get(u, {}).get(d, 0)
+            cum += nn
+            assert nc == cum
+            assert nc >= prev
+            prev = nc
+        assert cum == len(types[u])
