@@ -119,6 +119,8 @@ _NEXT_SWEEP_QUEUE = [
     "agg_freq_histogram",
     "agg_sample_estimate", "graph_assortativity",
     "win_cumulative_distinct",
+    "vec_cluster_quality", "text_vocab_stats",
+    "event_interarrival_stats",
 ]
 
 

@@ -1057,3 +1057,75 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_customers"),
                  (F.sum("cents").cast("double") / F.lit(100))
                  .alias("total_spend")))
+
+
+@register(
+    "event_interarrival_stats",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      FROM events
+    ), gaps AS (
+      SELECT event_type,
+             us - lag(us) OVER (
+               PARTITION BY user_id, event_type ORDER BY us) AS gap
+      FROM seq
+    ), hist AS (
+      SELECT event_type, gap, CAST(COUNT(*) AS BIGINT) AS w
+      FROM gaps WHERE gap IS NOT NULL GROUP BY 1, 2
+    ), cum AS (
+      SELECT event_type, gap, w,
+             CAST(SUM(w) OVER (
+               PARTITION BY event_type ORDER BY gap
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY event_type) AS BIGINT)
+               AS tw
+      FROM hist
+    )
+    SELECT event_type, CAST(MAX(tw) AS BIGINT) AS n_gaps,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN gap END) AS BIGINT)
+             AS median_gap_us,
+           CAST(MIN(CASE WHEN 10 * cw >= 9 * tw THEN gap END)
+                AS BIGINT) AS p90_gap_us,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us
+    FROM cum GROUP BY event_type
+    """,
+)
+def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap percentiles per event type (gaps between a
+    user's consecutive events of that type): lower median, lower p90,
+    and max, in exact microseconds — the burstiness / cadence panel
+    behind rate-limit tuning and engagement scoring. Percentiles are
+    the `agg_weighted_median` integer technique over the (type, gap)
+    VALUE HISTOGRAM: k-th statistics become pure-integer cumulative
+    predicates (2*cum >= total; 10*cum >= 9*total) — no
+    interpolation, no per-group value collection.
+
+    100-TB shape: the lag window partitions by (user, type) — raw
+    events shuffle once on user-grain keys; gaps then collapse to the
+    gap-value histogram which partial-combines before the type-keyed
+    cumsum window (histogram-bounded input, |types| groups); no
+    single-partition sort of raw gaps ever happens."""
+    seq = (t(spark, sf_dir, "events")
+           .select("user_id", "event_type",
+                   F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                   .alias("us")))
+    wl = W.partitionBy("user_id", "event_type").orderBy("us")
+    gaps = (seq.withColumn("gap", F.col("us") - F.lag("us").over(wl))
+            .filter(F.col("gap").isNotNull()))
+    hist = (gaps.groupBy("event_type", "gap")
+            .agg(F.count(F.lit(1)).alias("w")))
+    wc = (W.partitionBy("event_type").orderBy("gap")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = (hist.withColumn("cw", F.sum("w").over(wc))
+           .withColumn("tw",
+                       F.sum("w").over(W.partitionBy("event_type"))))
+    return (cum.groupBy("event_type")
+            .agg(F.max("tw").alias("n_gaps"),
+                 F.min(F.when(2 * F.col("cw") >= F.col("tw"),
+                              F.col("gap"))).alias("median_gap_us"),
+                 F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"),
+                              F.col("gap"))).alias("p90_gap_us"),
+                 F.max("gap").alias("max_gap_us")))

@@ -1267,3 +1267,56 @@ def text_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
                         * F.col("c_y").cast("double"))).alias("lift"))
             .orderBy(F.desc("lift"), F.asc("x"), F.asc("y"))
             .limit(100))
+
+
+@register(
+    "text_vocab_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(string_split(text, ' ')) AS tk
+      FROM documents
+    ), cnt AS (
+      SELECT source, tk, CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_count,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS hapax_share,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+             AS type_token_ratio
+    FROM cnt GROUP BY source
+    """,
+)
+def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source vocabulary statistics: token count, vocabulary
+    size, hapax legomena count/share, and type-token ratio — the
+    corpus-QA panel that flags template-generated or truncated
+    sources (low TTR, low hapax share) before they skew a training
+    mixture. Counts exact; the two ratios are single shared IEEE
+    divides on exact integers.
+
+    100-TB shape: the (source, token) count partial-combines before
+    its shuffle; the per-source rollup collapses vocab-sized input
+    to |sources| rows — raw text is scanned once, and nothing
+    vocabulary-sized leaves the executors."""
+    cnt = (t(spark, sf_dir, "documents")
+           .select("source",
+                   F.explode(F.split(F.col("text"), " ")).alias("tk"))
+           .groupBy("source", "tk")
+           .agg(F.count(F.lit(1)).alias("c")))
+    return (cnt.groupBy("source")
+            .agg(F.sum("c").alias("n_tokens"),
+                 F.count(F.lit(1)).alias("vocab_size"),
+                 F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+                 .cast("long").alias("hapax_count"))
+            .select("source", "n_tokens", "vocab_size", "hapax_count",
+                    (F.col("hapax_count").cast("double")
+                     / F.col("vocab_size").cast("double"))
+                    .alias("hapax_share"),
+                    (F.col("vocab_size").cast("double")
+                     / F.col("n_tokens").cast("double"))
+                    .alias("type_token_ratio")))

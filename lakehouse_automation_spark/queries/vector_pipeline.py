@@ -801,3 +801,108 @@ def vec_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (F.col("n").cast("double")
                         * F.col("n").cast("double"))
                      / F.lit(1e12)).alias("dispersion")))
+
+
+@register(
+    "vec_cluster_quality",
+    oracle="""
+    WITH u AS (
+      SELECT label, vec_id, d,
+             CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d)
+    ), per_dim AS (
+      SELECT label, d, CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s
+      FROM u GROUP BY 1, 2
+    ), glob_dim AS (
+      SELECT d, CAST(SUM(s) AS HUGEINT) AS t FROM per_dim GROUP BY 1
+    ), per_label AS (
+      SELECT label,
+             CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n,
+             SUM(CAST(v AS HUGEINT) * v) AS q
+      FROM u GROUP BY 1
+    ), lbl_sums AS (
+      SELECT p.label,
+             SUM(p.s * p.s) AS a,
+             SUM(p.s * g.t) AS cx
+      FROM per_dim p JOIN glob_dim g ON p.d = g.d
+      GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(t * t) AS HUGEINT) AS aa,
+             (SELECT CAST(SUM(n) AS HUGEINT) FROM per_label) AS nn
+      FROM glob_dim
+    )
+    SELECT pl.label, CAST(pl.n AS BIGINT) AS n_vectors,
+           CAST(pl.n * pl.q - ls.a AS DOUBLE)
+             / (CAST(pl.n AS DOUBLE) * CAST(pl.n AS DOUBLE))
+             / 1e12 AS within_ms,
+           (CAST(ls.a AS DOUBLE)
+              / (CAST(pl.n AS DOUBLE) * CAST(pl.n AS DOUBLE))
+            - 2 * CAST(ls.cx AS DOUBLE)
+              / (CAST(pl.n AS DOUBLE) * CAST(tot.nn AS DOUBLE))
+            + CAST(tot.aa AS DOUBLE)
+              / (CAST(tot.nn AS DOUBLE) * CAST(tot.nn AS DOUBLE)))
+             / 1e12 AS centroid_dist2
+    FROM per_label pl
+    JOIN lbl_sums ls ON pl.label = ls.label
+    CROSS JOIN tot
+    """,
+)
+def vec_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality decomposition per embedding label: the
+    within-cluster mean squared spread (the `vec_dispersion`
+    statistic) alongside each label centroid's squared distance to
+    the GLOBAL centroid — the per-cluster view of the
+    Calinski-Harabasz between/within trade used to QA label
+    partitions and embedding mixtures. Everything derives from the
+    same one-pass integer sums: ||c_l - c||^2 expands to
+    a_l/n_l^2 - 2*cross_l/(n_l*N) + A/N^2 with a_l = sum_d S_ld^2,
+    cross_l = sum_d S_ld*T_d, A = sum_d T_d^2 — ALL integers
+    (128-bit), so no cross-engine float accumulation exists; each
+    output value is a fixed chain of IEEE ops on exact integers.
+
+    100-TB shape: one posexplode feeds label-dim partials that
+    partial-combine map-side; the global per-dim table is 64 rows
+    (broadcast); no second corpus pass, no pairwise anything."""
+    from ..operators.cache import tracked_persist
+
+    emb = t(spark, sf_dir, "embeddings")
+    u = (emb.select("label", "vec_id",
+                    F.posexplode("embedding").alias("d", "ev"))
+         .select("label", "vec_id", "d",
+                 F.floor(F.col("ev").cast("double") * 1000000)
+                 .cast("long").alias("v")))
+    u = tracked_persist(u)
+    d38 = "decimal(38,0)"
+    per_dim = tracked_persist(
+        u.groupBy("label", "d")
+        .agg(F.sum(F.col("v").cast(d38)).alias("s")))
+    glob_dim = (per_dim.groupBy("d")
+                .agg(F.sum("s").cast(d38).alias("t")))
+    glob_dim = tracked_persist(glob_dim)
+    per_label = (u.groupBy("label")
+                 .agg(F.countDistinct("vec_id").cast(d38).alias("n"),
+                      F.sum(F.col("v").cast(d38) * F.col("v"))
+                      .alias("q")))
+    lbl_sums = (per_dim.join(F.broadcast(glob_dim), "d")
+                .groupBy("label")
+                .agg(F.sum(F.col("s") * F.col("s")).alias("a"),
+                     F.sum(F.col("s") * F.col("t")).alias("cx")))
+    tot = (glob_dim.agg(F.sum(F.col("t") * F.col("t")).cast(d38)
+                        .alias("aa"))
+           .crossJoin(F.broadcast(
+               per_label.agg(F.sum("n").cast(d38).alias("nn")))))
+    nd = F.col("n").cast("double")
+    nnd = F.col("nn").cast("double")
+    within = ((F.col("n") * F.col("q") - F.col("a")).cast("double")
+              / (nd * nd) / F.lit(1e12))
+    dist2 = ((F.col("a").cast("double") / (nd * nd)
+              - 2 * F.col("cx").cast("double") / (nd * nnd)
+              + F.col("aa").cast("double") / (nnd * nnd))
+             / F.lit(1e12))
+    return (per_label.join(lbl_sums, "label")
+            .crossJoin(F.broadcast(tot))
+            .select("label", F.col("n").cast("long").alias("n_vectors"),
+                    within.alias("within_ms"),
+                    dist2.alias("centroid_dist2")))

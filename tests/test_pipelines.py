@@ -970,3 +970,117 @@ def test_cumulative_distinct_replays_in_python(spark):
             assert nc >= prev
             prev = nc
         assert cum == len(types[u])
+
+
+def test_cluster_quality_replays_in_python(spark):
+    """Within/between decomposition: the integer-sum expansion equals
+    the direct centroid computation; within matches vec_dispersion."""
+    import math
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["vec_cluster_quality"].fn(spark, sf).collect()
+    assert rows
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("label", "embedding").collect())
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            [math.floor(float(v) * 1000000) for v in r.embedding])
+    dims = len(next(iter(by_label.values()))[0])
+    tot_n = sum(len(v) for v in by_label.values())
+    t_d = [sum(vec[d] for vecs in by_label.values() for vec in vecs)
+           for d in range(dims)]
+    aa = sum(x * x for x in t_d)
+    got = {r.label: r for r in rows}
+    assert set(got) == set(by_label)
+    disp = {r.label: r.dispersion for r in
+            REGISTRY["vec_dispersion"].fn(spark, sf).collect()}
+    for lb, vecs in by_label.items():
+        n = len(vecs)
+        q = sum(v * v for vec in vecs for v in vec)
+        s_d = [sum(col) for col in zip(*vecs)]
+        a = sum(x * x for x in s_d)
+        cx = sum(s * tt for s, tt in zip(s_d, t_d))
+        r = got[lb]
+        assert r.n_vectors == n
+        within = float(n * q - a) / (float(n) * float(n)) / 1e12
+        assert r.within_ms == within
+        assert r.within_ms == disp[lb]   # same statistic, two keys
+        d2 = (float(a) / (float(n) * float(n))
+              - 2 * float(cx) / (float(n) * float(tot_n))
+              + float(aa) / (float(tot_n) * float(tot_n))) / 1e12
+        assert r.centroid_dist2 == d2
+        # direct centroid cross-check
+        c_l = [s / n for s in s_d]
+        c_g = [x / tot_n for x in t_d]
+        direct = sum((x - y) ** 2 for x, y in zip(c_l, c_g)) / 1e12
+        assert abs(direct - d2) < 1e-9 * max(1.0, abs(d2))
+
+
+def test_vocab_stats_replays_in_python(spark):
+    """Vocab/hapax/TTR per source: exact count replay and ratio
+    identities."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["text_vocab_stats"].fn(spark, sf).collect()
+    assert rows
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("source", "text").collect())
+    cnt = {}
+    for r in docs:
+        for tk in r.text.split(" "):
+            k = (r.source, tk)
+            cnt[k] = cnt.get(k, 0) + 1
+    per = {}
+    for (src, _), c in cnt.items():
+        s = per.setdefault(src, [0, 0, 0])
+        s[0] += c
+        s[1] += 1
+        s[2] += 1 if c == 1 else 0
+    got = {r.source: r for r in rows}
+    assert set(got) == set(per)
+    for src, (ntok, vocab, hapax) in per.items():
+        r = got[src]
+        assert (r.n_tokens, r.vocab_size, r.hapax_count) == \
+            (ntok, vocab, hapax)
+        assert r.hapax_share == float(hapax) / float(vocab)
+        assert r.type_token_ratio == float(vocab) / float(ntok)
+        assert 0.0 < r.type_token_ratio <= 1.0
+
+
+def test_interarrival_replays_in_python(spark):
+    """Gap percentiles: histogram-rank replay (lower median / lower
+    p90 / max), and ordering median <= p90 <= max."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["event_interarrival_stats"].fn(spark, sf).collect()
+    assert rows
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("user_id", "event_type",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                  .alias("us")).collect())
+    seqs = {}
+    for r in ev:
+        seqs.setdefault((r.user_id, r.event_type), []).append(r.us)
+    gaps = {}
+    for (u, ty), ts_list in seqs.items():
+        ts_list.sort()
+        for a, b in zip(ts_list, ts_list[1:]):
+            gaps.setdefault(ty, []).append(b - a)
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(gaps)
+    for ty, gs in gaps.items():
+        gs.sort()
+        n = len(gs)
+        med = gs[-(-n // 2) - 1]            # lower median: rank ceil(n/2)
+        p90 = gs[-(-9 * n // 10) - 1]       # rank ceil(0.9n)
+        r = got[ty]
+        assert r.n_gaps == n
+        assert r.median_gap_us == med
+        assert r.p90_gap_us == p90
+        assert r.max_gap_us == gs[-1]
+        assert med <= p90 <= gs[-1]

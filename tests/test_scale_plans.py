@@ -315,3 +315,36 @@ def test_quantized_ann_window_has_partial_group_limit(spark, sf_dir):
         # the Partial limit must sit BELOW the q_id exchange
         part = plan.split("Exchange hashpartitioning(q_id", 1)
         assert len(part) == 2 and "Partial" in part[1], key
+
+
+def test_sweepline_window_runs_over_aggregated_series(spark, sf_dir):
+    """win_intervals_overlap's cumulative-sum window must consume the
+    (priority, day) AGGREGATE, not raw order rows — the property that
+    keeps the serialized-window hazard calendar-bounded. Plans print
+    top-down, so every Window node must have a HashAggregate below it."""
+    plan = _plan(REGISTRY["win_intervals_overlap"].fn(spark, sf_dir))
+    assert "Window" in plan
+    first_window_below = plan.split("Window", 1)[1]
+    assert "HashAggregate" in first_window_below, plan
+
+
+def test_weighted_median_window_over_value_histogram(spark, sf_dir):
+    """agg_weighted_median's cumsum window likewise runs over the
+    (flag, cents) histogram aggregate, never raw lineitems."""
+    plan = _plan(REGISTRY["agg_weighted_median"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "HashAggregate" in plan.split("Window", 1)[1], plan
+
+
+def test_collocations_topk_is_partial(spark, sf_dir):
+    """text_collocations' top-100 must plan as TakeOrderedAndProject
+    (per-partition partial top-k), never a global Sort+Limit."""
+    plan = _plan(REGISTRY["text_collocations"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_sample_estimate_single_scan(spark, sf_dir):
+    """agg_sample_estimate computes the sampled and exact sides in ONE
+    scan (CASE aggregates), not a second pass over lineitem."""
+    plan = _plan(REGISTRY["agg_sample_estimate"].fn(spark, sf_dir))
+    assert plan.count("Scan parquet") == 1, plan
