@@ -121,6 +121,8 @@ _NEXT_SWEEP_QUEUE = [
     "win_cumulative_distinct",
     "vec_cluster_quality", "text_vocab_stats",
     "event_interarrival_stats",
+    "event_active_users", "agg_benford_digits", "event_ab_test",
+    "agg_exact_deciles", "order_basket_lift", "join_asof_nearest",
 ]
 
 

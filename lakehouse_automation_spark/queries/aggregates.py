@@ -1061,3 +1061,136 @@ def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_estimate"),
         err.alias("rel_err"),
         (err <= 0.05).alias("within_bound"))
+
+
+@register(
+    "agg_benford_digits",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                                   * 100 AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), cnt AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt
+    )
+    SELECT c.digit, c.n,
+           CAST(c.n AS DOUBLE) / CAST(tot.total AS DOUBLE)
+             AS observed_share,
+           ROUND(ln(1.0 + 1.0 / CAST(c.digit AS DOUBLE))
+                 / ln(10.0), 9) AS benford_share
+    FROM cnt c CROSS JOIN tot
+    """,
+)
+def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation log10(1 + 1/d) — the classic fabricated-data
+    / fraud screen auditors run over financial columns, and a cheap
+    drift alarm for generated datasets. The leading digit comes from
+    the STRING of the exact integer cents (never log10/pow, whose
+    last-ulp could flip a 9.9999→10 boundary between engines);
+    counts are exact and the observed share is one shared IEEE
+    divide. The Benford column is a 9-value constant expression,
+    round(9)-pinned (the one ln() in the key, applied to constants).
+
+    100-TB shape: one scan, one partial+final agg to <= 9 rows,
+    1-row total broadcast."""
+    from ..operators.cache import tracked_persist
+
+    cnt = (t(spark, sf_dir, "orders")
+           .filter(F.col("o_totalprice") > 0)
+           .select(F.substring(
+               (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+               .cast("long").cast("string"), 1, 1)
+               .cast("long").alias("digit"))
+           .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
+    cnt = tracked_persist(cnt)   # total + shares read it
+    tot = cnt.agg(F.sum("n").alias("total"))
+    return (cnt.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    (F.col("n").cast("double")
+                     / F.col("total").cast("double"))
+                    .alias("observed_share"),
+                    F.round(F.log(1.0 + 1.0 / F.col("digit")
+                                  .cast("double")) / F.log(F.lit(10.0)),
+                            9).alias("benford_share")))
+
+
+@register(
+    "agg_exact_deciles",
+    oracle="""
+    WITH pv AS (
+      SELECT l_returnflag,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS cents,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), cum AS (
+      SELECT l_returnflag, cents, w,
+             CAST(SUM(w) OVER (
+               PARTITION BY l_returnflag ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY l_returnflag)
+               AS BIGINT) AS tw
+      FROM pv
+    )
+    SELECT l_returnflag, CAST(MAX(tw) AS BIGINT) AS n_rows,
+           CAST(MIN(CASE WHEN 10 * cw >= 1 * tw THEN cents END)
+                AS DOUBLE) / 100 AS p10,
+           CAST(MIN(CASE WHEN 10 * cw >= 2 * tw THEN cents END)
+                AS DOUBLE) / 100 AS p20,
+           CAST(MIN(CASE WHEN 10 * cw >= 3 * tw THEN cents END)
+                AS DOUBLE) / 100 AS p30,
+           CAST(MIN(CASE WHEN 10 * cw >= 4 * tw THEN cents END)
+                AS DOUBLE) / 100 AS p40,
+           CAST(MIN(CASE WHEN 10 * cw >= 5 * tw THEN cents END)
+                AS DOUBLE) / 100 AS p50,
+           CAST(MIN(CASE WHEN 10 * cw >= 6 * tw THEN cents END)
+                AS DOUBLE) / 100 AS p60,
+           CAST(MIN(CASE WHEN 10 * cw >= 7 * tw THEN cents END)
+                AS DOUBLE) / 100 AS p70,
+           CAST(MIN(CASE WHEN 10 * cw >= 8 * tw THEN cents END)
+                AS DOUBLE) / 100 AS p80,
+           CAST(MIN(CASE WHEN 10 * cw >= 9 * tw THEN cents END)
+                AS DOUBLE) / 100 AS p90
+    FROM cum GROUP BY l_returnflag
+    """,
+)
+def agg_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT deciles p10..p90 per flag at 100-TB scale — the third
+    percentile tier: `agg_percentile` (exact, but per-group value
+    collection that cannot scale past one reducer per group),
+    `agg_percentile_approx` (GK sketch, scalable but approximate),
+    and THIS — exact AND scalable via the `agg_weighted_median`
+    histogram-rank technique generalized to nine cut points: collapse
+    rows to the (flag, cents) value histogram, one cumulative-sum
+    window over it, and each lower decile is the pure-integer
+    predicate 10*cum >= d*total. No interpolation, no per-group
+    collection; the window input is price-cardinality-bounded.
+
+    100-TB shape: the histogram pre-aggregate partial-combines raw
+    lineitems down to <= |distinct prices| rows per flag; one
+    flag-partitioned cumsum window; one collapsing agg to 3 rows."""
+    from pyspark.sql import Window as W
+
+    pv = (t(spark, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                  .cast("long").alias("cents"))
+          .groupBy("l_returnflag", "cents")
+          .agg(F.count(F.lit(1)).alias("w")))
+    wc = (W.partitionBy("l_returnflag").orderBy("cents")
+          .rowsBetween(W.unboundedPreceding, W.currentRow))
+    cum = (pv.withColumn("cw", F.sum("w").over(wc))
+           .withColumn("tw",
+                       F.sum("w").over(W.partitionBy("l_returnflag"))))
+    aggs = [F.max("tw").alias("n_rows")]
+    for d in range(1, 10):
+        aggs.append(
+            (F.min(F.when(10 * F.col("cw") >= d * F.col("tw"),
+                          F.col("cents"))).cast("double") / F.lit(100))
+            .alias(f"p{d}0"))
+    return cum.groupBy("l_returnflag").agg(*aggs)

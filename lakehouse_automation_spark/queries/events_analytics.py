@@ -1129,3 +1129,184 @@ def event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.min(F.when(10 * F.col("cw") >= 9 * F.col("tw"),
                               F.col("gap"))).alias("p90_gap_us"),
                  F.max("gap").alias("max_gap_us")))
+
+
+@register(
+    "event_active_users",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id,
+             epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      FROM events
+    ), span AS (
+      SELECT MIN(day) AS d0, MAX(day) AS d1 FROM active
+    ), dau AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM active
+      GROUP BY 1
+    ), covers AS (
+      SELECT DISTINCT a.user_id, a.day + g.i AS day
+      FROM active a,
+           LATERAL (SELECT unnest(range(0, 7)) AS i) g
+    ), wau AS (
+      SELECT c.day, CAST(COUNT(*) AS BIGINT) AS wau
+      FROM covers c CROSS JOIN span
+      WHERE c.day <= span.d1
+      GROUP BY 1
+    )
+    SELECT w.day, COALESCE(d.dau, 0) AS dau, w.wau,
+           CAST(COALESCE(d.dau, 0) AS DOUBLE) / CAST(w.wau AS DOUBLE)
+             AS stickiness
+    FROM wau w LEFT JOIN dau d ON w.day = d.day
+    """,
+)
+def event_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the most-used
+    engagement metric family. Sliding-window COUNT(DISTINCT) does not
+    scale as a window function (per-frame distinct state grows with
+    history), so the rewrite: each (user, active-day) pair COVERS the
+    7 days it contributes to — explode the compacted active-pair set
+    by a 7-element sequence, re-distinct, and a trailing-distinct
+    count becomes a plain per-day count. Counts exact; stickiness
+    (DAU/WAU) is one shared IEEE divide. Days past the corpus end
+    are clipped so every reported day is a real observation window.
+
+    100-TB shape: the active-pair distinct partial-combines raw
+    events down to user x day; the x7 explode runs on THAT compacted
+    set (bounded by 7 x active pairs, independent of per-day event
+    volume); both counts partial-combine; the 1-row span broadcasts."""
+    from ..operators.cache import tracked_persist
+
+    active = (t(spark, sf_dir, "events")
+              .select("user_id",
+                      F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                             " div 86400000000").alias("day"))
+              .distinct())
+    active = tracked_persist(active)   # dau + covers + span read it
+    span = active.agg(F.max("day").alias("d1"))
+    dau = active.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    covers = (active
+              .select("user_id",
+                      F.explode(F.sequence(F.col("day"),
+                                           F.col("day") + 6))
+                      .alias("day"))
+              .distinct())
+    wau = (covers.crossJoin(F.broadcast(span))
+           .filter(F.col("day") <= F.col("d1"))
+           .groupBy("day").agg(F.count(F.lit(1)).alias("wau")))
+    return (wau.join(dau, "day", "left")
+            .select("day",
+                    F.coalesce("dau", F.lit(0)).cast("long")
+                    .alias("dau"),
+                    "wau",
+                    (F.coalesce("dau", F.lit(0)).cast("double")
+                     / F.col("wau").cast("double"))
+                    .alias("stickiness")))
+
+
+@register(
+    "event_ab_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id,
+             CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 2 AS grp
+      FROM (SELECT DISTINCT user_id FROM events)
+    ), conv AS (
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id HAVING COUNT(*) >= 15
+    ), cells AS (
+      SELECT a.grp,
+             CAST(COUNT(*) AS BIGINT) AS n_users,
+             CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_converted
+      FROM assigned a LEFT JOIN conv c ON a.user_id = c.user_id
+      GROUP BY 1
+    ), wide AS (
+      SELECT
+        MAX(CASE WHEN grp = 0 THEN n_users END) AS n_a,
+        MAX(CASE WHEN grp = 0 THEN n_converted END) AS c_a,
+        MAX(CASE WHEN grp = 1 THEN n_users END) AS n_b,
+        MAX(CASE WHEN grp = 1 THEN n_converted END) AS c_b
+      FROM cells
+    ), rates AS (
+      SELECT n_a, c_a, n_b, c_b,
+             CAST(c_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+             CAST(c_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+             CAST(c_a + c_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)
+               AS pooled
+      FROM wide
+    )
+    SELECT n_a, c_a, n_b, c_b, rate_a, rate_b,
+           rate_b - rate_a AS uplift,
+           (rate_b - rate_a)
+             / NULLIF(sqrt(pooled * (1 - pooled)
+                           * (1 / CAST(n_a AS DOUBLE)
+                              + 1 / CAST(n_b AS DOUBLE))), 0)
+             AS z_score
+    FROM rates
+    """,
+)
+def event_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B conversion test: users split 50/50 by a
+    DETERMINISTIC md5 hash (the assignment every experimentation
+    platform needs - stable under re-runs, joins, and backfills;
+    never rand()), conversion = a heavy-purchaser threshold (>= 15
+    purchase events), output the two cell counts, rates, uplift, and
+    the pooled two-proportion z-score. Counts are exact integers;
+    every derived value is a fixed chain of IEEE ops (sqrt only -
+    correctly rounded everywhere) written identically in both
+    engines; a degenerate corpus (conversion rate 0 or 1 -> zero
+    pooled variance) yields a NULL z-score via the same NULLIF guard
+    in both, never an ANSI divide-by-zero.
+
+    100-TB shape: distinct-user and converter aggregates
+    partial-combine; one user-keyed left join; the cell agg collapses
+    to 2 rows and the pivot to 1 - nothing driver-side."""
+    from ..operators.dedup import portable_hash
+
+    users = (t(spark, sf_dir, "events")
+             .select("user_id").distinct())
+    assigned = users.select(
+        "user_id",
+        (portable_hash(F.concat(F.lit("ab:"),
+                                F.col("user_id").cast("string")))
+         % 2).alias("grp"))
+    conv = (t(spark, sf_dir, "events")
+            .filter(F.col("event_type") == "purchase")
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") >= 15)
+            .select("user_id")
+            .withColumn("_c", F.lit(1)))
+    cells = (assigned.join(conv, "user_id", "left")
+             .groupBy("grp")
+             .agg(F.count(F.lit(1)).alias("n_users"),
+                  F.sum(F.when(F.col("_c").isNotNull(), 1).otherwise(0))
+                  .cast("long").alias("n_converted")))
+    wide = cells.agg(
+        F.max(F.when(F.col("grp") == 0, F.col("n_users")))
+        .alias("n_a"),
+        F.max(F.when(F.col("grp") == 0, F.col("n_converted")))
+        .alias("c_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_users")))
+        .alias("n_b"),
+        F.max(F.when(F.col("grp") == 1, F.col("n_converted")))
+        .alias("c_b"))
+    ra = F.col("c_a").cast("double") / F.col("n_a").cast("double")
+    rb = F.col("c_b").cast("double") / F.col("n_b").cast("double")
+    pooled = ((F.col("c_a") + F.col("c_b")).cast("double")
+              / (F.col("n_a") + F.col("n_b")).cast("double"))
+    rates = wide.select(
+        "n_a", "c_a", "n_b", "c_b",
+        ra.alias("rate_a"), rb.alias("rate_b"),
+        pooled.alias("pooled"))
+    den = F.sqrt(F.col("pooled") * (1 - F.col("pooled"))
+                 * (1 / F.col("n_a").cast("double")
+                    + 1 / F.col("n_b").cast("double")))
+    return (rates
+            .withColumn("_den", den)
+            .select(
+                "n_a", "c_a", "n_b", "c_b", "rate_a", "rate_b",
+                (F.col("rate_b") - F.col("rate_a")).alias("uplift"),
+                ((F.col("rate_b") - F.col("rate_a"))
+                 / F.expr("nullif(_den, 0.0D)")).alias("z_score")))

@@ -694,3 +694,160 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_events"),
                  (F.sum("cents").cast("double") / F.lit(100.0))
                  .alias("revenue")))
+
+
+@register(
+    "order_basket_lift",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), n_ord AS (
+      SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n FROM op
+    ), per_part AS (
+      SELECT p, CAST(COUNT(*) AS BIGINT) AS n_p FROM op GROUP BY p
+    ), pairs AS (
+      SELECT a.p AS part_a, b.p AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    )
+    SELECT pr.part_a, pr.part_b, pr.n_ab,
+           pa.n_p AS n_a, pb.n_p AS n_b,
+           (CAST(pr.n_ab AS DOUBLE) * CAST(n_ord.n AS DOUBLE))
+             / (CAST(pa.n_p AS DOUBLE) * CAST(pb.n_p AS DOUBLE))
+             AS lift
+    FROM pairs pr
+    JOIN per_part pa ON pa.p = pr.part_a
+    JOIN per_part pb ON pb.p = pr.part_b
+    CROSS JOIN n_ord
+    ORDER BY lift DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def order_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over real order contents: top
+    co-purchased part pairs by lift P(ab)/(P(a)P(b)) — the
+    recommendation / assortment primitive, complementing
+    `event_cooccurrence` (user-level event types) with true
+    basket-level item pairs. The pair self-join shuffles on
+    l_orderkey with fan-out bounded by TPC-H's <= 7 lineitems per
+    order (<= 21 pairs); the n_ab >= 3 support floor prunes the
+    singleton-pair tail BEFORE the part-count attach joins; lift is
+    ONE shared IEEE expression; top-100 ties break on the pair key.
+
+    100-TB shape: the distinct (order, part) projection
+    partial-combines; pair fan-out is constant-bounded; per-part
+    counts join on part keys (vocab-sized, shuffled not broadcast);
+    the 1-row order total broadcasts; TakeOrderedAndProject top-k."""
+    from ..operators.cache import tracked_persist
+
+    op = (t(spark, sf_dir, "lineitem")
+          .select(F.col("l_orderkey").alias("o"),
+                  F.col("l_partkey").alias("p"))
+          .distinct())
+    op = tracked_persist(op)   # pairs (twice) + counts + total
+    n_ord = op.agg(F.countDistinct("o").alias("n"))
+    per_part = op.groupBy("p").agg(F.count(F.lit(1)).alias("n_p"))
+    a = op.select("o", F.col("p").alias("part_a"))
+    b = op.select("o", F.col("p").alias("part_b"))
+    pairs = (a.join(b, "o")
+             .filter(F.col("part_a") < F.col("part_b"))
+             .groupBy("part_a", "part_b")
+             .agg(F.count(F.lit(1)).alias("n_ab"))
+             .filter(F.col("n_ab") >= 3))
+    pa = per_part.select(F.col("p").alias("part_a"),
+                         F.col("n_p").alias("n_a"))
+    pb = per_part.select(F.col("p").alias("part_b"),
+                         F.col("n_p").alias("n_b"))
+    return (pairs.join(pa, "part_a").join(pb, "part_b")
+            .crossJoin(F.broadcast(n_ord))
+            .select("part_a", "part_b", "n_ab", "n_a", "n_b",
+                    ((F.col("n_ab").cast("double")
+                      * F.col("n").cast("double"))
+                     / (F.col("n_a").cast("double")
+                        * F.col("n_b").cast("double"))).alias("lift"))
+            .orderBy(F.desc("lift"), F.asc("part_a"), F.asc("part_b"))
+            .limit(100))
+
+
+@register(
+    "join_asof_nearest",
+    oracle="""
+    WITH errors  AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events WHERE event_type = 'error'),
+         signups AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+                     FROM events WHERE event_type = 'signup'),
+         back AS (
+           SELECT e.event_id, e.user_id, e.ts, s.ts AS b_ts
+           FROM errors e ASOF LEFT JOIN signups s
+             ON e.user_id = s.user_id AND e.ts >= s.ts
+         ),
+         fwd AS (
+           SELECT e.event_id, s.ts AS f_ts
+           FROM errors e ASOF LEFT JOIN signups s
+             ON e.user_id = s.user_id AND e.ts <= s.ts
+         )
+    SELECT b.event_id, b.user_id, b.ts AS error_ts,
+           CASE
+             WHEN b.b_ts IS NULL THEN f.f_ts
+             WHEN f.f_ts IS NULL THEN b.b_ts
+             WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                  <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_ts
+             ELSE f.f_ts
+           END AS nearest_signup_ts,
+           CASE
+             WHEN b.b_ts IS NULL AND f.f_ts IS NULL THEN NULL
+             WHEN b.b_ts IS NULL THEN 'after'
+             WHEN f.f_ts IS NULL THEN 'before'
+             WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                  <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN 'before'
+             ELSE 'after'
+           END AS direction
+    FROM back b JOIN fwd f ON b.event_id = f.event_id
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'):
+    each error matches the closest signup by the same user in EITHER
+    direction, ties to the earlier (backward) side — completing the
+    as-of family (backward / forward / tolerance / nearest).
+    Composed from the two union-scan passes and a pure integer-
+    microsecond distance compare — no interval join, no row
+    multiplication; the oracle restates it as two DuckDB ASOF joins
+    plus the same CASE.
+
+    100-TB shape: two single-shuffle as-of passes (each the proven
+    union-scan plan) joined back on the unique event id — 3 shuffles
+    total, all key-partitioned, nothing broadcast or driver-side."""
+    from ..operators.asof import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts")
+    back = (asof_join(errors, signups, on="user_id",
+                      left_ts="ts", right_ts="ts",
+                      right_value_as="b_ts", direction="backward")
+            .select("event_id", "user_id", "ts", "b_ts"))
+    fwd = (asof_join(errors, signups, on="user_id",
+                     left_ts="ts", right_ts="ts",
+                     right_value_as="f_ts", direction="forward")
+           .select(F.col("event_id").alias("event_id"), "f_ts"))
+    j = back.join(fwd, "event_id")
+    us = lambda c: F.expr(f"unix_micros(CAST({c} AS TIMESTAMP))")
+    back_closer = (us("ts") - us("b_ts")) <= (us("f_ts") - us("ts"))
+    nearest = (F.when(F.col("b_ts").isNull(), F.col("f_ts"))
+               .when(F.col("f_ts").isNull(), F.col("b_ts"))
+               .when(back_closer, F.col("b_ts"))
+               .otherwise(F.col("f_ts")))
+    direction = (F.when(F.col("b_ts").isNull()
+                        & F.col("f_ts").isNull(), F.lit(None))
+                 .when(F.col("b_ts").isNull(), F.lit("after"))
+                 .when(F.col("f_ts").isNull(), F.lit("before"))
+                 .when(back_closer, F.lit("before"))
+                 .otherwise(F.lit("after")))
+    return j.select("event_id", "user_id",
+                    F.col("ts").alias("error_ts"),
+                    nearest.alias("nearest_signup_ts"),
+                    direction.alias("direction"))

@@ -1084,3 +1084,207 @@ def test_interarrival_replays_in_python(spark):
         assert r.p90_gap_us == p90
         assert r.max_gap_us == gs[-1]
         assert med <= p90 <= gs[-1]
+
+
+def test_active_users_replays_in_python(spark):
+    """DAU/WAU cover rewrite: exact replay vs the direct trailing
+    7-day distinct, day clipping, and DAU <= WAU."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["event_active_users"].fn(spark, sf).collect()
+    assert rows
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("user_id",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))"
+                         " div 86400000000").alias("day")).collect())
+    active = {(r.user_id, r.day) for r in ev}
+    d1 = max(d for _, d in active)
+    days = sorted({d for _, d in active})
+    got = {r.day: r for r in rows}
+    # reported days: union of 7-day covers, clipped at corpus end
+    want_days = sorted({d + i for _, d in active for i in range(7)
+                        if d + i <= d1})
+    assert sorted(got) == want_days
+    for day in want_days:
+        dau = len({u for u, d in active if d == day})
+        wau = len({u for u, d in active if day - 6 <= d <= day})
+        r = got[day]
+        assert (r.dau, r.wau) == (dau, wau), day
+        assert r.stickiness == float(dau) / float(wau)
+        assert r.dau <= r.wau
+
+
+def test_benford_replays_in_python(spark):
+    """Leading-digit counts from exact cent strings; shares sum to 1;
+    benford column matches log10(1+1/d)."""
+    import math
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_benford_digits"].fn(spark, sf).collect()
+    assert rows
+    orders = (spark.read.parquet(f"{sf}/orders.parquet")
+              .select("o_totalprice").collect())
+    cnt = {}
+    for r in orders:
+        if r.o_totalprice <= 0:
+            continue
+        d = int(str(int(Decimal(str(r.o_totalprice)) * 100))[0])
+        cnt[d] = cnt.get(d, 0) + 1
+    got = {r.digit: r for r in rows}
+    assert {d: r.n for d, r in got.items()} == cnt
+    total = sum(cnt.values())
+    for d, r in got.items():
+        assert r.observed_share == float(cnt[d]) / float(total)
+        assert r.benford_share == round(
+            math.log(1.0 + 1.0 / float(d)) / math.log(10.0), 9)
+    assert abs(sum(r.observed_share for r in rows) - 1.0) < 1e-12
+
+
+def test_ab_test_replays_in_python(spark):
+    """Hash assignment, threshold conversion, and the pooled z-score
+    replay exactly; the degenerate-variance guard yields NULL."""
+    import hashlib
+    import math
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["event_ab_test"].fn(spark, sf).collect()
+    assert len(rows) == 1
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("user_id", "event_type").collect())
+    users = {r.user_id for r in ev}
+    purchases = {}
+    for r in ev:
+        if r.event_type == "purchase":
+            purchases[r.user_id] = purchases.get(r.user_id, 0) + 1
+    conv = {u for u, n in purchases.items() if n >= 15}
+    cells = {0: [0, 0], 1: [0, 0]}
+    for u in users:
+        g = int(hashlib.md5(f"ab:{u}".encode()).hexdigest()[:15],
+                16) % 2
+        cells[g][0] += 1
+        if u in conv:
+            cells[g][1] += 1
+    (n_a, c_a), (n_b, c_b) = cells[0], cells[1]
+    r = rows[0]
+    assert (r.n_a, r.c_a, r.n_b, r.c_b) == (n_a, c_a, n_b, c_b)
+    ra, rb = float(c_a) / float(n_a), float(c_b) / float(n_b)
+    assert (r.rate_a, r.rate_b) == (ra, rb)
+    assert r.uplift == rb - ra
+    pooled = float(c_a + c_b) / float(n_a + n_b)
+    den = math.sqrt(pooled * (1 - pooled)
+                    * (1 / float(n_a) + 1 / float(n_b)))
+    if den == 0.0:
+        assert r.z_score is None
+    else:
+        assert r.z_score == (rb - ra) / den
+    # the split must be non-degenerate on the real corpus
+    assert n_a > 0 and n_b > 0
+
+
+def test_exact_deciles_replay_in_python(spark):
+    """Histogram-rank deciles equal the direct sorted-rank lower
+    quantiles, monotone p10 <= ... <= p90."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_exact_deciles"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_returnflag", "l_extendedprice").collect())
+    vals = {}
+    for r in li:
+        vals.setdefault(r.l_returnflag, []).append(
+            int(Decimal(str(r.l_extendedprice)) * 100))
+    got = {r.l_returnflag: r for r in rows}
+    assert set(got) == set(vals)
+    for fl, xs in vals.items():
+        xs.sort()
+        n = len(xs)
+        r = got[fl]
+        assert r.n_rows == n
+        prev = None
+        for d in range(1, 10):
+            k = -(-d * n // 10)          # ceil(d*n/10)
+            want = xs[k - 1] / 100
+            gotv = getattr(r, f"p{d}0")
+            assert gotv == want, (fl, d)
+            if prev is not None:
+                assert gotv >= prev
+            prev = gotv
+
+
+def test_basket_lift_replays_in_python(spark):
+    """Part-pair counts, support floor, shared-IEEE lift, and the
+    deterministic top-100 ordering replay from raw lineitems."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["order_basket_lift"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_orderkey", "l_partkey").collect())
+    op = {(r.l_orderkey, r.l_partkey) for r in li}
+    orders = {}
+    per_part = {}
+    for o, p in op:
+        orders.setdefault(o, set()).add(p)
+        per_part[p] = per_part.get(p, 0) + 1
+    n_ord = len(orders)
+    pair = {}
+    for parts in orders.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1:]:
+                pair[(a, b)] = pair.get((a, b), 0) + 1
+    scored = []
+    for (a, b), n_ab in pair.items():
+        if n_ab < 3:
+            continue
+        lift = (float(n_ab) * float(n_ord)) / \
+            (float(per_part[a]) * float(per_part[b]))
+        scored.append((a, b, n_ab, per_part[a], per_part[b], lift))
+    scored.sort(key=lambda s: (-s[5], s[0], s[1]))
+    got = [(r.part_a, r.part_b, r.n_ab, r.n_a, r.n_b, r.lift)
+           for r in rows]
+    assert got == scored[:100]
+
+
+def test_asof_nearest_replays_in_python(spark):
+    """Nearest = closer of backward/forward with ties to 'before';
+    agrees with a direct per-error nearest scan."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["join_asof_nearest"].fn(spark, sf).collect()
+    assert rows
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("event_id", "user_id", "event_type",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                  .alias("us"), "ts").collect())
+    signups = {}
+    errors = []
+    for r in ev:
+        if r.event_type == "signup":
+            signups.setdefault(r.user_id, []).append((r.us, r.ts))
+        elif r.event_type == "error":
+            errors.append(r)
+    got = {r.event_id: r for r in rows}
+    assert len(got) == len(errors)
+    for e in errors:
+        cands = signups.get(e.user_id, [])
+        r = got[e.event_id]
+        if not cands:
+            assert r.nearest_signup_ts is None and r.direction is None
+            continue
+        best = min(cands, key=lambda c: (abs(c[0] - e.us),
+                                         0 if c[0] <= e.us else 1))
+        assert r.nearest_signup_ts == best[1], e.event_id
+        assert r.direction == ("before" if best[0] <= e.us else "after")

@@ -135,6 +135,22 @@ def main() -> None:
     ss = {tuple(r) for r in salted(spark, skw).collect()}
     out["sessionize_salted_matches_plain"] = ps == ss
 
+    # round-7 third wave: the two new user-partitioned windows under
+    # the hot user (~20% of events in ONE un-splittable (user[, type])
+    # window partition — the worst case AQE cannot split).
+    # win_cumulative_distinct's window input is ACTIVE DAYS (the hot
+    # user still contributes <= span days), so it should be immune;
+    # event_interarrival_stats' lag window sees raw hot-user events
+    # but its downstream percentile runs on the gap histogram.
+    from lakehouse_automation_spark.operators.cache import release_persisted
+    for key, slug in (("win_cumulative_distinct", "cumdistinct"),
+                      ("event_interarrival_stats", "interarrival")):
+        fn = REGISTRY[key].fn
+        out[f"{slug}_uniform_sec"] = timed(lambda: noop(fn(spark, uni)))
+        release_persisted()
+        out[f"{slug}_skew_sec"] = timed(lambda: noop(fn(spark, skw)))
+        release_persisted()
+
     dst = os.path.join(root, "bench", "SKEW_sf1.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
