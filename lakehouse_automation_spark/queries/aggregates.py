@@ -1194,3 +1194,73 @@ def agg_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.col("cents"))).cast("double") / F.lit(100))
             .alias(f"p{d}0"))
     return cum.groupBy("l_returnflag").agg(*aggs)
+
+
+@register(
+    "agg_topk_share",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT nation, cents,
+             row_number() OVER (
+               PARTITION BY nation
+               ORDER BY cents DESC, o_custkey) AS rk
+      FROM rev
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100
+             AS total_revenue,
+           CAST(CAST(SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END)
+                     AS BIGINT) AS DOUBLE) / 100 AS top10_revenue,
+           CAST(CAST(SUM(CASE WHEN rk <= 10 THEN cents ELSE 0 END)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)
+             AS top10_share
+    FROM rk GROUP BY nation
+    """,
+)
+def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10-customer revenue share per nation — the concentration-
+    curve point ("what fraction do the biggest 10 accounts carry")
+    complementing `agg_gini`'s single-number inequality: gini says
+    HOW skewed, this says WHO carries it. Revenue is exact BIGINT
+    cents; the rank window partitions BY NATION (parallel across
+    groups, ties broken on customer key); the share is one shared
+    IEEE divide at the end.
+
+    100-TB shape: the per-customer agg partial-combines before one
+    o_custkey-grain shuffle; the rank window input is customers, not
+    orders; the final agg collapses to 25 rows."""
+    from pyspark.sql import Window as W
+
+    rev = (t(spark, sf_dir, "orders")
+           .select("o_custkey",
+                   F.col("o_totalprice").cast("decimal(18,2)")
+                   .alias("price"))
+           .join(F.broadcast(
+               t(spark, sf_dir, "customer")
+               .select(F.col("c_custkey").alias("o_custkey"),
+                       F.col("c_nationkey").alias("nation"))),
+               "o_custkey")
+           .groupBy("nation", "o_custkey")
+           .agg((F.sum("price") * 100).cast("long").alias("cents")))
+    wr = W.partitionBy("nation").orderBy(F.desc("cents"),
+                                         F.asc("o_custkey"))
+    rk = rev.withColumn("rk", F.row_number().over(wr))
+    top = F.sum(F.when(F.col("rk") <= 10, F.col("cents"))
+                .otherwise(0)).cast("long")
+    return (rk.groupBy("nation")
+            .agg(F.count(F.lit(1)).alias("n_customers"),
+                 (F.sum("cents").cast("long").cast("double")
+                  / F.lit(100)).alias("total_revenue"),
+                 (top.cast("double") / F.lit(100))
+                 .alias("top10_revenue"),
+                 (top.cast("double")
+                  / F.sum("cents").cast("long").cast("double"))
+                 .alias("top10_share")))

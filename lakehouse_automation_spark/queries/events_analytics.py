@@ -1310,3 +1310,119 @@ def event_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.col("rate_b") - F.col("rate_a")).alias("uplift"),
                 ((F.col("rate_b") - F.col("rate_a"))
                  / F.expr("nullif(_den, 0.0D)")).alias("z_score")))
+
+
+@register(
+    "event_attribution_linear",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), j AS (
+      SELECT user_id, event_id, event_type, us, cents,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS journey
+      FROM e
+    ), purchases AS (
+      SELECT user_id, journey, cents FROM j
+      WHERE event_type = 'purchase'
+    ), touches AS (
+      SELECT user_id, journey, event_type,
+             row_number() OVER (
+               PARTITION BY user_id, journey
+               ORDER BY us DESC, event_id DESC) AS rev_rk
+      FROM j WHERE event_type <> 'purchase'
+    ), stats AS (
+      SELECT user_id, journey, CAST(COUNT(*) AS BIGINT) AS n_touches
+      FROM touches GROUP BY 1, 2
+    ), credited AS (
+      SELECT t.event_type AS touch_type,
+             p.cents // s.n_touches
+               + CASE WHEN t.rev_rk = 1
+                      THEN p.cents % s.n_touches ELSE 0 END AS credit
+      FROM purchases p
+      JOIN stats s ON p.user_id = s.user_id AND p.journey = s.journey
+      JOIN touches t ON p.user_id = t.user_id AND p.journey = t.journey
+    ), organic AS (
+      SELECT 'organic' AS touch_type, p.cents AS credit
+      FROM purchases p LEFT JOIN stats s
+        ON p.user_id = s.user_id AND p.journey = s.journey
+      WHERE s.n_touches IS NULL
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_credits,
+           CAST(CAST(SUM(credit) AS BIGINT) AS DOUBLE) / 100
+             AS credited_revenue
+    FROM (SELECT * FROM credited UNION ALL SELECT * FROM organic)
+    GROUP BY touch_type
+    """,
+)
+def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR (multi-touch) attribution: each purchase's revenue is
+    split across ALL the user's touches since their previous purchase
+    (the journey window), completing the attribution pair with
+    `event_attribution`'s last-touch rule. EXACT by integer division:
+    each touch gets cents div n and the remainder cents mod n goes to
+    the final (closest) touch — credit conservation is an identity,
+    not a float approximation, so the per-type rollup hash-matches
+    across engines with no summation-order risk. Journeys with no
+    touches credit 'organic'.
+
+    The journey segmentation is ONE user_id window (running purchase
+    count over the preceding frame) — never a per-purchase as-of
+    self-join; touch counts and the purchase amount attach by
+    (user, journey) equi-joins on already-compacted rowsets.
+
+    100-TB shape: one user_id Exchange for the window; the
+    (user, journey) joins reuse user-grain partitioning; the final
+    agg collapses to |types|+1 rows; frame state is O(1)."""
+    ev = (t(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("us"),
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    wprev = (W.partitionBy("user_id").orderBy("us", "event_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+    j = ev.withColumn(
+        "journey",
+        F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                         .otherwise(0)).over(wprev),
+                   F.lit(0)).cast("long"))
+    from ..operators.cache import tracked_persist
+    j = tracked_persist(j)   # purchases + touches read it
+    purchases = (j.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "journey", "cents"))
+    wrev = (W.partitionBy("user_id", "journey")
+            .orderBy(F.desc("us"), F.desc("event_id")))
+    touches = (j.filter(F.col("event_type") != "purchase")
+               .withColumn("rev_rk", F.row_number().over(wrev))
+               .select("user_id", "journey",
+                       F.col("event_type").alias("touch_type"),
+                       "rev_rk"))
+    touches = tracked_persist(touches)   # stats + credit read it
+    stats = (touches.groupBy("user_id", "journey")
+             .agg(F.count(F.lit(1)).alias("n_touches")))
+    credited = (purchases
+                .join(stats, ["user_id", "journey"])
+                .join(touches, ["user_id", "journey"])
+                .select("touch_type",
+                        (F.expr("cents div n_touches")
+                         + F.when(F.col("rev_rk") == 1,
+                                  F.col("cents") % F.col("n_touches"))
+                         .otherwise(0)).alias("credit")))
+    organic = (purchases
+               .join(stats, ["user_id", "journey"], "left")
+               .filter(F.col("n_touches").isNull())
+               .select(F.lit("organic").alias("touch_type"),
+                       F.col("cents").alias("credit")))
+    return (credited.unionByName(organic)
+            .groupBy("touch_type")
+            .agg(F.count(F.lit(1)).alias("n_credits"),
+                 (F.sum("credit").cast("long").cast("double")
+                  / F.lit(100)).alias("credited_revenue")))

@@ -11,7 +11,7 @@ per-frame decoder. The real codec is stubbed
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..operators.dedup import portable_hash_sql
 from ..operators.multimodal import (
@@ -95,3 +95,57 @@ def mm_audio_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample math, JVM-side; the heavy resampler drops into the same
     mapInPandas slot as mm_resize when codec libs exist."""
     return audio_resample_meta(media_table(t(spark, sf_dir, "documents")))
+
+
+@register(
+    "mm_exact_dedup",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, md5(text) AS payload_md5,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ), grp AS (
+      SELECT payload_md5,
+             CAST(MIN(n_bytes) AS BIGINT) AS n_bytes,
+             CAST(COUNT(*) AS BIGINT) AS n_copies,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+      FROM sig GROUP BY 1
+    )
+    SELECT s.doc_id, s.payload_md5, g.n_copies, g.keeper_id,
+           CAST(CASE WHEN s.doc_id = g.keeper_id THEN 1 ELSE 0 END
+                AS INT) AS is_keeper
+    FROM sig s JOIN grp g ON s.payload_md5 = g.payload_md5
+    """,
+)
+def mm_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact BINARY-payload dedup over the multimodal table — the
+    byte-identical tier every media pipeline runs first (re-crawled
+    images, re-encoded uploads): md5 of the payload BYTES groups
+    copies, smallest doc_id is the keeper. The signature is computed
+    on the binary column (the text-bytes stand-in, like every mm_*
+    key), so the same plan applies to real image/audio payloads
+    unchanged; the oracle replays it as md5 of the identical UTF-8
+    bytes.
+
+    100-TB shape: one scan computes 16-byte signatures map-side —
+    the shuffle carries (md5, doc_id), never payloads; the group agg
+    partial-combines; the membership re-attach is a signature-keyed
+    equi-join (nothing broadcast corpus-side)."""
+    from ..operators.multimodal import media_table
+    from ..operators.cache import tracked_persist
+
+    media = media_table(t(spark, sf_dir, "documents"))
+    sig = (media.select("doc_id",
+                        F.md5("payload").alias("payload_md5"),
+                        "n_bytes"))
+    sig = tracked_persist(sig)   # grouped + re-attach sides
+    grp = (sig.groupBy("payload_md5")
+           .agg(F.min("n_bytes").alias("n_bytes"),
+                F.count(F.lit(1)).alias("n_copies"),
+                F.min("doc_id").alias("keeper_id")))
+    return (sig.select("doc_id", "payload_md5")
+            .join(grp.select("payload_md5", "n_copies", "keeper_id"),
+                  "payload_md5")
+            .select("doc_id", "payload_md5", "n_copies", "keeper_id",
+                    F.when(F.col("doc_id") == F.col("keeper_id"), 1)
+                    .otherwise(0).cast("int").alias("is_keeper")))

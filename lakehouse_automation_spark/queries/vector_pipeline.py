@@ -906,3 +906,106 @@ def vec_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("label", F.col("n").cast("long").alias("n_vectors"),
                     within.alias("within_ms"),
                     dist2.alias("centroid_dist2")))
+
+
+@register(
+    "vec_centroid_drift",
+    oracle="""
+    WITH u AS (
+      SELECT label, vec_id,
+             CAST(('0x' || substr(md5('dr:' || CAST(vec_id AS VARCHAR)),
+                                  1, 15)) AS BIGINT) % 2 AS half,
+             d,
+             CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d)
+    ), per_dim AS (
+      SELECT label, half, d,
+             CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s
+      FROM u GROUP BY 1, 2, 3
+    ), n_half AS (
+      SELECT label, half,
+             CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n
+      FROM u GROUP BY 1, 2
+    ), sums AS (
+      SELECT a.label,
+             SUM(a.s * a.s) AS aa,
+             SUM(b.s * b.s) AS bb,
+             SUM(a.s * b.s) AS ab
+      FROM per_dim a
+      JOIN per_dim b ON a.label = b.label AND a.d = b.d
+      WHERE a.half = 0 AND b.half = 1
+      GROUP BY 1
+    )
+    SELECT s.label,
+           CAST(na.n AS BIGINT) AS n_a, CAST(nb.n AS BIGINT) AS n_b,
+           (CAST(s.aa AS DOUBLE)
+              / (CAST(na.n AS DOUBLE) * CAST(na.n AS DOUBLE))
+            - 2 * CAST(s.ab AS DOUBLE)
+              / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE))
+            + CAST(s.bb AS DOUBLE)
+              / (CAST(nb.n AS DOUBLE) * CAST(nb.n AS DOUBLE)))
+             / 1e12 AS drift_dist2
+    FROM sums s
+    JOIN n_half na ON na.label = s.label AND na.half = 0
+    JOIN n_half nb ON nb.label = s.label AND nb.half = 1
+    """,
+)
+def vec_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift check per label: split each label's vectors
+    into two DETERMINISTIC md5 halves and measure the squared
+    distance between the half-centroids — the self-consistency
+    monitor for embedding pipelines (a healthy homogeneous label
+    yields drift ~ 2*within/n; a bimodal or corrupted one spikes).
+    The same expansion discipline as `vec_cluster_quality`:
+    ||cA - cB||^2 = aa/nA^2 - 2*ab/(nA*nB) + bb/nB^2 with every sum
+    a 128-bit integer over floored 1e-6 fixed-point units, so the
+    value is a fixed IEEE chain with no cross-engine float
+    accumulation anywhere.
+
+    100-TB shape: one posexplode with the hash-half tag computed
+    map-side; per-(label, half, dim) sums partial-combine; the
+    dim-aligned join runs on the tiny |labels| x 2 x 64 sum table."""
+    from ..operators.cache import tracked_persist
+    from ..operators.dedup import portable_hash
+
+    emb = t(spark, sf_dir, "embeddings")
+    half = (portable_hash(F.concat(F.lit("dr:"),
+                                   F.col("vec_id").cast("string")))
+            % 2).alias("half")
+    u = (emb.select("label", "vec_id", half,
+                    F.posexplode("embedding").alias("d", "ev"))
+         .select("label", "vec_id", "half", "d",
+                 F.floor(F.col("ev").cast("double") * 1000000)
+                 .cast("long").alias("v")))
+    u = tracked_persist(u)
+    d38 = "decimal(38,0)"
+    per_dim = tracked_persist(
+        u.groupBy("label", "half", "d")
+        .agg(F.sum(F.col("v").cast(d38)).alias("s")))
+    n_half = (u.groupBy("label", "half")
+              .agg(F.countDistinct("vec_id").cast(d38).alias("n")))
+    a = (per_dim.filter(F.col("half") == 0)
+         .select("label", "d", F.col("s").alias("sa")))
+    b = (per_dim.filter(F.col("half") == 1)
+         .select("label", "d", F.col("s").alias("sb")))
+    sums = (a.join(b, ["label", "d"])
+            .groupBy("label")
+            .agg(F.sum(F.col("sa") * F.col("sa")).alias("aa"),
+                 F.sum(F.col("sb") * F.col("sb")).alias("bb"),
+                 F.sum(F.col("sa") * F.col("sb")).alias("ab")))
+    na = (n_half.filter(F.col("half") == 0)
+          .select("label", F.col("n").alias("n_a")))
+    nb = (n_half.filter(F.col("half") == 1)
+          .select("label", F.col("n").alias("n_b")))
+    nad = F.col("n_a").cast("double")
+    nbd = F.col("n_b").cast("double")
+    return (sums.join(na, "label").join(nb, "label")
+            .select("label",
+                    F.col("n_a").cast("long").alias("n_a"),
+                    F.col("n_b").cast("long").alias("n_b"),
+                    ((F.col("aa").cast("double") / (nad * nad)
+                      - 2 * F.col("ab").cast("double") / (nad * nbd)
+                      + F.col("bb").cast("double") / (nbd * nbd))
+                     / F.lit(1e12)).alias("drift_dist2")))

@@ -1288,3 +1288,163 @@ def test_asof_nearest_replays_in_python(spark):
                                          0 if c[0] <= e.us else 1))
         assert r.nearest_signup_ts == best[1], e.event_id
         assert r.direction == ("before" if best[0] <= e.us else "after")
+
+
+def test_mm_exact_dedup_replays_in_python(spark):
+    """Binary-payload md5 groups: exact membership, keeper = min id,
+    copies conserved."""
+    import hashlib
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["mm_exact_dedup"].fn(spark, sf).collect()
+    assert rows
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("doc_id", "text").collect())
+    sig = {r.doc_id: hashlib.md5(r.text.encode("utf-8")).hexdigest()
+           for r in docs}
+    groups = {}
+    for did, h in sig.items():
+        groups.setdefault(h, []).append(did)
+    got = {r.doc_id: r for r in rows}
+    assert set(got) == set(sig)
+    for did, r in got.items():
+        h = sig[did]
+        assert r.payload_md5 == h
+        assert r.n_copies == len(groups[h])
+        assert r.keeper_id == min(groups[h])
+        assert r.is_keeper == (1 if did == min(groups[h]) else 0)
+    assert sum(r.is_keeper for r in rows) == len(groups)
+
+
+def test_topk_share_replays_in_python(spark):
+    """Top-10 concentration: exact cent replay, rank tie-break on
+    customer key, share identities and bounds."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_topk_share"].fn(spark, sf).collect()
+    assert rows
+    orders = (spark.read.parquet(f"{sf}/orders.parquet")
+              .select("o_custkey", "o_totalprice").collect())
+    nat = {r.c_custkey: r.c_nationkey for r in
+           spark.read.parquet(f"{sf}/customer.parquet").collect()}
+    rev = {}
+    for r in orders:
+        k = (nat[r.o_custkey], r.o_custkey)
+        rev[k] = rev.get(k, 0) + int(
+            Decimal(str(r.o_totalprice)) * 100)
+    by_nat = {}
+    for (nk, ck), cents in rev.items():
+        by_nat.setdefault(nk, []).append((cents, ck))
+    got = {r.nation: r for r in rows}
+    assert set(got) == set(by_nat)
+    for nk, xs in by_nat.items():
+        xs.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(c for c, _ in xs)
+        top = sum(c for c, _ in xs[:10])
+        r = got[nk]
+        assert r.n_customers == len(xs)
+        assert r.total_revenue == total / 100
+        assert r.top10_revenue == top / 100
+        assert r.top10_share == float(top) / float(total)
+        assert 0.0 < r.top10_share <= 1.0
+
+
+def test_centroid_drift_replays_in_python(spark):
+    """Hash-half centroid distance: the integer expansion equals the
+    direct two-centroid computation; non-negative."""
+    import hashlib
+    import math
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["vec_centroid_drift"].fn(spark, sf).collect()
+    assert rows
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("vec_id", "label", "embedding").collect())
+    halves = {}
+    for r in emb:
+        h = int(hashlib.md5(f"dr:{r.vec_id}".encode()).hexdigest()[:15],
+                16) % 2
+        halves.setdefault((r.label, h), []).append(
+            [math.floor(float(v) * 1000000) for v in r.embedding])
+    got = {r.label: r for r in rows}
+    labels = {lb for lb, _ in halves}
+    # key emits only labels with BOTH halves populated
+    both = {lb for lb in labels
+            if (lb, 0) in halves and (lb, 1) in halves}
+    assert set(got) == both
+    for lb in both:
+        va, vb = halves[(lb, 0)], halves[(lb, 1)]
+        na, nb = len(va), len(vb)
+        sa = [sum(c) for c in zip(*va)]
+        sb = [sum(c) for c in zip(*vb)]
+        aa = sum(x * x for x in sa)
+        bb = sum(x * x for x in sb)
+        ab = sum(x * y for x, y in zip(sa, sb))
+        want = (float(aa) / (float(na) * float(na))
+                - 2 * float(ab) / (float(na) * float(nb))
+                + float(bb) / (float(nb) * float(nb))) / 1e12
+        r = got[lb]
+        assert (r.n_a, r.n_b) == (na, nb)
+        assert r.drift_dist2 == want
+        assert r.drift_dist2 >= 0.0
+        ca = [s / na for s in sa]
+        cb = [s / nb for s in sb]
+        direct = sum((x - y) ** 2 for x, y in zip(ca, cb)) / 1e12
+        assert abs(direct - want) < 1e-9 * max(1.0, want)
+
+
+def test_attribution_linear_replays_and_conserves(spark):
+    """Linear attribution: integer credit replay (div + remainder to
+    the closest touch), and TOTAL credit == TOTAL purchase revenue
+    (conservation is an identity, not an approximation)."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["event_attribution_linear"].fn(spark, sf).collect()
+    assert rows
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("user_id", "event_id", "event_type",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                  .alias("us"),
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")).collect())
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    total_purchase_cents = 0
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r.us, r.event_id))
+        journey = []
+        for r in evs:
+            if r.event_type == "purchase":
+                total_purchase_cents += r.cents
+                n = len(journey)
+                if n == 0:
+                    c = want.setdefault("organic", [0, 0])
+                    c[0] += 1
+                    c[1] += r.cents
+                else:
+                    base = r.cents // n
+                    rem = r.cents % n
+                    for i, ty in enumerate(journey):
+                        c = want.setdefault(ty, [0, 0])
+                        c[0] += 1
+                        c[1] += base + (rem if i == n - 1 else 0)
+                journey = []
+            else:
+                journey.append(r.event_type)
+    got = {r.touch_type: (r.n_credits, r.credited_revenue)
+           for r in rows}
+    assert set(got) == set(want)
+    for ty, (n, cents) in want.items():
+        assert got[ty] == (n, cents / 100), ty
+    assert abs(sum(v for _, v in got.values())
+               - total_purchase_cents / 100) < 1e-9

@@ -458,3 +458,110 @@ def test_bloom_fp_rate_within_2x_theoretical():
         assert tbl.point_scan("k", 1_000_000 + 2).count() == 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["A", "B"]),
+                  st.integers(1, 5000)),        # cents
+        min_size=1, max_size=60,
+    )
+)
+def test_exact_deciles_equal_sorted_rank_random(rows):
+    """Random cent multisets incl. heavy ties: the histogram-rank
+    predicate 10*cum >= d*total must pick EXACTLY the sorted-rank
+    ceil(d*n/10) element for every decile and group."""
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="las_prop_dec_")
+    try:
+        pd.DataFrame(
+            [dict(l_returnflag=f, l_extendedprice=c / 100.0)
+             for f, c in rows]
+        ).to_parquet(f"{d}/lineitem.parquet", index=False)
+        got = {r.l_returnflag: r for r in
+               REGISTRY["agg_exact_deciles"].fn(_spark(), d).collect()}
+        by_flag: dict = {}
+        for f, c in rows:
+            by_flag.setdefault(f, []).append(c)
+        assert set(got) == set(by_flag)
+        for f, xs in by_flag.items():
+            xs.sort()
+            n = len(xs)
+            assert got[f].n_rows == n
+            for dd in range(1, 10):
+                k = -(-dd * n // 10)
+                assert getattr(got[f], f"p{dd}0") == xs[k - 1] / 100, \
+                    (f, dd, xs)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    orders=st.lists(
+        st.tuples(st.integers(0, 40),      # start day offset
+                  st.integers(0, 15),      # duration (ship - order)
+                  st.sampled_from(["1-URGENT", "3-MEDIUM"])),
+        min_size=1, max_size=25,
+    )
+)
+def test_intervals_overlap_equals_bruteforce_random(orders):
+    """Random interval sets incl. single-day and fully-nested spans:
+    the sweep-line peak must equal the brute-force per-day maximum,
+    with the first-peak-day tie-break."""
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    base = dt.date(2024, 1, 1)
+    o_rows, l_rows = [], []
+    for i, (s, dur, pri) in enumerate(orders):
+        o_rows.append(dict(o_orderkey=i, o_custkey=1, o_orderstatus="O",
+                           o_totalprice=1.0,
+                           o_orderdate=base + dt.timedelta(days=s),
+                           o_orderpriority=pri))
+        l_rows.append(dict(l_orderkey=i, l_partkey=1, l_suppkey=1,
+                           l_linenumber=1, l_quantity=1.0,
+                           l_extendedprice=1.0, l_discount=0.0,
+                           l_tax=0.0, l_returnflag="N",
+                           l_linestatus="O",
+                           l_shipdate=base + dt.timedelta(days=s + dur)))
+    d = tempfile.mkdtemp(prefix="las_prop_iv_")
+    try:
+        pd.DataFrame(o_rows).to_parquet(f"{d}/orders.parquet",
+                                        index=False)
+        pd.DataFrame(l_rows).to_parquet(f"{d}/lineitem.parquet",
+                                        index=False)
+        got = {r.priority: (r.peak_open, r.peak_day, r.n_orders)
+               for r in REGISTRY["win_intervals_overlap"]
+               .fn(_spark(), d).collect()}
+        day0 = (base - dt.date(1970, 1, 1)).days
+        by_pri: dict = {}
+        for s, dur, pri in orders:
+            by_pri.setdefault(pri, []).append((day0 + s,
+                                               day0 + s + dur))
+        assert set(got) == set(by_pri)
+        for pri, ivs in by_pri.items():
+            lo = min(s for s, _ in ivs)
+            hi = max(e for _, e in ivs)
+            best, best_day = None, None
+            for day in range(lo, hi + 1):
+                open_now = sum(1 for s, e in ivs if s <= day <= e)
+                if best is None or open_now > best:
+                    best, best_day = open_now, day
+            assert got[pri] == (best, best_day, len(ivs)), pri
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

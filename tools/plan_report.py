@@ -69,6 +69,13 @@ NOTES = {
     "ts_crosscorr": "day-keyed self-join over the persisted 25xdays rollup; 128-bit integer cross sums collapse to the 300-row pair triangle.",
     "vec_dispersion": "64-way posexplode partial-combines to labelx64 sums map-side; both aggregates reuse one persisted exploded projection.",
     "text_collocations": "unigram/bigram aggs partial-combine before token-keyed shuffles; the support floor prunes the bigram tail before the vocab joins; top-100 is TakeOrderedAndProject.",
+    "agg_exact_deciles": "value-histogram pre-agg collapses rows before the flag-partitioned cumsum window; nine integer cut predicates in one collapsing agg.",
+    "order_basket_lift": "orderkey pair self-join (fan-out <= 21/order), support-floor HAVING before the part-count attach joins, TakeOrderedAndProject top-100.",
+    "join_asof_nearest": "two union-scan as-of passes (backward + forward) joined on the unique event id — 3 key-partitioned shuffles, no row multiplication.",
+    "event_active_users": "distinct active-pair agg, x7 cover explode on the compacted set, re-distinct, per-day counts; span broadcast for end clipping.",
+    "agg_sample_estimate": "ONE lineitem scan computes exact and sampled sides as CASE aggregates (plan-asserted single Scan parquet).",
+    "win_cumulative_distinct": "first-occurrence and active-day aggregates share user-grain shuffles; the cumsum window reads active days only.",
+    "event_interarrival_stats": "lag window on (user, type); gaps collapse to the (type, gap) histogram before the type-keyed cumsum window.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -88,7 +95,11 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "agg_bitmap_distinct", "join_dpp_partition_pruned",
           "vec_binary_topk",
           "win_intervals_overlap", "ts_crosscorr", "vec_dispersion",
-          "text_collocations"]
+          "text_collocations",
+          "agg_exact_deciles", "order_basket_lift",
+          "join_asof_nearest", "event_active_users",
+          "agg_sample_estimate", "win_cumulative_distinct",
+          "event_interarrival_stats"]
 
 
 def main() -> int:
