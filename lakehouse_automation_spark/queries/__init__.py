@@ -124,7 +124,7 @@ _NEXT_SWEEP_QUEUE = [
     "event_active_users", "agg_benford_digits", "event_ab_test",
     "agg_exact_deciles", "order_basket_lift", "join_asof_nearest",
     "mm_exact_dedup", "agg_topk_share", "vec_centroid_drift",
-    "event_attribution_linear",
+    "event_attribution_linear", "win_skyline", "text_vocab_coverage",
 ]
 
 

@@ -1320,3 +1320,73 @@ def text_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("vocab_size").cast("double")
                      / F.col("n_tokens").cast("double"))
                     .alias("type_token_ratio")))
+
+
+@register(
+    "text_vocab_coverage",
+    oracle="""
+    WITH cnt AS (
+      SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY tok
+    ), rk AS (
+      SELECT c,
+             row_number() OVER (ORDER BY c DESC, tok) AS rnk,
+             CAST(SUM(c) OVER (
+               ORDER BY c DESC, tok
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(c) OVER () AS BIGINT) AS total
+      FROM cnt
+    )
+    SELECT CAST(sz AS BIGINT) AS vocab_size,
+           CAST(MAX(CASE WHEN rnk <= sz THEN cum END) AS BIGINT)
+             AS covered_tokens,
+           CAST(MAX(total) AS BIGINT) AS total_tokens,
+           CAST(MAX(CASE WHEN rnk <= sz THEN cum END) AS DOUBLE)
+             / CAST(MAX(total) AS DOUBLE) AS coverage
+    FROM rk, LATERAL (SELECT unnest([100, 1000, 10000, 100000]) AS sz)
+    WHERE rnk <= sz
+    GROUP BY sz
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-mass coverage at vocab sizes 100/1k/10k/100k — the
+    tokenizer-sizing curve ("what fraction of the corpus does a
+    top-N vocabulary cover"), the decision input for vocab budgets
+    and OOV policies. Tokens rank by (count DESC, token) so ties are
+    deterministic; the cumulative mass at each cut is an exact
+    integer; coverage is one shared IEEE divide per row. Cuts where
+    the vocabulary is smaller than the cut report the full-vocab
+    mass (coverage 1.0).
+
+    100-TB shape: the unigram count partial-combines before its
+    token-keyed shuffle; the rank/cumsum window runs over the VOCAB
+    (vocab-sized, not corpus-sized — and the production form would
+    pre-prune with a count floor); the output is 4 rows."""
+    from ..operators.cache import tracked_persist
+
+    cnt = (t(spark, sf_dir, "documents")
+           .select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+           .groupBy("tok").agg(F.count(F.lit(1)).alias("c")))
+    wr = Window.orderBy(F.desc("c"), F.asc("tok"))
+    wcum = wr.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wtot = Window.partitionBy()
+    rk = (cnt.withColumn("rnk", F.row_number().over(wr))
+          .withColumn("cum", F.sum("c").over(wcum))
+          .withColumn("total", F.sum("c").over(wtot)))
+    rk = tracked_persist(rk)   # four cut filters read it
+    sizes = rk.sparkSession.createDataFrame(
+        [(100,), (1000,), (10000,), (100000,)], ["vocab_size"])
+    return (rk.crossJoin(F.broadcast(sizes))
+            .filter(F.col("rnk") <= F.col("vocab_size"))
+            .groupBy("vocab_size")
+            .agg(F.max(F.when(F.col("rnk") <= F.col("vocab_size"),
+                              F.col("cum"))).alias("covered_tokens"),
+                 F.max("total").alias("total_tokens"))
+            .select(F.col("vocab_size").cast("long").alias("vocab_size"),
+                    "covered_tokens", "total_tokens",
+                    (F.col("covered_tokens").cast("double")
+                     / F.col("total_tokens").cast("double"))
+                    .alias("coverage")))

@@ -528,3 +528,61 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_new_types")))
     return j.withColumn("n_cum_distinct",
                         F.sum("n_new_types").over(wc).cast("long"))
+
+
+@register(
+    "win_skyline",
+    oracle="""
+    WITH pts AS (
+      SELECT p_partkey,
+             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT) AS price_cents,
+             CAST(p_size AS BIGINT) AS p_size
+      FROM part
+    ), best AS (
+      SELECT p_partkey, price_cents, p_size,
+             MIN(price_cents) OVER (
+               ORDER BY p_size, price_cents, p_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_prev
+      FROM pts
+    )
+    SELECT p_partkey, CAST(price_cents AS DOUBLE) / 100 AS price,
+           p_size
+    FROM best
+    WHERE best_prev IS NULL OR price_cents < best_prev
+    """,
+)
+def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D SKYLINE (Pareto frontier): the parts no other part strictly
+    beats on both smaller-size and cheaper-price — the dominance
+    operator (cheapest-per-quality tradeoff curves, candidate pruning
+    before expensive ranking) that naive SQL writes as an O(n^2)
+    NOT-EXISTS anti-self-join. The scalable rewrite: sort by (size,
+    price) and a point is on the frontier iff its price beats the
+    running MIN over everything sorted before it — ONE window, one
+    pass. The (size, price, key) composite order makes equal-size
+    groups self-consistent: within a size, only the cheapest survives
+    (later equal-size rows see the earlier cheaper price in the
+    running min) and ties break deterministically.
+
+    100-TB shape: this demo runs the window unpartitioned (the
+    frontier is global) — the production form range-partitions by
+    size, computes per-partition frontiers, and merges the bounded
+    frontier set (frontier size <= distinct sizes, tiny); the
+    anti-self-join alternative can never run at scale. Values exact
+    cents/integers; no doubles until display."""
+    pts = (t(spark, sf_dir, "part")
+           .select("p_partkey",
+                   (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+                   .cast("long").alias("price_cents"),
+                   F.col("p_size").cast("long").alias("p_size")))
+    wb = (W.orderBy("p_size", "price_cents", "p_partkey")
+          .rowsBetween(W.unboundedPreceding, -1))
+    best = pts.withColumn("best_prev", F.min("price_cents").over(wb))
+    return (best.filter(F.col("best_prev").isNull()
+                        | (F.col("price_cents") < F.col("best_prev")))
+            .select("p_partkey",
+                    (F.col("price_cents").cast("double") / F.lit(100))
+                    .alias("price"),
+                    "p_size"))

@@ -1448,3 +1448,67 @@ def test_attribution_linear_replays_and_conserves(spark):
         assert got[ty] == (n, cents / 100), ty
     assert abs(sum(v for _, v in got.values())
                - total_purchase_cents / 100) < 1e-9
+
+
+def test_skyline_replays_in_python(spark):
+    """Pareto frontier: the one-window running-min rewrite equals the
+    O(n^2) dominance definition exactly."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["win_skyline"].fn(spark, sf).collect()
+    assert rows
+    parts = (spark.read.parquet(f"{sf}/part.parquet")
+             .select("p_partkey", "p_retailprice", "p_size").collect())
+    pts = [(int(Decimal(str(r.p_retailprice)) * 100), int(r.p_size),
+            r.p_partkey) for r in parts]
+    # brute force: p is dominated if some q has size<=, price<=, one
+    # strict; among exact duplicates the smallest key survives
+    frontier = set()
+    for price, size, key in pts:
+        dominated = any(
+            (q_s <= size and q_p <= price
+             and (q_s < size or q_p < price))
+            or (q_s == size and q_p == price and q_k < key)
+            for q_p, q_s, q_k in pts)
+        if not dominated:
+            frontier.add(key)
+    got = {r.p_partkey: (r.price, r.p_size) for r in rows}
+    assert set(got) == frontier
+    # frontier is strictly decreasing in price as size increases
+    seq = sorted(got.values(), key=lambda t: t[1])
+    for (pa, _), (pb, _) in zip(seq, seq[1:]):
+        assert pb < pa
+
+
+def test_vocab_coverage_replays_in_python(spark):
+    """Coverage curve: exact cumulative-mass replay at each cut,
+    monotone in vocab size, total conserved."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["text_vocab_coverage"].fn(spark, sf).collect()
+    assert rows
+    docs = (spark.read.parquet(f"{sf}/documents.parquet")
+            .select("text").collect())
+    cnt = {}
+    for r in docs:
+        for tk in r.text.split(" "):
+            cnt[tk] = cnt.get(tk, 0) + 1
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    got = {r.vocab_size: r for r in rows}
+    assert set(got) == {100, 1000, 10000, 100000}
+    prev = 0.0
+    for sz in (100, 1000, 10000, 100000):
+        covered = sum(c for _, c in ranked[:sz])
+        r = got[sz]
+        assert r.covered_tokens == covered
+        assert r.total_tokens == total
+        assert r.coverage == float(covered) / float(total)
+        assert r.coverage >= prev
+        prev = r.coverage
+    if len(ranked) <= 100000:
+        assert got[100000].coverage == 1.0
