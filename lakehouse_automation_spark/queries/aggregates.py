@@ -1264,3 +1264,58 @@ def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (top.cast("double")
                   / F.sum("cents").cast("long").cast("double"))
                  .alias("top10_share")))
+
+
+@register(
+    "agg_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nation, l.l_suppkey,
+             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS HUGEINT) AS cents
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    )
+    SELECT nation,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           CAST(CAST(SUM(cents) AS HUGEINT) AS DOUBLE) / 100
+             AS total_revenue,
+           CAST(SUM(cents * cents) AS DOUBLE)
+             / (CAST(CAST(SUM(cents) AS HUGEINT) AS DOUBLE)
+                * CAST(CAST(SUM(cents) AS HUGEINT) AS DOUBLE)) AS hhi
+    FROM rev GROUP BY nation
+    """,
+)
+def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index per nation
+    (sum of squared revenue shares, 1/n = even .. 1 = monopoly) —
+    the regulator's concentration number beside `agg_gini`'s
+    inequality and `agg_topk_share`'s head mass. The identity
+    HHI = sum(c_i^2) / (sum c_i)^2 makes it ONE aggregation over
+    exact cents: both the squared sum and the square of the sum are
+    128-bit integers (Spark DECIMAL(38,0), DuckDB HUGEINT), and the
+    single closing divide is shared-IEEE — no per-supplier share
+    division ever happens, so there is no float summation anywhere.
+
+    100-TB shape: per-supplier revenue partial-combines before one
+    shuffle; the HHI agg collapses to 25 rows; supplier broadcasts."""
+    d38 = "decimal(38,0)"
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"))
+    sup = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"),
+        F.col("s_nationkey").alias("nation"))
+    rev = (li.join(F.broadcast(sup), "l_suppkey")
+           .groupBy("nation", "l_suppkey")
+           .agg((F.sum("price") * 100).cast(d38).alias("cents")))
+    return (rev.groupBy("nation")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"),
+                 F.sum("cents").alias("s"),
+                 F.sum(F.col("cents") * F.col("cents")).alias("sq"))
+            .select("nation", "n_suppliers",
+                    (F.col("s").cast("double") / F.lit(100))
+                    .alias("total_revenue"),
+                    (F.col("sq").cast("double")
+                     / (F.col("s").cast("double")
+                        * F.col("s").cast("double"))).alias("hhi")))

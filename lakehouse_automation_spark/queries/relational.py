@@ -851,3 +851,57 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("ts").alias("error_ts"),
                     nearest.alias("nearest_signup_ts"),
                     direction.alias("direction"))
+
+
+@register(
+    "project_unpivot",
+    oracle="""
+    WITH long_form AS (
+      SELECT l_returnflag, 'quantity' AS measure,
+             CAST(l_quantity AS DECIMAL(18,2)) AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice',
+             CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount',
+             CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(val) AS DOUBLE) AS total,
+           CAST(SUM(val) AS DOUBLE) / COUNT(*) AS mean
+    FROM long_form GROUP BY 1, 2
+    """,
+)
+def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt (wide measures -> long (measure, value) rows) —
+    the reshape that feeds generic per-metric pipelines (profilers,
+    drift monitors, metric stores) without one hand-written branch
+    per column, exercising Spark's native `DataFrame.unpivot`
+    (SQL UNPIVOT). The melted stream is immediately aggregated per
+    (flag, measure) through the DECIMAL-sum convention, so the 3x
+    row expansion never leaves the map side; the oracle restates the
+    unpivot as the equivalent UNION ALL.
+
+    100-TB shape: unpivot is a stateless projection (no shuffle);
+    the only Exchange is the 3x|flags|x|measures|-group aggregate,
+    which partial-combines the expansion away."""
+    li = (t(spark, sf_dir, "lineitem")
+          .select("l_returnflag",
+                  F.col("l_quantity").cast("decimal(18,2)")
+                  .alias("quantity"),
+                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  .alias("extendedprice"),
+                  F.col("l_discount").cast("decimal(18,2)")
+                  .alias("discount")))
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["quantity", "extendedprice", "discount"],
+        variableColumnName="measure",
+        valueColumnName="val")
+    return (melted.groupBy("l_returnflag", "measure")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("val").cast("double").alias("total"),
+                 (F.sum("val").cast("double") / F.count(F.lit(1)))
+                 .alias("mean")))

@@ -1512,3 +1512,74 @@ def test_vocab_coverage_replays_in_python(spark):
         prev = r.coverage
     if len(ranked) <= 100000:
         assert got[100000].coverage == 1.0
+
+
+def test_hhi_replays_in_python(spark):
+    """HHI identity: sum(c^2)/(sum c)^2 replay with unbounded ints,
+    bounds 1/n <= hhi <= 1, and agreement with the direct
+    share-squares sum."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_hhi"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_suppkey", "l_extendedprice").collect())
+    nat = {r.s_suppkey: r.s_nationkey for r in
+           spark.read.parquet(f"{sf}/supplier.parquet").collect()}
+    rev = {}
+    for r in li:
+        k = (nat[r.l_suppkey], r.l_suppkey)
+        rev[k] = rev.get(k, 0) + int(
+            Decimal(str(r.l_extendedprice)) * 100)
+    by_nat = {}
+    for (nk, _), cents in rev.items():
+        by_nat.setdefault(nk, []).append(cents)
+    got = {r.nation: r for r in rows}
+    assert set(got) == set(by_nat)
+    for nk, xs in by_nat.items():
+        s = sum(xs)
+        sq = sum(x * x for x in xs)
+        r = got[nk]
+        assert r.n_suppliers == len(xs)
+        assert r.total_revenue == s / 100
+        want = float(sq) / (float(s) * float(s))
+        assert r.hhi == want
+        assert 1.0 / len(xs) - 1e-12 <= r.hhi <= 1.0
+        direct = sum((x / s) ** 2 for x in xs)
+        assert abs(direct - r.hhi) < 1e-9
+
+
+def test_unpivot_replays_in_python(spark):
+    """Melt: per-(flag, measure) counts and decimal-exact totals
+    replay; every measure keeps the full row count."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["project_unpivot"].fn(spark, sf).collect()
+    assert rows
+    li = (spark.read.parquet(f"{sf}/lineitem.parquet")
+          .select("l_returnflag", "l_quantity", "l_extendedprice",
+                  "l_discount").collect())
+    want = {}
+    n_flag = {}
+    for r in li:
+        n_flag[r.l_returnflag] = n_flag.get(r.l_returnflag, 0) + 1
+        for m, v in (("quantity", r.l_quantity),
+                     ("extendedprice", r.l_extendedprice),
+                     ("discount", r.l_discount)):
+            cell = want.setdefault((r.l_returnflag, m),
+                                   [0, Decimal(0)])
+            cell[0] += 1
+            cell[1] += Decimal(str(v)).quantize(Decimal("0.01"))
+    got = {(r.l_returnflag, r.measure): r for r in rows}
+    assert set(got) == set(want)
+    for (fl, m), (n, tot) in want.items():
+        r = got[(fl, m)]
+        assert r.n == n == n_flag[fl]
+        assert r.total == float(tot)
+        assert r.mean == float(tot) / n
