@@ -125,7 +125,7 @@ _NEXT_SWEEP_QUEUE = [
     "agg_exact_deciles", "order_basket_lift", "join_asof_nearest",
     "mm_exact_dedup", "agg_topk_share", "vec_centroid_drift",
     "event_attribution_linear", "win_skyline", "text_vocab_coverage",
-    "agg_hhi", "project_unpivot",
+    "agg_hhi", "project_unpivot", "event_attribution_first",
 ]
 
 

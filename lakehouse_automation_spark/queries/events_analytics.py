@@ -1426,3 +1426,87 @@ def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_credits"),
                  (F.sum("credit").cast("long").cast("double")
                   / F.lit(100)).alias("credited_revenue")))
+
+
+@register(
+    "event_attribution_first",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events
+    ), j AS (
+      SELECT user_id, event_id, event_type, us, cents,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS journey
+      FROM e
+    ), purchases AS (
+      SELECT user_id, journey, cents FROM j
+      WHERE event_type = 'purchase'
+    ), first_touch AS (
+      SELECT user_id, journey, event_type FROM (
+        SELECT user_id, journey, event_type,
+               row_number() OVER (
+                 PARTITION BY user_id, journey
+                 ORDER BY us, event_id) AS rk
+        FROM j WHERE event_type <> 'purchase')
+      WHERE rk = 1
+    )
+    SELECT COALESCE(f.event_type, 'organic') AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(CAST(SUM(p.cents) AS BIGINT) AS DOUBLE) / 100
+             AS revenue
+    FROM purchases p LEFT JOIN first_touch f
+      ON p.user_id = f.user_id AND p.journey = f.journey
+    GROUP BY 1
+    """,
+)
+def event_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST-touch attribution: each purchase credits the EARLIEST
+    touch of its journey window (the touches since the user's
+    previous purchase) — completing the standard attribution trio
+    (first / last / linear) with the same journey segmentation as
+    `event_attribution_linear`: one user window for journey ids, a
+    rank-1 pick per (user, journey), and integer-cent revenue so the
+    rollup hash-matches exactly. Journeys with no touches fall to
+    'organic'.
+
+    100-TB shape: one user_id Exchange for the window; the first-
+    touch pick and the purchase join both run at (user, journey)
+    grain on compacted rowsets; the final agg collapses to
+    |types|+1 rows."""
+    ev = (t(spark, sf_dir, "events")
+          .select("user_id", "event_id", "event_type",
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .alias("us"),
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    wprev = (W.partitionBy("user_id").orderBy("us", "event_id")
+             .rowsBetween(W.unboundedPreceding, -1))
+    j = ev.withColumn(
+        "journey",
+        F.coalesce(F.sum(F.when(F.col("event_type") == "purchase", 1)
+                         .otherwise(0)).over(wprev),
+                   F.lit(0)).cast("long"))
+    from ..operators.cache import tracked_persist
+    j = tracked_persist(j)   # purchases + first-touch read it
+    purchases = (j.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "journey", "cents"))
+    wfirst = (W.partitionBy("user_id", "journey")
+              .orderBy("us", "event_id"))
+    first_touch = (j.filter(F.col("event_type") != "purchase")
+                   .withColumn("rk", F.row_number().over(wfirst))
+                   .filter(F.col("rk") == 1)
+                   .select("user_id", "journey",
+                           F.col("event_type").alias("touch_type")))
+    return (purchases
+            .join(first_touch, ["user_id", "journey"], "left")
+            .groupBy(F.coalesce("touch_type", F.lit("organic"))
+                     .alias("touch_type"))
+            .agg(F.count(F.lit(1)).alias("n_purchases"),
+                 (F.sum("cents").cast("long").cast("double")
+                  / F.lit(100)).alias("revenue")))

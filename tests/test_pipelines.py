@@ -1583,3 +1583,42 @@ def test_unpivot_replays_in_python(spark):
         assert r.n == n == n_flag[fl]
         assert r.total == float(tot)
         assert r.mean == float(tot) / n
+
+
+def test_attribution_first_replays_and_agrees_with_linear(spark):
+    """First-touch: exact journey replay; total revenue equals the
+    linear rule's total (same purchases, different split)."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["event_attribution_first"].fn(spark, sf).collect()
+    assert rows
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("user_id", "event_id", "event_type",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                  .alias("us"),
+                  F.round(F.col("value") * 100).cast("long")
+                  .alias("cents")).collect())
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r.us, r.event_id))
+        first = None
+        for r in evs:
+            if r.event_type == "purchase":
+                ty = first if first is not None else "organic"
+                c = want.setdefault(ty, [0, 0])
+                c[0] += 1
+                c[1] += r.cents
+                first = None
+            elif first is None:
+                first = r.event_type
+    got = {r.touch_type: (r.n_purchases, r.revenue) for r in rows}
+    assert set(got) == set(want)
+    for ty, (n, cents) in want.items():
+        assert got[ty] == (n, cents / 100), ty
+    lin = REGISTRY["event_attribution_linear"].fn(spark, sf).collect()
+    assert abs(sum(v for _, v in got.values())
+               - sum(r.credited_revenue for r in lin)) < 1e-9
