@@ -76,6 +76,11 @@ NOTES = {
     "agg_sample_estimate": "ONE lineitem scan computes exact and sampled sides as CASE aggregates (plan-asserted single Scan parquet).",
     "win_cumulative_distinct": "first-occurrence and active-day aggregates share user-grain shuffles; the cumsum window reads active days only.",
     "event_interarrival_stats": "lag window on (user, type); gaps collapse to the (type, gap) histogram before the type-keyed cumsum window.",
+    "win_skyline": "one running-min window over the (size, price) sort — the O(n^2) dominance anti-join never exists in the plan.",
+    "text_vocab_coverage": "unigram agg partial-combines; the rank/cumsum window input is the vocab; 4-row output via a broadcast cut table.",
+    "agg_hhi": "per-supplier cents agg then ONE collapsing 128-bit sum-of-squares agg — no share division in the plan.",
+    "project_unpivot": "Expand (unpivot) is a stateless projection; the only Exchange is the (flag, measure) partial+final agg.",
+    "event_attribution_linear": "one user window for journey ids; purchases/touches/stats join at (user, journey) grain; |types|+1-row agg.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -99,7 +104,9 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "agg_exact_deciles", "order_basket_lift",
           "join_asof_nearest", "event_active_users",
           "agg_sample_estimate", "win_cumulative_distinct",
-          "event_interarrival_stats"]
+          "event_interarrival_stats",
+          "win_skyline", "text_vocab_coverage", "agg_hhi",
+          "project_unpivot", "event_attribution_linear"]
 
 
 def main() -> int:
