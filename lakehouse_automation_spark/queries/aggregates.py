@@ -1319,3 +1319,85 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("sq").cast("double")
                      / (F.col("s").cast("double")
                         * F.col("s").cast("double"))).alias("hhi")))
+
+
+@register(
+    "agg_pareto_8020",
+    oracle="""
+    WITH rev AS (
+      SELECT c.c_nationkey AS nation, o.o_custkey,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    ), rk AS (
+      SELECT nation, cents,
+             row_number() OVER (
+               PARTITION BY nation
+               ORDER BY cents DESC, o_custkey) AS rk,
+             CAST(SUM(cents) OVER (
+               PARTITION BY nation
+               ORDER BY cents DESC, o_custkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum,
+             CAST(SUM(cents) OVER (PARTITION BY nation) AS BIGINT)
+               AS total,
+             CAST(COUNT(*) OVER (PARTITION BY nation) AS BIGINT)
+               AS n_cust
+      FROM rev
+    )
+    SELECT nation, CAST(MAX(n_cust) AS BIGINT) AS n_customers,
+           CAST(MIN(CASE WHEN 5 * cum >= 4 * total THEN rk END)
+                AS BIGINT) AS n_for_80pct,
+           CAST(MIN(CASE WHEN 5 * cum >= 4 * total THEN rk END)
+                AS DOUBLE) / CAST(MAX(n_cust) AS DOUBLE)
+             AS share_of_customers
+    FROM rk GROUP BY nation
+    """,
+)
+def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Pareto 80/20 point per nation: the SMALLEST number of
+    top customers whose cumulative revenue reaches 80% of the
+    nation's total, and what fraction of the customer base that is —
+    the fourth concentration lens (gini = inequality, HHI =
+    regulator's number, topk_share = fixed-head mass, THIS = head
+    size at fixed mass). The threshold is the pure-integer predicate
+    5*cum >= 4*total over the descending-revenue cumulative sum —
+    no percentage arithmetic, no floats until the one display
+    divide; ranks tie-break on customer key.
+
+    100-TB shape: per-customer revenue partial-combines before one
+    o_custkey-grain shuffle; both windows share the nation(-ordered)
+    partitioning over the CUSTOMER-level rollup; the final agg
+    collapses to 25 rows."""
+    from pyspark.sql import Window as W
+
+    rev = (t(spark, sf_dir, "orders")
+           .select("o_custkey",
+                   F.col("o_totalprice").cast("decimal(18,2)")
+                   .alias("price"))
+           .join(F.broadcast(
+               t(spark, sf_dir, "customer")
+               .select(F.col("c_custkey").alias("o_custkey"),
+                       F.col("c_nationkey").alias("nation"))),
+               "o_custkey")
+           .groupBy("nation", "o_custkey")
+           .agg((F.sum("price") * 100).cast("long").alias("cents")))
+    wo = W.partitionBy("nation").orderBy(F.desc("cents"),
+                                         F.asc("o_custkey"))
+    rk = (rev
+          .withColumn("rk", F.row_number().over(wo))
+          .withColumn("cum", F.sum("cents").over(
+              wo.rowsBetween(W.unboundedPreceding, W.currentRow)))
+          .withColumn("total",
+                      F.sum("cents").over(W.partitionBy("nation")))
+          .withColumn("n_cust",
+                      F.count(F.lit(1)).over(W.partitionBy("nation"))))
+    hit = F.min(F.when(5 * F.col("cum") >= 4 * F.col("total"),
+                       F.col("rk")))
+    return (rk.groupBy("nation")
+            .agg(F.max("n_cust").alias("n_customers"),
+                 hit.alias("n_for_80pct"),
+                 (hit.cast("double")
+                  / F.max("n_cust").cast("double"))
+                 .alias("share_of_customers")))

@@ -1622,3 +1622,45 @@ def test_attribution_first_replays_and_agrees_with_linear(spark):
     lin = REGISTRY["event_attribution_linear"].fn(spark, sf).collect()
     assert abs(sum(v for _, v in got.values())
                - sum(r.credited_revenue for r in lin)) < 1e-9
+
+
+def test_pareto_8020_replays_in_python(spark):
+    """80/20 point: smallest k with cum >= 80% replay (integer
+    predicate), consistency with the top-10 share key's data, and
+    bounds 1 <= k <= n."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["agg_pareto_8020"].fn(spark, sf).collect()
+    assert rows
+    orders = (spark.read.parquet(f"{sf}/orders.parquet")
+              .select("o_custkey", "o_totalprice").collect())
+    nat = {r.c_custkey: r.c_nationkey for r in
+           spark.read.parquet(f"{sf}/customer.parquet").collect()}
+    rev = {}
+    for r in orders:
+        k = (nat[r.o_custkey], r.o_custkey)
+        rev[k] = rev.get(k, 0) + int(
+            Decimal(str(r.o_totalprice)) * 100)
+    by_nat = {}
+    for (nk, ck), cents in rev.items():
+        by_nat.setdefault(nk, []).append((cents, ck))
+    got = {r.nation: r for r in rows}
+    assert set(got) == set(by_nat)
+    for nk, xs in by_nat.items():
+        xs.sort(key=lambda t: (-t[0], t[1]))
+        total = sum(c for c, _ in xs)
+        cum = 0
+        k80 = None
+        for i, (c, _) in enumerate(xs, 1):
+            cum += c
+            if 5 * cum >= 4 * total:
+                k80 = i
+                break
+        r = got[nk]
+        assert r.n_customers == len(xs)
+        assert r.n_for_80pct == k80
+        assert r.share_of_customers == float(k80) / float(len(xs))
+        assert 1 <= r.n_for_80pct <= r.n_customers
