@@ -126,7 +126,7 @@ _NEXT_SWEEP_QUEUE = [
     "mm_exact_dedup", "agg_topk_share", "vec_centroid_drift",
     "event_attribution_linear", "win_skyline", "text_vocab_coverage",
     "agg_hhi", "project_unpivot", "event_attribution_first",
-    "agg_pareto_8020",
+    "agg_pareto_8020", "sink_json", "join_cross",
 ]
 
 

@@ -905,3 +905,34 @@ def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("val").cast("double").alias("total"),
                  (F.sum("val").cast("double") / F.count(F.lit(1)))
                  .alias("mean")))
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           CAST(CASE WHEN n.n_regionkey = r.r_regionkey
+                     THEN 1 ELSE 0 END AS INT) AS is_member
+    FROM region r CROSS JOIN nation n
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN of the two dimension tables (every
+    (region, nation) combination with a membership flag) — the last
+    join type of the matrix, exercised deliberately on BOUNDED
+    dimension inputs. The only safe cartesian at 100 TB is
+    dim x dim (|R| x |N| = 125 rows regardless of fact volume);
+    Spark plans it as a broadcast nested loop with the tiny side
+    broadcast, and the repo's convention everywhere else — cross
+    join ONLY against 1-row aggregates or broadcast constant tables
+    — is this same discipline.
+
+    100-TB shape: both inputs are dimension-sized; the product is
+    bounded by |dims|^2, never touched by fact tables."""
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    n = t(spark, sf_dir, "nation").select("n_regionkey", "n_name")
+    return (r.crossJoin(F.broadcast(n))
+            .select("r_name", "n_name",
+                    F.when(F.col("n_regionkey") == F.col("r_regionkey"),
+                           1).otherwise(0).cast("int")
+                    .alias("is_member")))

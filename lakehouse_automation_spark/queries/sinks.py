@@ -498,3 +498,40 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_lines"),
         F.sum(F.length("value")).cast("long").alias("total_chars"),
         F.countDistinct("value").cast("long").alias("n_distinct_lines"))
+
+
+@register(
+    "sink_json",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_sum
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines SINK round-trip (the write-side twin of
+    `scan_json`, completing the sink matrix: parquet / ORC / CSV /
+    partitioned / dynamic-overwrite / JSON): write an aggregate as
+    JSON lines, read it back with a declared schema. Doubles survive
+    because Spark writes shortest-roundtrip decimal representations;
+    the aggregate goes through the DECIMAL-sum convention first so
+    the value being round-tripped is already exact.
+
+    100-TB shape: the aggregate collapses before the write; JSON
+    files split on line offsets like CSV, so the read-back scan
+    parallelizes."""
+    path = _scratch(sf_dir, "priority_agg_json")
+    agg = (t(spark, sf_dir, "orders")
+           .groupBy("o_orderpriority")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double").alias("price_sum")))
+    agg.write.mode("overwrite").json(path)
+    schema = T.StructType([
+        T.StructField("o_orderpriority", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("price_sum", T.DoubleType()),
+    ])
+    return spark.read.schema(schema).json(path)

@@ -1664,3 +1664,41 @@ def test_pareto_8020_replays_in_python(spark):
         assert r.n_for_80pct == k80
         assert r.share_of_customers == float(k80) / float(len(xs))
         assert 1 <= r.n_for_80pct <= r.n_customers
+
+
+def test_sink_json_roundtrip_exact(spark):
+    """JSON sink: the written aggregate reads back value-exact
+    (shortest-roundtrip doubles) with the declared schema."""
+    from decimal import Decimal
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["sink_json"].fn(spark, sf).collect()
+    assert rows
+    orders = (spark.read.parquet(f"{sf}/orders.parquet")
+              .select("o_orderpriority", "o_totalprice").collect())
+    want = {}
+    for r in orders:
+        cell = want.setdefault(r.o_orderpriority, [0, Decimal(0)])
+        cell[0] += 1
+        cell[1] += Decimal(str(r.o_totalprice)).quantize(
+            Decimal("0.01"))
+    got = {r.o_orderpriority: (r.n, r.price_sum) for r in rows}
+    assert set(got) == set(want)
+    for pri, (n, tot) in want.items():
+        assert got[pri] == (n, float(tot)), pri
+
+
+def test_join_cross_is_full_product(spark):
+    """Cross join: exactly |R| x |N| rows, membership flags sum to
+    |N| (each nation belongs to exactly one region)."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["join_cross"].fn(spark, sf).collect()
+    n_r = spark.read.parquet(f"{sf}/region.parquet").count()
+    n_n = spark.read.parquet(f"{sf}/nation.parquet").count()
+    assert len(rows) == n_r * n_n
+    assert sum(r.is_member for r in rows) == n_n
+    assert len({(r.r_name, r.n_name) for r in rows}) == len(rows)
