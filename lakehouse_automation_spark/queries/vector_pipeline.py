@@ -1009,3 +1009,108 @@ def vec_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
                       - 2 * F.col("ab").cast("double") / (nad * nbd)
                       + F.col("bb").cast("double") / (nbd * nbd))
                      / F.lit(1e12)).alias("drift_dist2")))
+
+
+@register(
+    "vec_label_outliers",
+    oracle="""
+    WITH u AS (
+      SELECT label, vec_id, d,
+             CAST(floor(CAST(embedding[d] AS DOUBLE) * 1000000)
+                  AS BIGINT) AS v
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS d)
+    ), per_dim AS (
+      SELECT label, d, CAST(SUM(CAST(v AS HUGEINT)) AS HUGEINT) AS s
+      FROM u GROUP BY 1, 2
+    ), lbl AS (
+      SELECT p.label, SUM(p.s * p.s) AS a
+      FROM per_dim p GROUP BY 1
+    ), n_q AS (
+      SELECT label, CAST(COUNT(DISTINCT vec_id) AS HUGEINT) AS n,
+             SUM(CAST(v AS HUGEINT) * v) AS q
+      FROM u GROUP BY 1
+    ), per_vec AS (
+      SELECT u.label, u.vec_id,
+             SUM(CAST(u.v AS HUGEINT) * u.v) AS vv,
+             SUM(CAST(u.v AS HUGEINT) * p.s) AS vs
+      FROM u JOIN per_dim p ON u.label = p.label AND u.d = p.d
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT pv.label, pv.vec_id,
+             nq.n * nq.n * pv.vv - 2 * nq.n * pv.vs + l.a AS x_num,
+             nq.n * nq.q - l.a AS mean_num,
+             nq.n AS n
+      FROM per_vec pv
+      JOIN n_q nq ON pv.label = nq.label
+      JOIN lbl l ON pv.label = l.label
+    )
+    SELECT label,
+           CAST(MAX(n) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN n * x_num > 3 * n * mean_num
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(MAX(CAST(x_num AS DOUBLE)
+                    / CAST(n AS DOUBLE) / CAST(n AS DOUBLE))
+                / 1e12 AS DOUBLE) AS max_dist2
+    FROM scored GROUP BY label
+    """,
+)
+def vec_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector distance-to-centroid outlier counts per label —
+    the mislabeled-embedding / corrupted-vector screen: a vector is
+    flagged when its squared distance to its label centroid exceeds
+    3x the label's mean squared distance. EXACT end-to-end by the
+    same fixed-point expansion as `vec_dispersion`:
+    dist^2_v * n^2 = n^2*||v||^2 - 2n*(v.S) + ||S||^2 and
+    mean * n^2 = n*(nQ - A)/n, so the fence becomes the pure-integer
+    predicate n*X_v > 3*n*mean_num — every count is exact and only
+    the reported max_dist2 display column divides into a double.
+
+    100-TB shape: the per-vector cross term v.S comes from joining
+    the exploded units against the per-(label, dim) sum table
+    (|labels| x 64 rows — broadcast-sized) and partial-combines per
+    vector; no pairwise work, no second corpus pass, nothing
+    driver-side."""
+    from ..operators.cache import tracked_persist
+
+    emb = t(spark, sf_dir, "embeddings")
+    u = (emb.select("label", "vec_id",
+                    F.posexplode("embedding").alias("d", "ev"))
+         .select("label", "vec_id", "d",
+                 F.floor(F.col("ev").cast("double") * 1000000)
+                 .cast("long").alias("v")))
+    u = tracked_persist(u)
+    d38 = "decimal(38,0)"
+    per_dim = tracked_persist(
+        u.groupBy("label", "d")
+        .agg(F.sum(F.col("v").cast(d38)).alias("s")))
+    lbl = (per_dim.groupBy("label")
+           .agg(F.sum(F.col("s") * F.col("s")).alias("a")))
+    n_q = (u.groupBy("label")
+           .agg(F.countDistinct("vec_id").cast(d38).alias("n"),
+                F.sum(F.col("v").cast(d38) * F.col("v")).alias("q")))
+    per_vec = (u.join(F.broadcast(per_dim), ["label", "d"])
+               .groupBy("label", "vec_id")
+               .agg(F.sum(F.col("v").cast(d38) * F.col("v"))
+                    .alias("vv"),
+                    F.sum(F.col("v").cast(d38) * F.col("s"))
+                    .alias("vs")))
+    scored = (per_vec
+              .join(F.broadcast(n_q), "label")
+              .join(F.broadcast(lbl), "label")
+              .select("label",
+                      (F.col("n") * F.col("n") * F.col("vv")
+                       - 2 * F.col("n") * F.col("vs") + F.col("a"))
+                      .alias("x_num"),
+                      (F.col("n") * F.col("q") - F.col("a"))
+                      .alias("mean_num"),
+                      "n"))
+    return (scored.groupBy("label")
+            .agg(F.max("n").cast("long").alias("n_vectors"),
+                 F.sum(F.when(F.col("n") * F.col("x_num")
+                              > 3 * F.col("n") * F.col("mean_num"), 1)
+                       .otherwise(0)).cast("long").alias("n_outliers"),
+                 (F.max(F.col("x_num").cast("double")
+                        / F.col("n").cast("double")
+                        / F.col("n").cast("double"))
+                  / F.lit(1e12)).alias("max_dist2")))

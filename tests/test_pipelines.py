@@ -1702,3 +1702,47 @@ def test_join_cross_is_full_product(spark):
     assert len(rows) == n_r * n_n
     assert sum(r.is_member for r in rows) == n_n
     assert len({(r.r_name, r.n_name) for r in rows}) == len(rows)
+
+
+def test_label_outliers_replays_in_python(spark):
+    """Integer 3x-mean fence: exact replay vs the direct float
+    distance computation, and agreement with vec_dispersion's mean."""
+    import math
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["vec_label_outliers"].fn(spark, sf).collect()
+    assert rows
+    emb = (spark.read.parquet(f"{sf}/embeddings.parquet")
+           .select("label", "embedding").collect())
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append(
+            [math.floor(float(v) * 1000000) for v in r.embedding])
+    got = {r.label: r for r in rows}
+    assert set(got) == set(by_label)
+    disp = {r.label: r.dispersion for r in
+            REGISTRY["vec_dispersion"].fn(spark, sf).collect()}
+    for lb, vecs in by_label.items():
+        n = len(vecs)
+        sd = [sum(c) for c in zip(*vecs)]
+        a = sum(x * x for x in sd)
+        q = sum(v * v for vec in vecs for v in vec)
+        mean_num = n * q - a
+        n_out = 0
+        max_x = 0
+        for vec in vecs:
+            vv = sum(v * v for v in vec)
+            vs = sum(v * s for v, s in zip(vec, sd))
+            x = n * n * vv - 2 * n * vs + a
+            max_x = max(max_x, x)
+            if n * x > 3 * n * mean_num:
+                n_out += 1
+        r = got[lb]
+        assert r.n_vectors == n
+        assert r.n_outliers == n_out
+        assert r.max_dist2 == \
+            (float(x := max_x) / float(n) / float(n)) / 1e12
+        # fence consistency with the dispersion key's mean
+        assert r.max_dist2 >= disp[lb] or n == 1
