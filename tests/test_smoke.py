@@ -102,3 +102,26 @@ def test_events_ts_dtype_pinned(spark, sf_dir):
     # and the values are sane epoch-era timestamps, not 1970 + ns
     row = ev.selectExpr("min(ts) AS lo", "max(ts) AS hi").collect()[0]
     assert row.lo.year >= 2000 and row.hi.year < 2100, row
+
+
+def test_every_key_has_a_recorded_baseline():
+    """Evidence-chain guard: every registry key must carry a quiet-host
+    sf0.1 baseline in bench/BASELINE_results.json — a key landing
+    without one would make the next round's bench comparison silently
+    partial. (30x probes are per-wave policy, not asserted here:
+    SF3_probe.json intentionally covers the headline + new-key set,
+    not procedural/streaming keys whose cost is setup-bound.)"""
+    import json
+    import os
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "bench", "BASELINE_results.json")) as f:
+        base = json.load(f)
+    missing = [k for k in REGISTRY if k not in base]
+    assert not missing, f"keys without a recorded baseline: {missing}"
+    stale = [k for k, v in base.items()
+             if k in REGISTRY and not (isinstance(v.get("sec"), float)
+                                       and v["sec"] > 0)]
+    assert not stale, f"baseline entries without a timing: {stale}"
