@@ -127,7 +127,7 @@ _NEXT_SWEEP_QUEUE = [
     "event_attribution_linear", "win_skyline", "text_vocab_coverage",
     "agg_hhi", "project_unpivot", "event_attribution_first",
     "agg_pareto_8020", "sink_json", "join_cross",
-    "vec_label_outliers",
+    "vec_label_outliers", "event_conversion_lag",
 ]
 
 

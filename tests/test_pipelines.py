@@ -1746,3 +1746,45 @@ def test_label_outliers_replays_in_python(spark):
             (float(x := max_x) / float(n) / float(n)) / 1e12
         # fence consistency with the dispersion key's mean
         assert r.max_dist2 >= disp[lb] or n == 1
+
+
+def test_conversion_lag_replays_in_python(spark):
+    """Journey time-to-convert: exact lag replay per first-touch
+    type with the histogram-rank median/p90; median <= p90; lags
+    non-negative."""
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["event_conversion_lag"].fn(spark, sf).collect()
+    assert rows
+    ev = (spark.read.parquet(f"{sf}/events.parquet")
+          .select("user_id", "event_id", "event_type",
+                  F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                  .alias("us")).collect())
+    by_user = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    lags = {}
+    for u, evs in by_user.items():
+        evs.sort(key=lambda r: (r.us, r.event_id))
+        first = None
+        for r in evs:
+            if r.event_type == "purchase":
+                if first is not None:
+                    lags.setdefault(first[0], []).append(
+                        r.us - first[1])
+                first = None
+            elif first is None:
+                first = (r.event_type, r.us)
+    got = {r.touch_type: r for r in rows}
+    assert set(got) == set(lags)
+    for ty, ls in lags.items():
+        ls.sort()
+        n = len(ls)
+        med = ls[-(-n // 2) - 1]
+        p90 = ls[-(-9 * n // 10) - 1]
+        r = got[ty]
+        assert r.n_conversions == n
+        assert r.median_lag_us == med
+        assert r.p90_lag_us == p90
+        assert 0 <= med <= p90
