@@ -48,66 +48,29 @@ from . import graph           # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). Round-7 priority, in order
-# (VERDICT r6 ask #1: re-green the r3-stale cohort; after this round
-# no key's latest official green predates r4):
+# derives it — never hand-count). Round-8 priority, in order
+# (VERDICT r7 asks #1-#2: drain the never-swept backlog completely and
+# freeze registry growth below sweep capacity):
 #
-#   1. table_compact + sink_upsert first — they took the round-5
-#      mergeSchema-read rewrite (c76b7bd) without an official
-#      re-green since (tf_merge_cow, the third key of that family,
-#      was re-greened in the r6 fold).
-#   2. The remaining 44 r3-cohort keys, grouped by family in
-#      registration order: Tier-A procedural, bounded-await
-#      streaming, the r3 text tier, the r3 vec tier, multimodal
-#      decode, scan/sink/profiling, and the UDF matrix.
-#   3. 4 r4-cohort head keys to start the next freshness wave:
-#      flagship_regional_revenue and vec_knn_join (also this round's
-#      bench watch items), join_asof, curate_pipeline. The 44-key r4
-#      remainder queues for round 8.
+#   1. The entire 48-key never-swept backlog (round 7's
+#      _NEXT_SWEEP_QUEUE, verbatim order). After this round's sweep
+#      the never-swept count is 0.
+#   2. The 2 spare fold slots go to curate_pipeline (this round's
+#      bench watch item, re-measured per BASELINE.md §4, and an
+#      r4-stale green — re-greening it starts the r4 freshness wave)
+#      and flagship_regional_revenue (the oldest r4 green in
+#      registration order).
+#
+# Growth freeze: round 8 adds at most the spare-slot count of new
+# keys; any r8-new key must displace a slot-2 key so it lands INSIDE
+# the fold (VERDICT r7 ask #2: never-swept backlog must not regrow).
 #
 # All 50 fold keys are batch-checked — the wedge-isolation tail rule
 # (live-stream keys {tf_stream_ingest, lifecycle_daemon,
 # stream_custom_state, stream_stream_join} last) is vacuously
-# satisfied; the bounded-await streaming_batch keys are not live.
+# satisfied; none of the fold keys are live streams.
 _SWEEP_ORDER = [
-    # --- 1: the r5-changed CowTable-rewrite keys, never re-greened ---
-    "table_compact", "sink_upsert",
-    # --- 2: the r3 cohort remainder, family order ---
-    "incremental_load", "ledger_insert", "ledger_topk", "retry_exec",
-    "sql_to_pandas", "ddl_exec", "multi_stmt_exec", "bulk_load",
-    "catalog_list", "storage_mount", "exec_timing",
-    "stream_tumbling_agg", "stream_sliding_agg", "stream_session",
-    "stream_watermark_late", "stream_dedup_state",
-    "stream_file_ingest", "stream_foreach_batch",
-    "text_tokenize_stats", "text_lang_id", "text_quality_score",
-    "text_fingerprint", "text_exact_dedup", "text_ngram_jaccard",
-    "text_dedup_clusters", "text_minhash_dedup", "text_simhash",
-    "text_repetition", "text_pii_redact", "tfidf_keywords",
-    "vec_cosine_topk", "vec_neardup_cosine", "vec_ivf_topk",
-    "mm_decode_features",
-    "scan_csv_schema", "scan_json", "sink_parquet", "sink_csv_header",
-    "analyze_stats", "jdbc_source",
-    "udf_pandas_scalar", "udf_sql_register", "udf_grouped_map",
-    "udtf_lateral",
-    # --- 3: the round-7 NEW keys (never swept — a new key without an
-    # official entry reads as unverified; they take the last four
-    # fold slots): relational connected components, daily-volume
-    # autocorrelation, the Markov transition matrix, and
-    # priority-sampling weighted selection ---
-    "graph_components", "ts_autocorr", "event_markov_transitions",
-    "sample_weighted",
-    # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # The round-8 queue continues in _NEXT_SWEEP_QUEUE below.
-]
-
-# Keys added AFTER this round's 50-slot fold froze (the fold is fully
-# committed to the r3-stale re-green + the first 4 new keys). These
-# are pytest- and local-oracle-green but have never been officially
-# swept; they MUST front the next round's fold, before the r4 cohort
-# (derive the remainder with tools/sweep_plan.py — never hand-count).
-# tests/test_smoke.py enforces that every never-swept key is either
-# inside the fold or named here, so nothing lingers unswept invisibly.
-_NEXT_SWEEP_QUEUE = [
+    # --- 1: the 48-key never-swept backlog, round-7 queue order ---
     "graph_pagerank", "ts_changepoint", "event_cooccurrence",
     "agg_gini", "win_streaks", "ts_seasonality", "agg_entropy",
     "text_rake_keywords", "graph_triangles", "rfm_segments",
@@ -128,6 +91,38 @@ _NEXT_SWEEP_QUEUE = [
     "agg_hhi", "project_unpivot", "event_attribution_first",
     "agg_pareto_8020", "sink_json", "join_cross",
     "vec_label_outliers", "event_conversion_lag",
+    # --- 2: the spare slots — r4-wave head (bench watch item first) ---
+    "curate_pipeline", "flagship_regional_revenue",
+    # ---- fold: the driver sweep stops reading here (50 keys) ----
+    # The round-9 queue continues in _NEXT_SWEEP_QUEUE below.
+]
+
+# The round-9 fold front (VERDICT r7 ask #5), machine-readable. With
+# the never-swept backlog fully inside the r8 fold, the queue's job
+# changes from "never-swept keys" to "stalest official greens": these
+# are the r4-cohort keys (latest official green = round 4) that did
+# NOT fit in the r8 fold, in registration order. tests/test_smoke.py
+# recomputes the cohort from the CORRECTNESS_r*.json files and
+# enforces that this list is exactly the stalest-not-in-fold set, so
+# the rotation cannot silently drop a stale key. Any key added after
+# the r8 fold froze would be never-swept and must be inserted into
+# the fold itself (growth-freeze rule above), not here.
+_NEXT_SWEEP_QUEUE = [
+    "join_skew_salted", "join_bucketed",
+    "join_asof", "join_interval_bucketed", "subq_scalar", "subq_in",
+    "subq_exists_correlated", "cte_recursive", "win_rank_pct",
+    "fn_bitwise", "agg_median", "fn_levenshtein",
+    "agg_approx_distinct", "agg_percentile_approx",
+    "sample_hash_split", "fn_datetime", "fn_math", "fn_cond_null",
+    "fn_json", "fn_array_map", "fn_explode", "fn_hash", "gen_rows",
+    "retention_delete", "poll_new_files", "schedule_microbatch",
+    "lifecycle_daemon", "stream_custom_state", "stream_stream_join",
+    "text_minhash_pairs", "text_bm25_rank", "vec_ivf_kmeans_topk",
+    "vec_neardup_lsh", "vec_pq_topk", "vec_ivf_pq_topk",
+    "vec_knn_join", "vec_semantic_doc_dedup", "mm_frame_sample",
+    "mm_resize", "mm_audio_resample", "sink_orc", "tf_acid_append",
+    "tf_cdc_feed", "tf_schema_evolve", "tf_time_travel",
+    "tf_stream_ingest",
 ]
 
 

@@ -70,12 +70,39 @@ def test_sweep_order_fronts_unswept_keys():
         f"{sorted(never_swept - declared)}"
     )
     assert set(_NEXT_SWEEP_QUEUE) <= set(keys)
-    # the queue exists for never-swept keys only; once a key has an
-    # official entry it must leave the queue (rotation hygiene)
-    assert set(_NEXT_SWEEP_QUEUE) & covered == set(), (
-        "officially-swept keys still in _NEXT_SWEEP_QUEUE: "
-        f"{sorted(set(_NEXT_SWEEP_QUEUE) & covered)}"
+    # rotation hygiene: the queue fronts the NEXT fold, so it must be
+    # disjoint from the current fold (a key can't be swept twice in
+    # one round)
+    assert set(_NEXT_SWEEP_QUEUE) & set(keys[:50]) == set(), (
+        "current-fold keys still in _NEXT_SWEEP_QUEUE: "
+        f"{sorted(set(_NEXT_SWEEP_QUEUE) & set(keys[:50]))}"
     )
+    # With the never-swept backlog drained into the r8 fold, the
+    # queue's job is freshness: every officially-green key in it must
+    # belong to the STALEST cohort (latest official green == the
+    # global minimum over covered keys outside the current fold), and
+    # that cohort must be queued completely — recomputed from the
+    # CORRECTNESS files so the rotation cannot silently drop a stale
+    # key (VERDICT r7 ask #5).
+    latest: dict[str, int] = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        import re
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        for k in json.load(open(f)):
+            latest[k] = max(latest.get(k, 0), rnd)
+    outside = [k for k in keys[50:] if k in latest]
+    if outside:
+        stalest_round = min(latest[k] for k in outside)
+        stalest = {k for k in outside if latest[k] == stalest_round}
+        queued_green = {k for k in _NEXT_SWEEP_QUEUE if k in latest}
+        assert queued_green <= stalest, (
+            "queued officially-green keys fresher than the stalest "
+            f"cohort (r{stalest_round}): {sorted(queued_green - stalest)}"
+        )
+        assert stalest <= set(_NEXT_SWEEP_QUEUE), (
+            f"r{stalest_round}-stale keys missing from "
+            f"_NEXT_SWEEP_QUEUE: {sorted(stalest - set(_NEXT_SWEEP_QUEUE))}"
+        )
     # wedge isolation: any live-stream key INSIDE the fold must close
     # the block (a hung stream must not starve batch results). A fold
     # with no live keys — e.g. round 5's all-batch re-confirm rotation —
