@@ -386,23 +386,25 @@ def adaptive_bits_per_band(n: int) -> int:
     bands let candidates grow ~100x and the near-dup key went 1.5 s ->
     177 s.
 
-    Bits must DIVIDE N_PLANES: a non-divisor (say 6, from a naive
-    log2 ramp) leaves a runt band of ``32 % bits`` planes whose tiny
-    bucket space regrows the n^2 blowup the adaptation exists to
-    bound — a 2-bit runt band alone yields ~n^2/8 candidate pairs,
-    dwarfing all full bands combined. So the choice is the smallest
-    divisor-of-32 bit width that holds expected occupancy <= ~125
-    vectors/bucket. Floor = BITS_PER_BAND (the small-sf
-    oracle-contract banding: the driver's sf0.01 gate and the sf0.1
-    baseline corpora both resolve to it, so their banding — and the
-    embedded-literal SQL oracles — are unchanged); cap = 8 so the 32
-    fixed planes still yield >=4 bands. Holding recall at a fixed
-    similarity threshold while bits grow requires growing the total
-    PLANE budget too (more bands of longer signatures — the standard
-    LSH cost/recall knob); planes stay capped at 32 here for oracle
-    parity, trading borderline-similarity recall for bounded
-    candidates — the right default for dedup where targets are
-    high-sim pairs."""
+    Bits must DIVIDE the band's plane budget: a non-divisor (say 6,
+    from a naive log2 ramp) leaves a runt band of ``budget % bits``
+    planes whose tiny bucket space regrows the n^2 blowup the
+    adaptation exists to bound — a 2-bit runt band alone yields
+    ~n^2/8 candidate pairs, dwarfing all full bands combined. So the
+    choice is the smallest power-of-two bit width that holds expected
+    occupancy <= ~125 vectors/bucket. Floor = BITS_PER_BAND (the
+    small-sf oracle-contract banding: the driver's sf0.01 gate and
+    the sf0.1 baseline corpora both resolve to it, so their banding —
+    and the embedded-literal SQL oracles — are unchanged). Since
+    round 7 there is no 8-bit cap: above the 8-bit tier's ~32k-vector
+    occupancy bound this returns 16, and the PLANE budget steps to
+    256 (16 bands x 16 bits, drawn from LSH_PLANES_EXT) so recall
+    holds while bits grow — the two knobs move together (see
+    :func:`adaptive_banding`, the authoritative tiering). This
+    single-knob view exists for callers that only size signatures;
+    anything that BUILDS buckets must take both knobs (or none) —
+    :func:`lsh_bucket_table` re-derives the matching band count
+    rather than trusting a lone bit width."""
     return adaptive_banding(n)[0]
 
 
@@ -452,7 +454,17 @@ def lsh_bucket_table(emb: DataFrame,
     if bits_per_band is None:
         bits_per_band, n_bands = adaptive_banding(emb.count())
     elif n_bands is None:
-        n_bands = N_PLANES // bits_per_band  # legacy single-knob call
+        # Legacy single-knob call. The 32-plane legacy derivation is
+        # only safe up to 8-bit bands; feeding it a 16-bit width (e.g.
+        # adaptive_bits_per_band at scale) would compute 32//16 = 2
+        # bands — a silent recall collapse (~0.17 vs the intended ~0.9
+        # candidate probability at sim 0.9). Wide widths re-derive the
+        # matching scale-tier band count instead (16 x 16 = 256-plane
+        # budget), mirroring adaptive_banding's tiering.
+        if bits_per_band > 8:
+            n_bands = N_PLANES_MAX // bits_per_band   # 16 -> 16x16
+        else:
+            n_bands = N_PLANES // bits_per_band
     n_used = bits_per_band * n_bands
     if bits_per_band > 16 or n_used > N_PLANES_MAX:
         # bucket packs into an INT (shiftleft(bit, 15) max) and the

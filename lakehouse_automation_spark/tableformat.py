@@ -103,7 +103,16 @@ _BLOOM_K = 5               # ~0.1% FP at the 10-bits/row sizing; FPs
 # '1997-06-01T00:00:00') the padding exists to fix (review r7)
 DTYPES_KEY = "__dtypes__"
 
-_RESERVED_STAT_KEYS = (ROWS_KEY, BLOOM_KEY, DTYPES_KEY)
+# reserved key inside per-chunk stats entries holding the chunk's
+# parquet footer-schema fingerprint, recorded in the same write-time
+# pass that computes stats. The schema-grouped pruned read
+# (_read_pruned) groups chunks by this manifest entry instead of
+# re-opening a parquet footer per kept chunk per fresh table handle
+# (review r7: repeated driver I/O on many-chunk tables); footer reads
+# remain only as the fallback for manifests predating the key.
+SCHEMA_KEY = "__schema__"
+
+_RESERVED_STAT_KEYS = (ROWS_KEY, BLOOM_KEY, DTYPES_KEY, SCHEMA_KEY)
 
 
 def _vname(v: int) -> str:
@@ -339,9 +348,16 @@ class CowTable:
         if cstats:
             # record the writer's dtype per stats column so the scan
             # side can gate date-padding on the COLUMN type, not the
-            # probe bound's Python type (see DTYPES_KEY)
-            cstats[DTYPES_KEY] = {c: dtypes.get(c, "") for c in cols
+            # probe bound's Python type (see DTYPES_KEY). cols is
+            # filtered to df.columns, so dtypes always has an entry —
+            # no "" fallback, which _stat_temporal would otherwise
+            # have to treat as missing (review r7)
+            cstats[DTYPES_KEY] = {c: dtypes[c] for c in cols
                                   if c in cstats}
+        # footer-schema fingerprint, so pruned scans group chunks
+        # without re-reading parquet footers (see SCHEMA_KEY) —
+        # recorded even for stats-less tables
+        cstats[SCHEMA_KEY] = self._dir_footer_schema(cdir)
         self._attach_blooms(df, cdir, fstats)
         return cstats, fstats
 
@@ -536,7 +552,7 @@ class CowTable:
         silently compared a DATE column's stats as raw strings when
         probed with ISO-string bounds (review r7)."""
         dt = chunk_stats.get(DTYPES_KEY, {}).get(col)
-        if dt is not None:
+        if dt:  # absent OR empty string -> dtype unknown, use heuristic
             return dt.startswith(("date", "timestamp"))
         return _temporal_bound(lo, hi)
 
@@ -644,24 +660,41 @@ class CowTable:
                 kept.append(path)
         return kept
 
-    def _footer_schema(self, chunk_dir: str) -> str:
-        """Footer schema fingerprint of one (immutable) chunk: one
-        driver-side metadata read of a single file per chunk, cached
-        for the table instance's lifetime. Files within a chunk share
-        a schema (a chunk is one write job's output)."""
+    @staticmethod
+    def _dir_footer_schema(chunk_dir: str) -> str:
+        """Footer schema fingerprint of one (immutable) chunk dir: one
+        driver-side metadata read of a single file. Files within a
+        chunk share a schema (a chunk is one write job's output)."""
+        import glob as _glob
+
+        import pyarrow.parquet as pq
+        files = sorted(_glob.glob(
+            os.path.join(_glob.escape(chunk_dir), "**", "*.parquet"),
+            recursive=True))
+        return pq.read_schema(files[0]).to_string() if files else ""
+
+    def _footer_schema(self, chunk_dir: str,
+                       stats: dict | None = None) -> str:
+        """Schema fingerprint of one (immutable) chunk, for grouping
+        pruned reads. Resolution order: per-handle cache -> the
+        SCHEMA_KEY the writer recorded in the manifest alongside the
+        chunk's stats (zero extra I/O — the caller already holds the
+        manifest) -> one parquet footer read (manifests predating
+        SCHEMA_KEY, or chunks the tip no longer references)."""
         sch = self._chunk_schema_cache.get(chunk_dir)
         if sch is None:
-            import glob as _glob
-
-            import pyarrow.parquet as pq
-            files = sorted(_glob.glob(
-                os.path.join(_glob.escape(chunk_dir), "**", "*.parquet"),
-                recursive=True))
-            sch = pq.read_schema(files[0]).to_string() if files else ""
+            rel = os.path.relpath(chunk_dir, self.path)
+            chunk = rel.split(os.sep)[0]
+            if stats is None:
+                stats = self.manifest().get("stats", {})
+            sch = stats.get(chunk, {}).get(SCHEMA_KEY)
+            if sch is None:
+                sch = self._dir_footer_schema(chunk_dir)
             self._chunk_schema_cache[chunk_dir] = sch
         return sch
 
-    def _read_pruned(self, paths: list[str]) -> DataFrame:
+    def _read_pruned(self, paths: list[str],
+                     version: int | None = None) -> DataFrame:
         """Read a stats/Bloom-pruned file subset schema-safely. A
         plain multi-path read infers ONE footer's schema, so when
         pruning keeps files spanning a type-evolution boundary (the
@@ -673,12 +706,15 @@ class CowTable:
         set-operation type coercion widens INT -> BIGINT and
         ``allowMissingColumns`` null-fills additive evolution. The
         overwhelmingly common single-schema case collapses to the one
-        multi-path read — identical plan, zero overhead beyond one
-        cached footer probe per chunk."""
+        multi-path read — identical plan, zero extra I/O (fingerprints
+        come from the manifest the writer recorded; a parquet footer
+        is opened only for pre-SCHEMA_KEY manifests)."""
+        version = version if version is not None else self.version()
+        stats = self.manifest(version).get("stats", {})
         groups: dict[str, list[str]] = {}
         for p in paths:
             cdir = p if os.path.isdir(p) else os.path.dirname(p)
-            groups.setdefault(self._footer_schema(cdir), []).append(p)
+            groups.setdefault(self._footer_schema(cdir, stats), []).append(p)
         reads = [self.spark.read.parquet(*g) for g in groups.values()]
         df = reads[0]
         for r in reads[1:]:
@@ -696,7 +732,7 @@ class CowTable:
         kept = self.bloom_pruned_files(col, value, version)
         if not kept:
             return self.read(version).filter(F.lit(False))
-        return self._read_pruned(kept).filter(F.col(col) == value)
+        return self._read_pruned(kept, version).filter(F.col(col) == value)
 
     def scan(self, col: str, lo, hi, version: int | None = None) -> DataFrame:
         """Stats-pruned range scan: ``col BETWEEN lo AND hi`` reading
@@ -709,7 +745,8 @@ class CowTable:
         kept = self.pruned_files(col, lo, hi, version)
         if not kept:
             return self.read(version).filter(F.lit(False))
-        return self._read_pruned(kept).filter(F.col(col).between(lo, hi))
+        return self._read_pruned(kept, version).filter(
+            F.col(col).between(lo, hi))
 
     def changes(self, v_from: int, v_to: int | None = None) -> DataFrame:
         """Change data feed between two snapshots (Delta CDF's

@@ -756,6 +756,43 @@ def test_pruned_read_spans_schema_evolved_chunks(spark, tmp_path):
     assert "Union" not in plan
 
 
+def test_pruned_read_uses_manifest_schema_fingerprint(spark, tmp_path, monkeypatch):
+    """The writer records each chunk's footer-schema fingerprint in
+    the manifest (SCHEMA_KEY), so a FRESH table handle's pruned scan
+    must group chunks with zero parquet-footer reads (review r7:
+    per-chunk driver I/O on many-chunk tables). Footer reads remain
+    only for manifests predating the key — simulated by stripping it."""
+    from lakehouse_automation_spark.tableformat import SCHEMA_KEY
+
+    df = spark.range(100).select(F.col("id").alias("k"))
+    tbl = CowTable.create(spark, df.coalesce(1), str(tmp_path / "t"),
+                          stats_cols=["k"])
+    tbl.append(spark.range(100, 200).select(F.col("id").alias("k"))
+               .coalesce(1))
+    assert all(SCHEMA_KEY in s
+               for s in tbl.manifest()["stats"].values())
+
+    fresh = CowTable(spark, str(tmp_path / "t"))
+    monkeypatch.setattr(
+        CowTable, "_dir_footer_schema",
+        staticmethod(lambda d: (_ for _ in ()).throw(
+            AssertionError("footer read on a SCHEMA_KEY manifest"))))
+    assert fresh.scan("k", 50, 150).count() == 101
+
+    # pre-SCHEMA_KEY manifest: the footer fallback engages
+    monkeypatch.undo()
+    man_dir = str(tmp_path / "t" / "_log")
+    import json as _json
+    import os as _os
+    vfile = sorted(_os.listdir(man_dir))[-1]
+    man = _json.load(open(_os.path.join(man_dir, vfile)))
+    for s in man["stats"].values():
+        s.pop(SCHEMA_KEY, None)
+    _json.dump(man, open(_os.path.join(man_dir, vfile), "w"))
+    legacy = CowTable(spark, str(tmp_path / "t"))
+    assert legacy.scan("k", 50, 150).count() == 101
+
+
 def test_vacuum_tolerates_prior_deeper_horizon(spark, tmp_path):
     """vacuum(retain=3) after an earlier vacuum(retain=1) must skip
     the already-dropped manifests instead of crashing (review r6):

@@ -252,6 +252,23 @@ def test_adaptive_banding_never_leaves_runt_bands():
     assert len(LSH_PLANES_EXT) == N_PLANES_MAX
 
 
+def test_legacy_single_knob_wide_bits_rederives_scale_bands(emb):
+    """A single-knob lsh_bucket_table call with a 16-bit width (what
+    adaptive_bits_per_band returns at scale) must re-derive the
+    16-band scale tier, not the 32-plane legacy 32//16 = 2 bands — a
+    2-band 16-bit signature collapses candidate recall to ~0.17 at
+    sim 0.9 vs the intended ~0.96 (ADVICE r7). 8-bit-and-under
+    widths keep the legacy 32-plane derivation bit-for-bit."""
+    from lakehouse_automation_spark.operators.vector import (
+        N_LSH_BANDS, lsh_bucket_table)
+
+    sample = emb.limit(40)
+    wide = lsh_bucket_table(sample, bits_per_band=16)
+    assert wide.select("band_id").distinct().count() == 16
+    legacy = lsh_bucket_table(sample, bits_per_band=4)
+    assert legacy.select("band_id").distinct().count() == N_LSH_BANDS
+
+
 def test_scale_tier_banding_recall(spark):
     """The 16x16 scale tier must keep recall in the regime it exists
     for — HIGH-similarity (near-dup) pairs: sign-LSH collision p at
