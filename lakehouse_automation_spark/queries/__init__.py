@@ -91,8 +91,10 @@ _SWEEP_ORDER = [
     "agg_hhi", "project_unpivot", "event_attribution_first",
     "agg_pareto_8020", "sink_json", "join_cross",
     "vec_label_outliers", "event_conversion_lag",
-    # --- 2: the spare slots — r4-wave head (bench watch item first) ---
-    "curate_pipeline", "flagship_regional_revenue",
+    # --- 2: the spare slots — the round's one NEW key (growth-freeze
+    # rule: a new key must land inside the fold) and the r4-wave head
+    # (this round's bench watch item, re-measured per BASELINE.md §4) ---
+    "curate_pipeline", "vec_ivf_index_refresh",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
     # The round-9 queue continues in _NEXT_SWEEP_QUEUE below.
 ]
@@ -108,7 +110,7 @@ _SWEEP_ORDER = [
 # the r8 fold froze would be never-swept and must be inserted into
 # the fold itself (growth-freeze rule above), not here.
 _NEXT_SWEEP_QUEUE = [
-    "join_skew_salted", "join_bucketed",
+    "flagship_regional_revenue", "join_skew_salted", "join_bucketed",
     "join_asof", "join_interval_bucketed", "subq_scalar", "subq_in",
     "subq_exists_correlated", "cte_recursive", "win_rank_pct",
     "fn_bitwise", "agg_median", "fn_levenshtein",

@@ -172,6 +172,42 @@ def vec_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+@register("vec_ivf_index_refresh", oracle=_IVF_ORACLE)
+def vec_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index maintenance — the lifecycle gap between
+    vec_ivf_index_persisted (build once) and continuous ingestion
+    (reference ``check_lakehouse.py:102-123``): build the
+    cell-partitioned IVF index over the FIRST 80% of the corpus, then
+    refresh it with the remaining 20% as an arriving batch — assign
+    the batch to the frozen build-time centroids (read from the
+    index's ``_meta/``, never the build corpus) and append only the
+    touched cell partitions. Refresh cost ∝ batch, not corpus
+    (sf1-probed in SCALE.md). Frozen centroids make refresh-then-
+    search EXACTLY a full rebuild over the whole corpus, so this key
+    shares vec_ivf_topk's oracle — the full-rebuild-equivalence
+    contract, checked value-exactly."""
+    import shutil
+    import tempfile
+
+    from ..operators.vector import (
+        ivf_index_refresh, ivf_index_search, ivf_index_write)
+
+    emb = t(spark, sf_dir, "embeddings")
+    split = max(8, int(emb.count() * 0.8))
+    root = tempfile.mkdtemp(prefix="las_ivfr_")
+    try:
+        ivf_index_write(emb.filter(F.col("vec_id") < split),
+                        f"{root}/idx", n_centroids=8)
+        ivf_index_refresh(spark, emb.filter(F.col("vec_id") >= split),
+                          f"{root}/idx")
+        return ivf_index_search(
+            spark, emb, f"{root}/idx",
+            n_centroids=8, nprobe=3, n_queries=5, k=10,
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 @register(
     "vec_ivf_kmeans_topk",
     oracle="""

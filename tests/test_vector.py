@@ -252,6 +252,75 @@ def test_adaptive_banding_never_leaves_runt_bands():
     assert len(LSH_PLANES_EXT) == N_PLANES_MAX
 
 
+def test_ivf_index_refresh_equals_full_rebuild(spark, emb, tmp_path):
+    """Refreshing a persisted IVF index with a new batch (frozen
+    build-time centroids, append-only) must yield the IDENTICAL index
+    content and search results as a full rebuild over base ∪ batch —
+    the incremental-maintenance contract (VERDICT r7 ask #7)."""
+    from lakehouse_automation_spark.operators.vector import (
+        ivf_index_refresh, ivf_index_search, ivf_index_write)
+
+    split = max(8, int(emb.count() * 0.8))
+    inc, full = str(tmp_path / "inc"), str(tmp_path / "full")
+    ivf_index_write(emb.filter(F.col("vec_id") < split), inc)
+    touched = ivf_index_refresh(
+        spark, emb.filter(F.col("vec_id") >= split), inc)
+    ivf_index_write(emb, full)
+
+    # index content identical (vec_id -> cell assignment)
+    a = {(r.vec_id, r.cell_id) for r in
+         spark.read.parquet(inc).select("vec_id", "cell_id").collect()}
+    b = {(r.vec_id, r.cell_id) for r in
+         spark.read.parquet(full).select("vec_id", "cell_id").collect()}
+    assert a == b
+
+    # search results identical, value-exactly
+    ra = sorted(map(tuple, ivf_index_search(spark, emb, inc).collect()))
+    rb = sorted(map(tuple, ivf_index_search(spark, emb, full).collect()))
+    assert ra == rb
+
+    # the audit return covers exactly the batch
+    got = {r.vec_id for r in touched.collect()}
+    assert got == {r.vec_id for r in
+                   emb.filter(F.col("vec_id") >= split)
+                   .select("vec_id").collect()}
+
+
+def test_ivf_index_refresh_touches_only_batch_cells(spark, emb, tmp_path):
+    """The refresh append must write files ONLY into cell directories
+    the batch assigns to — untouched cells keep their exact file sets
+    (refresh cost ∝ batch at the filesystem level too)."""
+    import glob
+    import os
+
+    from lakehouse_automation_spark.operators.vector import (
+        ivf_index_refresh, ivf_index_write)
+
+    split = max(8, int(emb.count() * 0.8))
+    idx = str(tmp_path / "idx")
+    ivf_index_write(emb.filter(F.col("vec_id") < split), idx)
+
+    def files_per_cell():
+        out = {}
+        for d in glob.glob(os.path.join(idx, "cell_id=*")):
+            out[os.path.basename(d)] = sorted(
+                os.path.basename(f)
+                for f in glob.glob(os.path.join(d, "*.parquet")))
+        return out
+
+    before = files_per_cell()
+    touched = ivf_index_refresh(
+        spark, emb.filter(F.col("vec_id") >= split), idx)
+    batch_cells = {f"cell_id={r.cell_id}"
+                   for r in touched.select("cell_id").distinct().collect()}
+    after = files_per_cell()
+    for cell, fs in before.items():
+        if cell not in batch_cells:
+            assert after[cell] == fs, f"untouched {cell} was rewritten"
+        else:
+            assert set(fs) <= set(after[cell])
+
+
 def test_legacy_single_knob_wide_bits_rederives_scale_bands(emb):
     """A single-knob lsh_bucket_table call with a 16-bit width (what
     adaptive_bits_per_band returns at scale) must re-derive the
