@@ -143,6 +143,26 @@ def _pagerank_oracle() -> str:
     FROM pr{_PR_ITERS}""")
 
 
+def _pr_round(nodes: DataFrame, pr: DataFrame,
+              edges: DataFrame, deg: DataFrame) -> DataFrame:
+    """One PageRank power iteration: share = units div deg, contrib =
+    sum of in-neighbor shares, damp in exact integer units. Factored
+    out so the plan-shape test can assert the MARGINAL cost of a round
+    — it must read only the persisted edge/degree caches (never a
+    parquet re-scan) and add a bounded number of shuffles
+    (tests/test_scale_plans.py::test_pagerank_round_runs_off_caches)."""
+    shares = (pr.join(deg, "node")
+              .select(F.col("node").alias("u"),
+                      F.expr("units div deg").alias("share")))
+    contrib = (edges.join(shares, "u")
+               .groupBy("v").agg(F.sum("share").alias("su")))
+    return (nodes.join(contrib, nodes.node == contrib.v, "left")
+            .select(nodes.node,
+                    (F.lit(_PR_TELEPORT)
+                     + F.expr("(85 * coalesce(su, 0L)) div 100"))
+                    .cast("long").alias("units")))
+
+
 @register("graph_pagerank", oracle=_pagerank_oracle())
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the supplier co-order graph (d = 0.85, 8 power
@@ -181,16 +201,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = nodes.select(
         "node", F.lit(_PR_SCALE).cast("long").alias("units"))
     for _ in range(_PR_ITERS):
-        shares = (pr.join(deg, "node")
-                  .select(F.col("node").alias("u"),
-                          F.expr("units div deg").alias("share")))
-        contrib = (edges.join(shares, "u")
-                   .groupBy("v").agg(F.sum("share").alias("su")))
-        pr = (nodes.join(contrib, nodes.node == contrib.v, "left")
-              .select(nodes.node,
-                      (F.lit(_PR_TELEPORT)
-                       + F.expr("(85 * coalesce(su, 0L)) div 100"))
-                      .cast("long").alias("units")))
+        pr = _pr_round(nodes, pr, edges, deg)
     return pr.select(
         "node", F.col("units").alias("rank_units"),
         (F.col("units").cast("double")
