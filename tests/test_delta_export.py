@@ -215,7 +215,10 @@ def test_export_actions_match_delta_protocol_schema(spark, exported):
 
 
 @pytest.mark.skipif(not delta_available(),
-                    reason="Delta jars not shipped in this runtime")
+                    reason="Delta jars not shipped in this runtime; install is "
+                           "provably impossible here — pypi.org is "
+                           "unreachable (DNS 'Name or service not "
+                           "known', probed r8)")
 def test_export_reads_as_native_delta(spark, exported):
     """With real delta-spark on the classpath the export IS a Delta
     table."""

@@ -84,7 +84,10 @@ def test_real_decode_gated_on_codec_import():
 @pytest.mark.skipif(
     "not __import__('lakehouse_automation_spark.operators.multimodal', "
     "fromlist=['HAS_IMAGE_CODEC']).HAS_IMAGE_CODEC",
-    reason="image codec (PIL) not shipped in this runtime",
+    reason="image codec (PIL) not shipped in this runtime; pip install "
+           "pillow is provably impossible here — pypi.org is "
+           "unreachable (DNS 'Name or service not known', probed "
+           "r8); auto-unskips when installed",
 )
 def test_real_decode_features_end_to_end(spark):
     """When the runtime ships PIL, the Arrow-batched real-decode path

@@ -91,7 +91,9 @@ def _has_protobuf() -> bool:
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithState's driver worker imports google.protobuf "
-           "(absent in this container) — auto-unskips when installed; "
+           "(absent in this container; pip install protobuf is provably "
+           "impossible — pypi.org unreachable, DNS 'Name or service "
+           "not known', probed r8) — auto-unskips when installed; "
            "the batch restatement stays oracle-gated regardless",
 )
 def test_tws_stream_matches_batch(spark, tmp_path):
