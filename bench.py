@@ -98,6 +98,9 @@ HEADLINE = [
     # recorded at introduction, earlier keys unchanged.
     "graph_jaccard_neighbors",
     "agg_mad_outliers",
+    # round 8 addition: the incremental ANN-index maintenance key
+    # (build 80% + refresh 20% + search; the round's only new key)
+    "vec_ivf_index_refresh",
 ]
 
 

@@ -81,6 +81,7 @@ NOTES = {
     "agg_hhi": "per-supplier cents agg then ONE collapsing 128-bit sum-of-squares agg — no share division in the plan.",
     "project_unpivot": "Expand (unpivot) is a stateless projection; the only Exchange is the (flag, measure) partial+final agg.",
     "event_attribution_linear": "one user window for journey ids; purchases/touches/stats join at (user, journey) grain; |types|+1-row agg.",
+    "vec_ivf_index_refresh": "search plan over the refreshed index: probed cell ids as partition filters (only touched+probed cell dirs listed); the refresh itself is a broadcast centroid join + batch-sized append, run before this plan exists.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -106,7 +107,8 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "agg_sample_estimate", "win_cumulative_distinct",
           "event_interarrival_stats",
           "win_skyline", "text_vocab_coverage", "agg_hhi",
-          "project_unpivot", "event_attribution_linear"]
+          "project_unpivot", "event_attribution_linear",
+          "vec_ivf_index_refresh"]
 
 
 def main() -> int:
