@@ -7,7 +7,12 @@ then compares row count, column names, and an order-insensitive value
 hash. Use while iterating so the per-round CORRECTNESS file has no
 surprises.
 
-  python tools/oracle_check.py [key ...]   # default: all keys
+  python tools/oracle_check.py [--json FILE] [key ...]  # default: all keys
+
+--json additionally records {key: {status, detail}} to FILE — the
+machine-readable local-green trail for keys outside the driver's
+50-slot official fold (tools/sweep_plan.py reads round coverage from
+the OFFICIAL files only; this record never substitutes for them).
 """
 
 from __future__ import annotations
@@ -90,7 +95,14 @@ def main() -> int:
     # key that wedges shows up at the same position it would there
     from lakehouse_automation_spark.operators.cache import release_persisted
 
-    keys = sys.argv[1:] or list(REGISTRY)
+    args = sys.argv[1:]
+    out_json = None
+    if "--json" in args:
+        i = args.index("--json")
+        out_json = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    keys = args or list(REGISTRY)
+    record: dict[str, dict] = {}
     failures = 0
     for key in keys:
         q = REGISTRY[key]
@@ -102,8 +114,13 @@ def main() -> int:
         status = res.split(" ")[0]
         if status not in ("OK", "ROWS_ONLY"):
             failures += 1
+        record[key] = {"status": status, "detail": res}
         print(f"{key:28s} {res}")
     print(f"\n{len(keys)} keys, {failures} failures")
+    if out_json:
+        import json as _json
+        with open(out_json, "w") as fh:
+            _json.dump(record, fh, indent=1, sort_keys=True)
     return 1 if failures else 0
 
 
