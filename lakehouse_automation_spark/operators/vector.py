@@ -295,10 +295,22 @@ def ivf_index_refresh(spark, batch: DataFrame, path: str) -> DataFrame:
     ``vec_centroid_drift`` for the detector), the same contract as
     FAISS's add() vs train().
 
+    Sustained refresh accumulates one file per batch per touched cell;
+    :func:`ivf_index_compact` rewrites chosen cells partition-locally
+    (corpus-independent) when the small-file count hurts scan setup.
+
     Returns the assigned batch (vec_id, cell_id) so callers can audit
     which cells were touched; the plan is one broadcast join + one
     append write of batch-sized data."""
-    cents = F.broadcast(spark.read.parquet(f"{path}/_meta/centroids"))
+    import os as _os
+
+    meta = f"{path}/_meta/centroids"
+    if not _os.path.isdir(meta):
+        raise FileNotFoundError(
+            f"{path} has no _meta/centroids — the index predates "
+            "refresh support (or is not an IVF index). Rebuild it with "
+            "ivf_index_write, which persists the frozen centroids.")
+    cents = F.broadcast(spark.read.parquet(meta))
     n = with_vnorm(batch)
     sim = cosine_sim("v", "cv", "nrm", "cn")
     w_assign = Window.partitionBy("vec_id").orderBy(
@@ -313,6 +325,40 @@ def ivf_index_refresh(spark, batch: DataFrame, path: str) -> DataFrame:
     assigned.write.mode("append").partitionBy("cell_id").parquet(path)
     # batch-sized re-evaluation (deterministic given frozen centroids)
     return assigned.select("vec_id", "cell_id")
+
+
+def ivf_index_compact(spark, path: str,
+                      cells: list[int] | None = None) -> int:
+    """Rewrite the chosen index cells (default: all) into one file
+    each — the maintenance pass that caps the small-file growth of
+    sustained :func:`ivf_index_refresh` appends. Each rewrite is
+    PARTITION-LOCAL: it reads and rewrites only that cell directory,
+    so compacting the k hot cells costs those cells' bytes, never a
+    corpus pass — the same partition-scoped maintenance contract as
+    the CowTable ``table_compact`` key, applied to the index layout.
+    Returns the number of cells rewritten. Assignment content is
+    byte-stable (tests pin set equality before/after)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    if cells is None:
+        cells = sorted(
+            int(_os.path.basename(d).split("=", 1)[1])
+            for d in _glob.glob(_os.path.join(_glob.escape(path), "cell_id=*")))
+    for cid in cells:
+        cdir = _os.path.join(path, f"cell_id={cid}")
+        tmp = cdir + ".compact-tmp"
+        (spark.read.parquet(cdir).coalesce(1)
+         .write.mode("overwrite").parquet(tmp))
+        _shutil.rmtree(cdir)
+        _os.rename(tmp, cdir)
+        # drop the nested _SUCCESS marker; the cell dir must hold
+        # only parquet parts for the partitioned top-level read
+        marker = _os.path.join(cdir, "_SUCCESS")
+        if _os.path.exists(marker):
+            _os.unlink(marker)
+    return len(cells)
 
 
 def ivf_index_search(spark, emb: DataFrame, path: str,

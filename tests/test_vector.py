@@ -321,6 +321,57 @@ def test_ivf_index_refresh_touches_only_batch_cells(spark, emb, tmp_path):
             assert set(fs) <= set(after[cell])
 
 
+def test_ivf_index_compact_preserves_content_and_search(spark, emb, tmp_path):
+    """After repeated refreshes, compacting the index must collapse
+    each cell to one file while leaving assignment content and search
+    results byte-identical — the partition-local small-file
+    maintenance pass of the refresh lifecycle."""
+    import glob
+    import os
+
+    from lakehouse_automation_spark.operators.vector import (
+        ivf_index_compact, ivf_index_refresh, ivf_index_search,
+        ivf_index_write)
+
+    n = emb.count()
+    idx = str(tmp_path / "idx")
+    ivf_index_write(emb.filter(F.col("vec_id") < n - 200), idx)
+    ivf_index_refresh(
+        spark, emb.filter((F.col("vec_id") >= n - 200)
+                          & (F.col("vec_id") < n - 100)), idx)
+    ivf_index_refresh(spark, emb.filter(F.col("vec_id") >= n - 100), idx)
+
+    before = {(r.vec_id, r.cell_id) for r in
+              spark.read.parquet(idx).select("vec_id", "cell_id").collect()}
+    res_before = sorted(map(tuple, ivf_index_search(spark, emb, idx).collect()))
+    n_cells = ivf_index_compact(spark, idx)
+    assert n_cells > 0
+    for d in glob.glob(os.path.join(idx, "cell_id=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+    after = {(r.vec_id, r.cell_id) for r in
+             spark.read.parquet(idx).select("vec_id", "cell_id").collect()}
+    assert after == before
+    assert sorted(map(tuple, ivf_index_search(spark, emb, idx).collect())) \
+        == res_before
+
+
+def test_ivf_index_refresh_rejects_pre_meta_index(spark, emb, tmp_path):
+    """A pre-refresh-era index (no _meta/centroids) must fail with a
+    clear rebuild instruction, not a cryptic parquet error."""
+    import shutil
+
+    import pytest as _pytest
+
+    from lakehouse_automation_spark.operators.vector import (
+        ivf_index_refresh, ivf_index_write)
+
+    idx = str(tmp_path / "idx")
+    ivf_index_write(emb.limit(100), idx)
+    shutil.rmtree(f"{idx}/_meta")
+    with _pytest.raises(FileNotFoundError, match="ivf_index_write"):
+        ivf_index_refresh(spark, emb.limit(10), idx)
+
+
 def test_legacy_single_knob_wide_bits_rederives_scale_bands(emb):
     """A single-knob lsh_bucket_table call with a 16-bit width (what
     adaptive_bits_per_band returns at scale) must re-derive the
