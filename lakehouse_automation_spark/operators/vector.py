@@ -337,7 +337,17 @@ def ivf_index_compact(spark, path: str,
     corpus pass — the same partition-scoped maintenance contract as
     the CowTable ``table_compact`` key, applied to the index layout.
     Returns the number of cells rewritten. Assignment content is
-    byte-stable (tests pin set equality before/after)."""
+    byte-stable (tests pin set equality before/after).
+
+    Crash safety: all scratch state lives under ``<path>/_compact_tmp``
+    — underscore-prefixed, so Spark's partitioned read never lists it
+    (a tmp dir named ``cell_id=N.tmp`` in the table root would parse
+    as a malformed partition value and corrupt discovery for EVERY
+    reader until cleaned). The swap keeps exactly one destructive
+    step, ordered last: write new → move old aside → move new in →
+    delete old. A crash before the delete leaves the old cell intact
+    in scratch; only the instant between the two renames has the cell
+    absent (readers see a missing cell, never a torn one)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -346,18 +356,23 @@ def ivf_index_compact(spark, path: str,
         cells = sorted(
             int(_os.path.basename(d).split("=", 1)[1])
             for d in _glob.glob(_os.path.join(_glob.escape(path), "cell_id=*")))
+    scratch = _os.path.join(path, "_compact_tmp")
+    _os.makedirs(scratch, exist_ok=True)
     for cid in cells:
         cdir = _os.path.join(path, f"cell_id={cid}")
-        tmp = cdir + ".compact-tmp"
+        tmp = _os.path.join(scratch, f"new-{cid}")
+        old = _os.path.join(scratch, f"old-{cid}")
         (spark.read.parquet(cdir).coalesce(1)
          .write.mode("overwrite").parquet(tmp))
-        _shutil.rmtree(cdir)
-        _os.rename(tmp, cdir)
-        # drop the nested _SUCCESS marker; the cell dir must hold
-        # only parquet parts for the partitioned top-level read
-        marker = _os.path.join(cdir, "_SUCCESS")
+        # drop the nested _SUCCESS marker before the swap; the cell
+        # dir must hold only parquet parts for the partitioned read
+        marker = _os.path.join(tmp, "_SUCCESS")
         if _os.path.exists(marker):
             _os.unlink(marker)
+        _os.rename(cdir, old)
+        _os.rename(tmp, cdir)
+        _shutil.rmtree(old)
+    _shutil.rmtree(scratch, ignore_errors=True)
     return len(cells)
 
 

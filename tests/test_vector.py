@@ -355,6 +355,37 @@ def test_ivf_index_compact_preserves_content_and_search(spark, emb, tmp_path):
         == res_before
 
 
+def test_ivf_index_compact_crash_residue_is_invisible(spark, emb, tmp_path):
+    """Compaction scratch lives under the underscore-prefixed
+    ``_compact_tmp`` dir precisely so a crashed run's leftovers are
+    skipped by Spark's partitioned listing — a root-level tmp dir
+    would parse as a malformed cell_id partition value and corrupt
+    discovery for every reader. Simulate the crash residue (a fully
+    written new-cell dir left in scratch) and assert reads and search
+    are byte-identical to the clean index."""
+    import os
+    import shutil
+
+    from lakehouse_automation_spark.operators.vector import (
+        ivf_index_search, ivf_index_write)
+
+    idx = str(tmp_path / "idx")
+    ivf_index_write(emb, idx)
+    clean = {(r.vec_id, r.cell_id) for r in
+             spark.read.parquet(idx).select("vec_id", "cell_id").collect()}
+    res_clean = sorted(map(tuple, ivf_index_search(spark, emb, idx).collect()))
+    # crash residue: a compacted copy of cell 0 abandoned in scratch
+    scratch = os.path.join(idx, "_compact_tmp")
+    os.makedirs(scratch)
+    shutil.copytree(os.path.join(idx, "cell_id=0"),
+                    os.path.join(scratch, "new-0"))
+    after = {(r.vec_id, r.cell_id) for r in
+             spark.read.parquet(idx).select("vec_id", "cell_id").collect()}
+    assert after == clean
+    assert sorted(map(tuple, ivf_index_search(spark, emb, idx).collect())) \
+        == res_clean
+
+
 def test_ivf_index_refresh_rejects_pre_meta_index(spark, emb, tmp_path):
     """A pre-refresh-era index (no _meta/centroids) must fail with a
     clear rebuild instruction, not a cryptic parquet error."""
