@@ -386,10 +386,22 @@ def ivf_index_search(spark, emb: DataFrame, path: str,
     directories are listed and scanned. Exact cosine rerank within the
     probed cells; identical output contract (and oracle) to the
     inline ivf_topk."""
+    from pyspark.sql import types as T
+
     _, probes = _ivf_assign_and_probes(emb, n_centroids, nprobe, n_queries)
     cells = [r["cell_id"]
              for r in probes.select("cell_id").distinct().collect()]
-    idx = spark.read.parquet(path).filter(F.col("cell_id").isin(cells))
+    # read with the EXPLICIT index schema (derived from the corpus the
+    # index was built from, so the two cannot drift): no footer
+    # inference pass, and an EMPTY index — a 0-row build window writes
+    # zero cell files — reads back as 0 rows instead of failing
+    # UNABLE_TO_INFER_SCHEMA. cell_id takes vec_id's type (it is an
+    # aliased seed vec_id), so the probe join is cast-free.
+    base = with_vnorm(emb).select("vec_id", "v", "nrm").schema
+    sch = T.StructType(list(base.fields) + [
+        T.StructField("cell_id", base["vec_id"].dataType, True)])
+    idx = spark.read.schema(sch).parquet(path).filter(
+        F.col("cell_id").isin(cells))
     cand = (F.broadcast(probes).join(idx, "cell_id")
             .filter(F.col("q_id") != F.col("vec_id")))
     qsim = cosine_sim("qv", "v", "qn", "nrm")

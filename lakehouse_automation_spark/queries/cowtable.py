@@ -886,8 +886,11 @@ def tf_bloom_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg = (tbl.point_scan("l_orderkey", 1)
                .agg(F.count(F.lit(1)).alias("n"), _cents("l_extendedprice"))
                .collect()[0])
+        # SUM over zero rows is NULL (both engines) — preserve it
+        # rather than crashing int(None) on an empty source
+        cents = None if agg["cents"] is None else int(agg["cents"])
         return spark.createDataFrame(
-            [(int(agg["n"]), int(agg["cents"]),
+            [(int(agg["n"]), cents,
               containing_local <= kept_local,
               len(kept) <= len(containing) + 2,
               absent_kept <= 2)],

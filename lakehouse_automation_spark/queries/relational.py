@@ -682,9 +682,12 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.round(F.col("value") * 100).cast("long").alias("cents")))
     path = _scratch(sf_dir, "events_by_day")
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
-    # partition inference types `day` as DATE; DPP needs the join ON
-    # the partition column, so hash its canonical string form instead
-    fact = spark.read.parquet(path)
+    # read back under the writer's schema (`day` stays STRING — its
+    # canonical yyyy-MM-dd form is what the md5 tag hashes): no
+    # inference pass, and a 0-row source reads back as 0 rows instead
+    # of failing UNABLE_TO_INFER_SCHEMA on an empty partition tree.
+    # DPP fires on the partition column regardless of its type.
+    fact = spark.read.schema(ev.schema).parquet(path)
     dim = (fact.select("day").distinct()
            .withColumn("tag", F.substring(
                F.md5(F.col("day").cast("string")), 32, 1))

@@ -144,7 +144,11 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date(F.date_trunc("day", "ts")))
     ev.write.mode("overwrite").partitionBy("event_date").parquet(path)
-    back = spark.read.parquet(path)
+    # read back under the writer's schema: no inference pass, and a
+    # 0-row source (empty ingest window) reads back as 0 rows instead
+    # of failing UNABLE_TO_INFER_SCHEMA on a partition dir tree with
+    # no data files
+    back = spark.read.schema(ev.schema).parquet(path)
     # the window bound comes from PARTITION METADATA, not a data scan:
     # min() over a partition column materializes zero data pages (the
     # value rides the directory name) — the sink's own layout serves
@@ -153,14 +157,19 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = back.agg(F.min("event_date")).collect()[0][0]
     import datetime as dt
 
-    hi = lo + dt.timedelta(days=7)
+    # empty table -> no partitions -> vacuous window (predicate false)
+    if lo is None:
+        window = F.lit(False)
+    else:
+        hi = lo + dt.timedelta(days=7)
+        window = ((F.col("event_date") >= F.lit(lo))
+                  & (F.col("event_date") < F.lit(hi)))
     # predicate on the PARTITION column -> PartitionFilters (directory
     # pruning; plan-asserted): excluded days are never listed, let
     # alone read. Row-identical to a ts-range filter because every
     # row's event_date IS date_trunc(day, ts).
     return (
-        back.filter((F.col("event_date") >= F.lit(lo))
-                    & (F.col("event_date") < F.lit(hi)))
+        back.filter(window)
         .groupBy(F.col("event_date").cast("string").alias("event_date"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -454,8 +463,9 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
          .option("partitionOverwriteMode", "dynamic")
          .mode("overwrite")
          .parquet(path))
+        # writer-schema read-back: empty-source-safe (see sink_partitioned)
         return (
-            spark.read.parquet(path)
+            spark.read.schema(ev.schema).parquet(path)
             .groupBy(F.date_format("event_date", "yyyy-MM-dd")
                      .alias("event_date"))
             .agg(F.count(F.lit(1)).alias("n"),
