@@ -51,9 +51,16 @@ def media_table(docs: DataFrame) -> DataFrame:
     )
 
 
-def _fake_decode_one(payload: bytes) -> tuple[int, int, int, int]:
+def _fake_decode_one(
+    payload: bytes | None,
+) -> tuple[int | None, int | None, int | None, int | None]:
     """Deterministic fake codec: features from the payload bytes only.
-    Same 60-bit md5 hash as the SQL engines compute."""
+    Same 60-bit md5 hash as the SQL engines compute. A NULL payload
+    (absent/corrupt media — routine at ingest scale) decodes to NULL
+    features, never a stage-killing exception; the oracle's
+    octet_length(NULL)/md5(NULL) propagate the same way."""
+    if payload is None:
+        return None, None, None, None
     h = int(hashlib.md5(payload).hexdigest()[:15], 16)
     n_bytes = len(payload)
     return n_bytes, h % 640 + 1, h % 480 + 1, n_bytes // FRAME_BYTES + 1
@@ -168,8 +175,10 @@ def resize_payloads(media: DataFrame, width: int = 128,
     Binary payloads stream executor-side in Arrow batches — the shape
     that survives 100 TB of images."""
 
-    def _fake_resize_one(payload: bytes) -> bytes:
-        return payload[: width * height]
+    def _fake_resize_one(payload: bytes | None) -> bytes | None:
+        # NULL payload resizes to NULL, not a crash — absent media is
+        # data, and the target dims are still the stage's metadata
+        return None if payload is None else payload[: width * height]
 
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -177,7 +186,7 @@ def resize_payloads(media: DataFrame, width: int = 128,
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"].to_numpy(),
                 "out_width": width, "out_height": height,
-                "out_bytes": [len(o) for o in out],
+                "out_bytes": [None if o is None else len(o) for o in out],
                 "payload_out": out,
             })
 

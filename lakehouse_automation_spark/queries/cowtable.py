@@ -272,7 +272,7 @@ def tf_schema_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders WHERE o_orderkey % 3 IN (0, 1)
     UNION ALL
     SELECT 2, COUNT(*), {_CENTS.format(c="o_totalprice")}
-    FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F'
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus IS DISTINCT FROM 'F'
     """,
 )
 def tf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +306,7 @@ def tf_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL SELECT 'chunks_removed', 3
     UNION ALL
     SELECT 'rows_live', COUNT(*) FROM orders
-    WHERE o_orderkey % 3 IN (0, 1, 2) AND o_orderstatus <> 'F'
+    WHERE o_orderkey % 3 IN (0, 1, 2) AND o_orderstatus IS DISTINCT FROM 'F'
     """,
 )
 def tf_delete_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -474,7 +474,7 @@ def tf_stats_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders WHERE o_orderkey % 3 IN (0, 1)
     UNION ALL
     SELECT 2, COUNT(*), {_CENTS.format(c="o_totalprice")}
-    FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus <> 'F'
+    FROM orders WHERE o_orderkey % 3 IN (0, 1) AND o_orderstatus IS DISTINCT FROM 'F'
     UNION ALL
     SELECT 3, COUNT(*), {_CENTS.format(c="o_totalprice")}
     FROM orders WHERE o_orderkey % 3 = 0
@@ -629,11 +629,19 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(sign * F.round(F.col("o_totalprice") * 100)
                        .cast("long")).alias("dcents"))
         )
+        # null-safe key match: a NULL group key is a legitimate MV
+        # group, and a plain equi-join would never match it — the MV
+        # row and its delta would land as TWO output rows instead of
+        # folding (caught by the round-8 null-injection sweep)
         refreshed = (
-            spark.read.parquet(mv_path)
-            .join(delta, "o_orderstatus", "full_outer")
+            spark.read.parquet(mv_path).alias("m")
+            .join(delta.alias("d"),
+                  F.col("m.o_orderstatus").eqNullSafe(
+                      F.col("d.o_orderstatus")),
+                  "full_outer")
             .select(
-                "o_orderstatus",
+                F.coalesce("m.o_orderstatus", "d.o_orderstatus")
+                 .alias("o_orderstatus"),
                 (F.coalesce("n", F.lit(0))
                  + F.coalesce("dn", F.lit(0))).alias("n"),
                 (F.coalesce("cents", F.lit(0))

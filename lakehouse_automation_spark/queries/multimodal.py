@@ -66,7 +66,11 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_resize",
     oracle="""
     SELECT doc_id, 128 AS out_width, 96 AS out_height,
-           least(octet_length(encode(text)), 128 * 96) AS out_bytes
+           -- CASE, not bare least(): DuckDB's least() SKIPS NULL args,
+           -- but a NULL payload must resize to NULL bytes, not 12288
+           CASE WHEN text IS NULL THEN NULL
+                ELSE least(octet_length(encode(text)), 128 * 96)
+           END AS out_bytes
     FROM documents
     """,
 )

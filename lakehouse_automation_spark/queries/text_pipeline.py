@@ -209,7 +209,9 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           len(hs)            AS n_shingles,
+           -- a NULL doc tokenizes to an EMPTY shingle list on the
+           -- Spark side (0 shingles), while split(NULL) is NULL here
+           COALESCE(len(hs), 0) AS n_shingles,
            list_min(hs)       AS fingerprint,
            list_min(hs) % 1024 AS fp_bucket
     FROM ({_hashes_cte(3)})

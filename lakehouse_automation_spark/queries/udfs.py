@@ -55,7 +55,10 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("long")
     def len_hash(text: pd.Series) -> pd.Series:
-        return (text.str.len().astype("int64") * _MULT) % _MOD
+        # nullable Int64, not int64: a NULL text must propagate to a
+        # NULL hash (the oracle's length(NULL) is NULL), and NaN →
+        # .astype("int64") raises on a null-bearing batch
+        return (text.str.len().astype("Int64") * _MULT) % _MOD
 
     return (
         t(spark, sf_dir, "documents")
@@ -80,7 +83,11 @@ def udf_sql_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregated so only 16 rows cross back."""
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
 
-    def shard_of(text: str) -> int:
+    def shard_of(text: str) -> int | None:
+        # SQL NULL-in → NULL-out: a row UDF receives None and must
+        # hand it back (the oracle's trim/length propagate NULL)
+        if text is None:
+            return None
         # strip SPACES only: the oracle's DuckDB trim(text) strips
         # ' ' alone, while Python's bare strip() would also take
         # tabs/newlines — the two engines must drop the identical
@@ -113,11 +120,14 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_type", "value", "user_id")
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        cents = (pdf["value"] * 100).round().astype("int64")
+        # SQL SUM semantics by hand: skip NULL values (pandas skipna
+        # sum), and an all-NULL group sums to NULL, not 0 —
+        # min_count=1 makes pandas return NaN there, mapped to None
+        cents = (pdf["value"] * 100).round().sum(min_count=1)
         return pd.DataFrame({
             "event_type": [pdf["event_type"].iloc[0]],
             "n": [len(pdf)],
-            "cents_sum": [int(cents.sum())],
+            "cents_sum": [None if pd.isna(cents) else int(cents)],
             "min_user": [int(pdf["user_id"].min())],
         })
 
@@ -147,6 +157,10 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="pos int, token string")
     class Tokenize:
         def eval(self, text: str):
+            # NULL text → zero rows, matching the oracle's
+            # unnest(string_split(NULL, ' ')) producing nothing
+            if text is None:
+                return
             for i, tok in enumerate(text.split(" ")):
                 yield i, tok
 
@@ -192,5 +206,9 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.round(geo_mean("l_quantity"), 6).alias("geo_mean_qty")))
     cnt = (li.groupBy("l_returnflag")
            .agg(F.count(F.lit(1)).alias("n")))
-    return cnt.join(geo, "l_returnflag").select(
-        "l_returnflag", "n", "geo_mean_qty")
+    # null-safe join: NULL is a legitimate group key, and a plain
+    # equi-join would silently drop that group from the result
+    return (cnt.alias("c").join(
+                geo.alias("g"),
+                F.col("c.l_returnflag").eqNullSafe(F.col("g.l_returnflag")))
+            .select("c.l_returnflag", "n", "geo_mean_qty"))

@@ -539,6 +539,11 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS BIGINT) AS price_cents,
              CAST(p_size AS BIGINT) AS p_size
       FROM part
+      -- dominance needs BOTH dimensions present: a row with a NULL
+      -- size or price can neither dominate nor be dominated, so it
+      -- is out of skyline contention by contract (and NULL ordering
+      -- inside the window differs between engines anyway)
+      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
     ), best AS (
       SELECT p_partkey, price_cents, p_size,
              MIN(price_cents) OVER (
@@ -573,6 +578,10 @@ def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-self-join alternative can never run at scale. Values exact
     cents/integers; no doubles until display."""
     pts = (t(spark, sf_dir, "part")
+           # the oracle's contract: null-dimension rows are out of
+           # skyline contention (can't dominate, can't be dominated)
+           .filter(F.col("p_size").isNotNull()
+                   & F.col("p_retailprice").isNotNull())
            .select("p_partkey",
                    (F.col("p_retailprice").cast("decimal(18,2)") * 100)
                    .cast("long").alias("price_cents"),

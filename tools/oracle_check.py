@@ -28,7 +28,9 @@ import pandas as pd
 # root (not tools/) on sys.path so the package imports resolve.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.01"
+# Env-overridable so robustness sweeps (tools/null_check.py) can point
+# the whole gate — Spark side AND DuckDB views — at a replica dir.
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -44,7 +46,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             return "∅"
         if isinstance(v, float):
             if v == int(v) and abs(v) < 1e15:
-                return f"{v:.6f}"
+                # int format, not '%.6f': a null-bearing int64 column
+                # round-trips pandas as float64, so the SAME value can
+                # arrive int-typed on one side and float-typed on the
+                # other — collapse the dtype artifact, keep the value
+                return str(int(v))
             # 12 significant digits: catches real accumulation drift
             # (>=1e-11 relative) while absorbing last-ulp libm noise
             return f"{v:.12g}"
