@@ -110,12 +110,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", rsd=rsd).alias("_ao"),
         F.approx_count_distinct("l_partkey", rsd=rsd).alias("_ap"),
     )
-    g = exact.join(approx, "l_returnflag")
+    # null-safe: NULL is a legitimate group key; a plain equi-join
+    # would silently drop that group from the verification output
+    g = exact.alias("e").join(
+        approx.alias("a"),
+        F.col("e.l_returnflag").eqNullSafe(F.col("a.l_returnflag")))
     def ok(approx, exact):
         return (F.abs(F.col(approx) - F.col(exact))
                 <= 5 * rsd * F.col(exact))
     return g.select(
-        "l_returnflag", "n_orders_exact", "n_parts_exact",
+        "e.l_returnflag", "n_orders_exact", "n_parts_exact",
         ok("_ao", "n_orders_exact").alias("orders_sketch_ok"),
         ok("_ap", "n_parts_exact").alias("parts_sketch_ok"),
     )
@@ -180,9 +184,17 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(acc)).alias("_p50"),
         F.percentile_approx("l_extendedprice", F.lit(0.95), F.lit(acc)).alias("_p95"),
     )
-    j = li.join(F.broadcast(sk), "l_returnflag")
+    # null-safe join: the NULL-flag group must keep its rows through
+    # the verification pass, not vanish from the output
+    j = (li.alias("l").join(
+            F.broadcast(sk).alias("s"),
+            F.col("l.l_returnflag").eqNullSafe(F.col("s.l_returnflag")))
+         .select("l.l_returnflag", "l_extendedprice", "_p50", "_p95"))
     ranks = j.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
+        # the sketch sees only NON-NULL values, so rank targets are
+        # against the non-null count (== n_rows on a null-free column)
+        F.count("l_extendedprice").alias("_nv"),
         F.sum((F.col("l_extendedprice") < F.col("_p50")).cast("long")).alias("_lt50"),
         F.sum((F.col("l_extendedprice") <= F.col("_p50")).cast("long")).alias("_le50"),
         F.sum((F.col("l_extendedprice") < F.col("_p95")).cast("long")).alias("_lt95"),
@@ -191,7 +203,7 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     def rank_ok(lt, le, q):
         # the value's rank interval [lt+1, le] must meet the target
         # rank window; tie clusters widen the interval, not the bound
-        n, tol = F.col("n_rows"), F.col("n_rows") / acc + 2
+        n, tol = F.col("_nv"), F.col("_nv") / acc + 2
         target = q * n
         return (F.col(lt) + 1 <= target + tol) & (F.col(le) >= target - tol)
     return ranks.select(
@@ -884,7 +896,11 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS cents,
              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem
+      -- percentile semantics: NULL prices are not points of the price
+      -- distribution and NULL quantities carry no weight
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      GROUP BY 1, 2
     ), cum AS (
       SELECT l_returnflag, cents, w,
              CAST(SUM(w) OVER (
@@ -918,6 +934,11 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     pv = (t(spark, sf_dir, "lineitem")
+          # the oracle's contract: NULL prices are not distribution
+          # points, NULL quantities carry no weight (and a NULL cents
+          # bucket would cum-sum in engine-specific NULL order)
+          .filter(F.col("l_extendedprice").isNotNull()
+                  & F.col("l_quantity").isNotNull())
           .select("l_returnflag",
                   (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
                   .cast("long").alias("cents"),
@@ -1126,7 +1147,10 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS cents,
              CAST(COUNT(*) AS BIGINT) AS w
-      FROM lineitem GROUP BY 1, 2
+      FROM lineitem
+      -- NULL prices are not points of the price distribution
+      WHERE l_extendedprice IS NOT NULL
+      GROUP BY 1, 2
     ), cum AS (
       SELECT l_returnflag, cents, w,
              CAST(SUM(w) OVER (
@@ -1177,6 +1201,9 @@ def agg_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     pv = (t(spark, sf_dir, "lineitem")
+          # the oracle's contract: NULL prices are not distribution
+          # points (see agg_weighted_median)
+          .filter(F.col("l_extendedprice").isNotNull())
           .select("l_returnflag",
                   (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
                   .cast("long").alias("cents"))

@@ -125,7 +125,8 @@ def cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(cume_dist() OVER w, 9) AS cd,
            ntile(4) OVER w AS quartile
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey)
     """,
 )
 def win_rank_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +134,10 @@ def win_rank_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (win_rank covers row_number/rank/dense_rank). Rounded to 9 dp: the
     rank fractions are exact small rationals, identical across engines
     after rounding."""
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    # NULLS LAST pinned: Spark ASC defaults nulls-first, DuckDB
+    # nulls-last — rank positions over a nullable sort key must say
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey")
     return t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority",
         F.round(F.percent_rank().over(w), 9).alias("pr"),

@@ -397,7 +397,9 @@ def retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_type, e.exact_users,
            (SELECT CAST(COUNT(*) AS BIGINT) FROM daily d
-            WHERE d.event_type = e.event_type) AS n_partials,
+            -- null-safe: NULL event_type is a legitimate rollup group
+            WHERE d.event_type IS NOT DISTINCT FROM e.event_type)
+             AS n_partials,
            TRUE AS sketch_ok
     FROM exact e
     """,
@@ -422,10 +424,14 @@ def agg_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_partials"))
     exact = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("exact_users"))
+    # null-safe: NULL is a legitimate group key, and a plain equi-join
+    # would drop that group's rollup row
     return (
-        exact.join(merged, "event_type")
+        exact.alias("e").join(
+            merged.alias("m"),
+            F.col("e.event_type").eqNullSafe(F.col("m.event_type")))
         .select(
-            "event_type", "exact_users", "n_partials",
+            "e.event_type", "exact_users", "n_partials",
             (F.abs(F.col("approx_users") - F.col("exact_users"))
              <= 0.05 * F.col("exact_users")).alias("sketch_ok"))
     )
@@ -822,7 +828,11 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), paths AS (
       SELECT event_type || '>' || t2 || '>' || t3 AS path,
              COUNT(*) AS n
-      FROM e WHERE t3 IS NOT NULL
+      -- a path needs ALL THREE steps typed: concat_ws would silently
+      -- skip a NULL middle step (2-step path), '||' would NULL the
+      -- whole path — neither is a 3-step path, so drop them here
+      FROM e WHERE event_type IS NOT NULL AND t2 IS NOT NULL
+               AND t3 IS NOT NULL
       GROUP BY 1
     )
     SELECT path, CAST(n AS BIGINT) AS n, rk FROM (
@@ -847,7 +857,10 @@ def event_path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = (ev
            .withColumn("t2", F.lead("event_type", 1).over(w))
            .withColumn("t3", F.lead("event_type", 2).over(w))
-           .filter(F.col("t3").isNotNull())
+           # all three steps must be typed: concat_ws silently skips
+           # NULLs, which would alias a 3-gram to a 2-step path
+           .filter(F.col("event_type").isNotNull()
+                   & F.col("t2").isNotNull() & F.col("t3").isNotNull())
            .select(F.concat_ws(">", "event_type", "t2", "t3").alias("path")))
     paths = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
     wr = W.orderBy(F.desc("n"), F.asc("path"))

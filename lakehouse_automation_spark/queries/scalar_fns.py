@@ -20,7 +20,9 @@ from .base import register, t
     "fn_string",
     oracle="""
     SELECT c_custkey,
-           concat(c_name, '#', c_mktsegment)          AS tagged,
+           -- '||', not concat(): DuckDB's concat() SKIPS NULL args,
+           -- Spark's concat propagates NULL (the SQL-standard rule)
+           c_name || '#' || c_mktsegment              AS tagged,
            upper(c_mktsegment)                        AS seg_upper,
            substring(c_name, 1, 8)                    AS name_prefix,
            strpos(c_name, '1')                        AS pos_one,

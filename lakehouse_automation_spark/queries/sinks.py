@@ -481,7 +481,11 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scan_text",
     oracle="""
     WITH lines AS (
-      SELECT regexp_replace(text, '[\\r\\n]+', ' ', 'g') AS value
+      -- the text format's second lossy rule: a NULL doc writes as an
+      -- EMPTY LINE (there is no NULL in a line-oriented file), so the
+      -- oracle models the round-trip with COALESCE('')
+      SELECT COALESCE(regexp_replace(text, '[\\r\\n]+', ' ', 'g'), '')
+               AS value
       FROM documents
     )
     SELECT COUNT(*) AS n_lines,

@@ -352,9 +352,11 @@ _AC_CAP = 119  # demo bound: first 120 days of each type's span
       FROM lagged WHERE y IS NOT NULL GROUP BY 1
     )
     SELECT event_type, n AS n_pairs,
+           -- NULLIF: a constant (zero-variance) series has no defined
+           -- correlation — NULL, not a divide-by-zero error
            ROUND((n * sxy - sx * sy) /
-                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
-                  sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+                 NULLIF(sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+                        sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 0), 6)
              AS autocorr_lag1
     FROM m
     """,
@@ -398,12 +400,15 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"))
     n, sx, sxx, sy, syy, sxy = (
         F.col(c) for c in ["n", "sx", "sxx", "sy", "syy", "sxy"])
+    # nullif on the denominator: a constant (zero-variance) series —
+    # e.g. a sparse group whose capped span is all zero-fill — has no
+    # defined correlation; NULL, never an ANSI divide-by-zero
+    denom = F.nullif(
+        F.sqrt((n * sxx - sx * sx).cast("double"))
+        * F.sqrt((n * syy - sy * sy).cast("double")), F.lit(0.0))
     return m.select(
         "event_type", n.alias("n_pairs"),
-        F.round((n * sxy - sx * sy) /
-                (F.sqrt((n * sxx - sx * sx).cast("double")) *
-                 F.sqrt((n * syy - sy * sy).cast("double"))), 6)
-        .alias("autocorr_lag1"))
+        F.round((n * sxy - sx * sy) / denom, 6).alias("autocorr_lag1"))
 
 
 @register(

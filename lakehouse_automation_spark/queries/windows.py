@@ -72,7 +72,8 @@ def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
-                OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity
+                OVER (PARTITION BY l_orderkey
+                      ORDER BY l_linenumber, l_quantity NULLS LAST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
     FROM lineitem
     """,
@@ -82,9 +83,14 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY includes l_quantity: (l_orderkey, l_linenumber) is not
     unique in the testdata, and a ROWS frame over ties is otherwise
     partition-order dependent."""
+    # NULLS LAST pinned on the nullable tiebreaker: Spark's ASC
+    # default is nulls-first, DuckDB's is nulls-last — an ORDER BY
+    # over a nullable column must say which, or the ROWS frame
+    # contents diverge between engines
     w = (
         W.partitionBy("l_orderkey")
-        .orderBy("l_linenumber", "l_quantity")
+        .orderBy(F.col("l_linenumber"),
+                 F.col("l_quantity").asc_nulls_last())
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return t(spark, sf_dir, "lineitem").select(

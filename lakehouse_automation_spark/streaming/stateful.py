@@ -37,23 +37,34 @@ def _cents(values: "pd.Series") -> "pd.Series":
     import numpy as np
 
     v = values * 100
+    # float64 with NaN preserved, not int64: NULL values are data (SQL
+    # SUM skips them; a NULL-bearing batch must not crash the fold)
     return pd.Series(np.sign(v) * np.floor(np.abs(v) + 0.5),
-                     index=values.index).astype("int64")
+                     index=values.index)
 
 
-def _fold_batch(pdf: pd.DataFrame) -> tuple[int, int]:
-    """(rows, exact integer cents) for one pandas chunk."""
-    return len(pdf), int(_cents(pdf["value"]).sum())
+def _addn(a: int | None, b: int | None) -> int | None:
+    """SQL-SUM-style accumulate: NULL contributes nothing, and a sum
+    that never saw a value stays NULL."""
+    return b if a is None else a if b is None else a + b
+
+
+def _fold_batch(pdf: pd.DataFrame) -> tuple[int, int | None]:
+    """(rows, exact integer cents or None) for one pandas chunk —
+    COUNT(*) counts every row; the cents sum skips NULLs and is NULL
+    when the chunk carries no non-null value (SQL SUM semantics)."""
+    s = _cents(pdf["value"]).sum(min_count=1)
+    return len(pdf), None if pd.isna(s) else int(s)
 
 
 def update_user_totals(key: tuple, pdfs: Iterator[pd.DataFrame],
                        state: GroupState) -> Iterator[pd.DataFrame]:
     """applyInPandasWithState update function: fold this micro-batch's
     rows for one user into (n, cents) state, emit the running total."""
-    n, cents = state.get if state.exists else (0, 0)
+    n, cents = state.get if state.exists else (0, None)
     for pdf in pdfs:
         dn, dc = _fold_batch(pdf)
-        n, cents = n + dn, cents + dc
+        n, cents = n + dn, _addn(cents, dc)
     state.update((n, cents))
     yield pd.DataFrame({
         "user_id": [key[0]], "n_events": [n], "cents_sum": [cents],
@@ -116,14 +127,14 @@ class UserTotalsProcessor(StatefulProcessor):
         self._vmax = handle.getValueState("vmax", "m bigint")
 
     def handleInputRows(self, key, rows, timer_values):
-        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        n, cents = self._totals.get() if self._totals.exists() else (0, None)
         m = self._vmax.get()[0] if self._vmax.exists() else None
         for pdf in rows:
             dn, dc = _fold_batch(pdf)
-            n, cents = n + dn, cents + dc
-            if dn:
-                bmax = int(_cents(pdf["value"]).max())
-                m = bmax if m is None else max(m, bmax)
+            n, cents = n + dn, _addn(cents, dc)
+            bmax = _cents(pdf["value"]).max()  # NaN when all-NULL chunk
+            if not pd.isna(bmax):
+                m = int(bmax) if m is None else max(m, int(bmax))
         self._totals.update((n, cents))
         self._vmax.update((m,))
         yield pd.DataFrame({

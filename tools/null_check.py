@@ -70,6 +70,16 @@ TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
+# Keys whose CORRECT response to null-injected input is a raised
+# enforcement error, not a result: tf_constraints declares
+# `o_orderstatus IS NOT NULL` as a CHECK constraint, so the
+# null-injected batch MUST be refused — that is the feature under
+# test working, and the sweep reclassifies exactly that error. Any
+# other exception still fails the key.
+EXPECTED_ENFORCEMENT = {
+    "tf_constraints": "ConstraintViolationError",
+}
+
 
 def _mask(table: str, col: str, n: int) -> np.ndarray:
     """Deterministic per-(table, column) null positions."""
@@ -116,17 +126,37 @@ def main() -> int:
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
 
+    import json
+
     with tempfile.TemporaryDirectory(prefix="nullsf-") as dst:
         injected = build_null_replica(args.sf_dir, dst)
         total = sum(injected.values())
         print(f"replica {dst}: {total} NULLs over "
               f"{len(injected)} columns (rate {NULL_RATE})", flush=True)
-        cmd = [sys.executable, os.path.join(REPO, "tools", "oracle_check.py")]
-        if args.json_out:
-            cmd += ["--json", args.json_out]
-        cmd += args.keys
+        rec_path = args.json_out or os.path.join(dst, "record.json")
+        cmd = [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"),
+               "--json", rec_path] + args.keys
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=dst)
-        return subprocess.call(cmd, env=env, cwd=REPO)
+        subprocess.call(cmd, env=env, cwd=REPO)
+
+        # reclassify documented enforcement outcomes, then re-judge
+        with open(rec_path) as fh:
+            record = json.load(fh)
+        for key, exc in EXPECTED_ENFORCEMENT.items():
+            entry = record.get(key)
+            if entry and entry["status"] != "OK" and exc in entry["detail"]:
+                entry["status"] = "OK"
+                entry["detail"] = (
+                    f"ENFORCED {exc} on null-violating batch (by design)")
+                print(f"reclassified {key}: constraint enforcement "
+                      f"is the expected null-input outcome", flush=True)
+        if args.json_out:
+            with open(args.json_out, "w") as fh:
+                json.dump(record, fh, indent=1, sort_keys=True)
+        fails = [k for k, v in record.items() if v["status"] != "OK"]
+        print(f"null sweep: {len(record)} keys, {len(fails)} failures"
+              + (f": {fails}" if fails else ""))
+        return 1 if fails else 0
 
 
 if __name__ == "__main__":
