@@ -1,0 +1,81 @@
+"""Null-input regression gate: one representative key per fix class
+from the round-8 null-injection sweep (tools/null_check.py, record
+bench/NULLSWEEP_r08.json — 27/243 keys diverged or crashed on ~3%
+null-injected value columns). The full sweep (Spark vs DuckDB on the
+same dirty replica) stays a tool-tier check; this pytest file runs
+the FIX CLASSES fast so a regression fails the suite:
+
+  1. NULL group key must survive an aggregate re-attach join
+     -> udf_grouped_agg (eqNullSafe)
+  2. pandas/Python UDFs propagate NULL instead of crashing
+     -> udf_pandas_scalar, mm_decode_features
+  3. distribution operators exclude NULL values by contract
+     -> agg_exact_deciles
+  4. streaming-state fold carries SQL SUM semantics over NULLs
+     -> stream_custom_state
+
+Each key runs on a null replica AND its result is compared against
+the DuckDB oracle reading the SAME replica — the full gate's logic,
+scoped to five keys (~40 s).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+KEYS = [
+    "udf_grouped_agg",
+    "udf_pandas_scalar",
+    "mm_decode_features",
+    "agg_exact_deciles",
+    "stream_custom_state",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory):
+    from tools.null_check import build_null_replica
+
+    d = tmp_path_factory.mktemp("nullsf")
+    build_null_replica("/root/testdata/sf0.001", str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_con(null_sf_dir):
+    from tools.null_check import TABLES
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(f"CREATE VIEW {tbl} AS "
+                    f"SELECT * FROM '{null_sf_dir}/{tbl}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_key_matches_oracle_on_null_data(spark, null_sf_dir, oracle_con,
+                                         key):
+    from tools.oracle_check import compare
+
+    from lakehouse_automation_spark import queries as Q
+    from lakehouse_automation_spark.operators.cache import release_persisted
+
+    reg = Q.REGISTRY[key]
+    try:
+        verdict = compare(key, reg.fn(spark, null_sf_dir),
+                          reg.oracle, oracle_con)
+        assert verdict.startswith("OK"), verdict
+    finally:
+        release_persisted(spark)
+
+
+def test_null_replica_actually_carries_nulls(null_sf_dir):
+    """Guard the fixture's premise: the replica must inject NULLs into
+    value columns or every test above is vacuously clean-data."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{null_sf_dir}/lineitem.parquet")
+    assert t.column("l_quantity").null_count > 100
+    assert t.column("l_orderkey").null_count == 0  # keys stay non-null
