@@ -127,8 +127,14 @@ def with_vnorm(emb: DataFrame, vec_col: str = "embedding",
     # unrolled norm reads it instead of re-inlining the cast transform
     # 2*dim times (CollapseProject keeps multi-referenced non-cheap
     # aliases at a boundary).
+    # The IsNotNull filter ENFORCES the vector family's ingest
+    # contract (a NULL embedding has no geometry — it can't be
+    # indexed, banded, or ranked) instead of assuming it: pushed to
+    # the parquet scan, free on clean data, and every downstream tier
+    # inherits the guarantee through this one funnel.
     return (
-        emb.select("vec_id", v.alias("v"))
+        emb.filter(F.col(vec_col).isNotNull())
+        .select("vec_id", v.alias("v"))
         .select("vec_id", "v", norm("v", dim).alias("nrm"))
     )
 

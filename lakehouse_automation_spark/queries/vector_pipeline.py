@@ -45,6 +45,9 @@ _VNORM = """
                                           i -> CAST(embedding[i] AS DOUBLE)
                                              * CAST(embedding[i] AS DOUBLE)))) AS nrm
       FROM embeddings
+      -- mirrors with_vnorm's ingest contract: a NULL embedding has no
+      -- geometry and is out of every tier's scope
+      WHERE embedding IS NOT NULL
 """
 
 _DOT = ("list_sum(list_transform(range(1, len({a}) + 1), "

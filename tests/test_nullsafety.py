@@ -13,6 +13,9 @@ the FIX CLASSES fast so a regression fails the suite:
      -> agg_exact_deciles
   4. streaming-state fold carries SQL SUM semantics over NULLs
      -> stream_custom_state
+  5. tier 2: NULL embeddings are filtered at the with_vnorm funnel
+     and mirrored in the shared _VNORM oracle CTE
+     -> vec_knn_join
 
 Each key runs on a null replica AND its result is compared against
 the DuckDB oracle reading the SAME replica — the full gate's logic,
@@ -30,6 +33,7 @@ KEYS = [
     "mm_decode_features",
     "agg_exact_deciles",
     "stream_custom_state",
+    "vec_knn_join",
 ]
 
 

@@ -62,7 +62,10 @@ NULLABLE: dict[str, tuple[str, ...]] = {
                  "l_returnflag", "l_linestatus"),
     "events": ("event_type", "value", "props"),
     "documents": ("text", "lang", "source", "n_chars"),
-    "embeddings": ("label",),
+    # tier 2: whole-vector NULLs too — the vector family's ingest
+    # contract (with_vnorm filters NULL embeddings at the funnel) is
+    # ENFORCED in code, so the sweep exercises it instead of trusting it
+    "embeddings": ("label", "embedding"),
 }
 
 TABLES = (
