@@ -85,11 +85,17 @@ REAL_DECODE_SCHEMA = (
 )
 
 
-def _decode_with(codec, payload: bytes) -> dict:
+def _decode_with(codec, payload: bytes | None) -> dict:
     """One payload through an already-resolved codec (batch loops
-    resolve the codec once, not per row)."""
+    resolve the codec once, not per row). A NULL payload decodes to
+    NULL features in the REAL tier too — the same absent-media
+    contract as the fake tier, at the shared per-payload level so
+    every real-decode entry point inherits it."""
     import io
 
+    if payload is None:
+        return {"n_bytes": None, "width": None, "height": None,
+                "mode": None}
     with codec.open(io.BytesIO(payload)) as img:
         return {
             "n_bytes": len(payload),

@@ -24,8 +24,12 @@ import pytest
 def empty_sf_dir(tmp_path_factory):
     from tools.degenerate_check import build_empty_replica
 
+    from tests.conftest import SF_SMOKE
+
     d = tmp_path_factory.mktemp("emptysf")
-    build_empty_replica(str(d))
+    # source pinned explicitly: the schema-equality test below compares
+    # against SF_SMOKE, so the replica must not ride ambient env vars
+    build_empty_replica(SF_SMOKE, str(d))
     return str(d)
 
 

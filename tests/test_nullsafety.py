@@ -19,7 +19,7 @@ the FIX CLASSES fast so a regression fails the suite:
 
 Each key runs on a null replica AND its result is compared against
 the DuckDB oracle reading the SAME replica — the full gate's logic,
-scoped to five keys (~40 s).
+scoped to six keys (~1 min).
 """
 
 from __future__ import annotations
@@ -41,8 +41,10 @@ KEYS = [
 def null_sf_dir(tmp_path_factory):
     from tools.null_check import build_null_replica
 
+    from tests.conftest import SF_SMOKE
+
     d = tmp_path_factory.mktemp("nullsf")
-    build_null_replica("/root/testdata/sf0.001", str(d))
+    build_null_replica(SF_SMOKE, str(d))
     return str(d)
 
 

@@ -65,6 +65,58 @@ def test_stateful_stream_matches_batch(spark, tmp_path):
     assert latest == want
 
 
+def test_stateful_stream_carries_null_state_across_batches(spark, tmp_path):
+    """A user whose values are ALL NULL must hold a NULL cents_sum in
+    the state store ACROSS micro-batches (SQL SUM semantics: no value
+    ever seen -> NULL, not 0) — the live-stream path of the round-8
+    null-sweep fix, which the batch restatement alone can't exercise:
+    state.update((n, None)) and the object-dtype [None] output column
+    both have to survive the Arrow/state-store round trip."""
+    rows = [
+        # batch a: user 1 all-null, user 2 mixed
+        ("a", [(1, None), (1, None), (2, 3.25), (2, None)]),
+        # batch b: user 1 STILL all-null (None state must reload),
+        # user 2 gains a value on top of non-null state
+        ("b", [(1, None), (2, 1.75)]),
+    ]
+    src = str(tmp_path / "src")
+    for name, data in rows:
+        (spark.createDataFrame(data, "user_id long, value double")
+         .coalesce(1).write.mode("overwrite")
+         .parquet(os.path.join(src, name)))
+
+    schema = "user_id long, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    q = (
+        user_totals_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda bdf, bid: bdf.write.mode("overwrite")
+                      .parquet(os.path.join(out_dir, f"b{bid}")))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(timeout=120), "stateful stream did not drain"
+
+    got_df = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("basePath", out_dir).parquet(out_dir)
+        .withColumn("_f", F.input_file_name())
+    )
+    latest: dict[int, tuple] = {}
+    for r in sorted(got_df.collect(), key=lambda r: r._f):
+        latest[r.user_id] = (r.n_events, r.cents_sum)
+    # user 1: 3 NULL-valued events -> count 3, sum NULL (never 0)
+    # user 2: 3 events, 325 + 175 non-null cents
+    assert latest == {1: (3, None), 2: (3, 500)}
+
+
 def test_stateful_batch_restatement_is_exact(spark):
     """The gate key's applyInPandas fold equals plain SQL aggregation."""
     events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")

@@ -33,20 +33,19 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
+
+from tools.oracle_check import TABLES  # noqa: E402 — one table list, three tools
 
 
-def build_empty_replica(dst: str) -> None:
-    """0-row parquet per table, byte-level schema preserved (arrow
-    slice keeps logical types exactly — incl. events' ns timestamps)."""
+def build_empty_replica(src_dir: str, dst: str) -> None:
+    """0-row parquet per table, byte-level schema preserved (footer
+    schema only is read — logical types kept exactly, incl. events'
+    ns timestamps — so even an sf10 source costs zero data I/O)."""
     import pyarrow.parquet as pq
 
     for t in TABLES:
-        src = os.path.join(SRC_SF_DIR, f"{t}.parquet")
-        pq.write_table(pq.read_table(src).slice(0, 0),
+        schema = pq.read_schema(os.path.join(src_dir, f"{t}.parquet"))
+        pq.write_table(schema.empty_table(),
                        os.path.join(dst, f"{t}.parquet"))
 
 
@@ -70,7 +69,7 @@ def main() -> int:
     record: dict[str, dict] = {}
     fails = 0
     with tempfile.TemporaryDirectory(prefix="emptysf-") as sf_dir:
-        build_empty_replica(sf_dir)
+        build_empty_replica(SRC_SF_DIR, sf_dir)
         for k in keys:
             try:
                 n = Q.REGISTRY[k].fn(spark, sf_dir).count()

@@ -43,9 +43,13 @@ import tempfile
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.oracle_check import TABLES  # noqa: E402 — one table list, three tools
 
 NULL_RATE = 0.03
 
@@ -67,11 +71,6 @@ NULLABLE: dict[str, tuple[str, ...]] = {
     # ENFORCED in code, so the sweep exercises it instead of trusting it
     "embeddings": ("label", "embedding"),
 }
-
-TABLES = (
-    "region", "nation", "customer", "supplier", "part",
-    "orders", "lineitem", "events", "documents", "embeddings",
-)
 
 # Keys whose CORRECT response to null-injected input is a raised
 # enforcement error, not a result: tf_constraints declares
@@ -111,7 +110,7 @@ def build_null_replica(src: str, dst: str) -> dict[str, int]:
                 if m.any():
                     pa_mask = pa.array(m)
                     # keep original values where mask is False
-                    arr = pa.compute.if_else(
+                    arr = pc.if_else(
                         pa_mask, pa.nulls(n, type=field.type), arr)
                     injected[f"{t}.{field.name}"] = int(m.sum())
             cols.append(arr)
@@ -140,14 +139,21 @@ def main() -> int:
         cmd = [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"),
                "--json", rec_path] + args.keys
         env = dict(os.environ, SPARK_GRAFT_SF_DIR=dst)
-        subprocess.call(cmd, env=env, cwd=REPO)
+        rc = subprocess.call(cmd, env=env, cwd=REPO)
+        if not os.path.exists(rec_path):
+            # the gate died before recording anything (unknown key,
+            # import error, ...) — surface ITS failure, not a traceback
+            print(f"oracle_check wrote no record (exit {rc}); "
+                  "see its output above", file=sys.stderr)
+            return rc or 1
 
         # reclassify documented enforcement outcomes, then re-judge
         with open(rec_path) as fh:
             record = json.load(fh)
+        PASS = ("OK", "ROWS_ONLY")  # the gate's own pass statuses
         for key, exc in EXPECTED_ENFORCEMENT.items():
             entry = record.get(key)
-            if entry and entry["status"] != "OK" and exc in entry["detail"]:
+            if entry and entry["status"] not in PASS and exc in entry["detail"]:
                 entry["status"] = "OK"
                 entry["detail"] = (
                     f"ENFORCED {exc} on null-violating batch (by design)")
@@ -156,7 +162,7 @@ def main() -> int:
         if args.json_out:
             with open(args.json_out, "w") as fh:
                 json.dump(record, fh, indent=1, sort_keys=True)
-        fails = [k for k, v in record.items() if v["status"] != "OK"]
+        fails = [k for k, v in record.items() if v["status"] not in PASS]
         print(f"null sweep: {len(record)} keys, {len(fails)} failures"
               + (f": {fails}" if fails else ""))
         return 1 if fails else 0

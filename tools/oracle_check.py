@@ -108,6 +108,10 @@ def main() -> int:
         out_json = args[i + 1]
         args = args[:i] + args[i + 2:]
     keys = args or list(REGISTRY)
+    unknown = [k for k in keys if k not in REGISTRY]
+    if unknown:
+        print(f"unknown keys: {unknown}", file=sys.stderr)
+        return 2
     record: dict[str, dict] = {}
     failures = 0
     for key in keys:
