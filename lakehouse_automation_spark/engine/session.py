@@ -18,6 +18,20 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _extra_confs() -> dict[str, str]:
+    """$SPARK_GRAFT_EXTRA_CONFS as ``k=v;k=v`` — the robustness sweeps
+    (tools/partition_check.py) use this to rerun the whole gate under
+    adversarial parallelism (prime shuffle-partition counts, tiny input
+    splits, AQE off) without per-query plumbing. Applied LAST, so a
+    sweep can override any RUNTIME_CONFS entry."""
+    out: dict[str, str] = {}
+    for pair in os.environ.get("SPARK_GRAFT_EXTRA_CONFS", "").split(";"):
+        if "=" in pair:
+            k, v = pair.split("=", 1)
+            out[k.strip()] = v.strip()
+    return out
+
+
 # Session-settable SQL confs applied to ANY session we are handed
 # (the verify driver builds its own SparkSession; these must all be
 # runtime-settable, and are).
@@ -52,7 +66,7 @@ RUNTIME_CONFS: dict[str, str] = {
 def tune_session(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable confs to an existing session (driver-owned
     sessions included)."""
-    for k, v in RUNTIME_CONFS.items():
+    for k, v in {**RUNTIME_CONFS, **_extra_confs()}.items():
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -145,6 +159,8 @@ def get_spark(app_name: str = "lakehouse_automation_spark",
         # sessions where JVM flags are out of our hands.
     )
     for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in _extra_confs().items():
         builder = builder.config(k, v)
     global _delta_logged
     if delta_available():

@@ -550,27 +550,31 @@ def agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta sketches (DataSketches, Spark 4 built-ins) support
     intersection and difference, so "distinct users who did BOTH view
     and purchase" is answerable from two persisted KB-size sketches
-    with no re-scan and no exact-distinct shuffle. The per-segment
-    sketches aggregate in one pass (map-side partials); estimates are
-    asserted against the exact answers as oracle-pinned booleans (the
-    sketch-key convention), with a 5% bound that theta's ~1.6% rel.
-    err at lgK=12 clears."""
+    with no re-scan and no exact-distinct shuffle. Both per-segment
+    sketches build in ONE conditional-aggregation pass (map-side
+    partials, no per-segment shuffle), then combine via the SCALAR
+    theta_union/theta_intersection — never theta_intersection_agg,
+    whose partial buffer cannot serialize the empty state ("infinite
+    set"): any task seeing zero rows kills the stage, which the
+    round-8 partition sweep reproduced the moment AQE stopped
+    coalescing the 2-row exchange (partitions > rows at any real
+    cluster width). An empty SKETCH, by contrast, is a legal empty
+    set for both scalar ops, so the vacuous corpora (a missing
+    segment, zero events) fall out of the plain 5% bound — theta's
+    ~1.6% rel. err at lgK=12 clears it — with no special-casing."""
     ev = t(spark, sf_dir, "events").select("event_type", "user_id")
-    sks = (
-        ev.filter(F.col("event_type").isin("view", "purchase"))
-        .groupBy("event_type")
-        .agg(F.expr("theta_sketch_agg(user_id)").alias("sk"))
+    ests = (
+        ev.agg(
+            F.expr("theta_sketch_agg(CASE WHEN event_type = 'view' "
+                   "THEN user_id END)").alias("sk_v"),
+            F.expr("theta_sketch_agg(CASE WHEN event_type = 'purchase' "
+                   "THEN user_id END)").alias("sk_p"))
+        .select(
+            F.expr("theta_sketch_estimate(theta_union(sk_v, sk_p))")
+             .alias("u_est"),
+            F.expr("theta_sketch_estimate(theta_intersection(sk_v, sk_p))")
+             .alias("i_est"))
     )
-    ests = sks.agg(
-        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("u_est"),
-        F.expr("theta_sketch_estimate(theta_intersection_agg(sk))")
-         .alias("i_est"),
-        # intersection of ONE sketch is that sketch — comparing it to
-        # the two-set exact intersection (0) would flip inter_ok on a
-        # corpus missing a segment, a data artifact not a sketch bug;
-        # the booleans below go vacuously TRUE unless both segments
-        # exist (and union handles the empty corpus the same way)
-        F.count(F.lit(1)).alias("n_segments"))
     v = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
     p = (ev.filter(F.col("event_type") == "purchase")
          .select("user_id").distinct())
@@ -590,14 +594,12 @@ def agg_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.crossJoin(exacts).crossJoin(ests)  # all 1-row sides
         .select(
             "exact_view", "exact_purchase", "exact_inter", "exact_union",
-            F.when(F.col("n_segments") < 2, F.lit(True))
-             .otherwise(F.abs(F.col("i_est") - F.col("exact_inter"))
-                        <= 0.05 * F.greatest(F.col("exact_inter"), F.lit(1)))
-             .alias("inter_ok"),
-            F.when(F.col("n_segments") < 1, F.col("exact_union") == 0)
-             .otherwise(F.abs(F.col("u_est") - F.col("exact_union"))
-                        <= 0.05 * F.greatest(F.col("exact_union"), F.lit(1)))
-             .alias("union_ok"))
+            (F.abs(F.col("i_est") - F.col("exact_inter"))
+             <= 0.05 * F.greatest(F.col("exact_inter"), F.lit(1)))
+            .alias("inter_ok"),
+            (F.abs(F.col("u_est") - F.col("exact_union"))
+             <= 0.05 * F.greatest(F.col("exact_union"), F.lit(1)))
+            .alias("union_ok"))
     )
 
 

@@ -333,6 +333,20 @@ class CowTable:
                 c: [_js(r[f"lo_{c}"]), _js(r[f"hi_{c}"])] for c in cols
             }
             fstats[fname][ROWS_KEY] = int(r["__nr"])
+        # ZERO-row part files never group under input_file_name, but
+        # the writer does emit them (task 0 of a write whose split had
+        # every row filtered away — routine under real cluster read
+        # geometry; the round-8 partition sweep caught verify() blind
+        # to their deletion). Walk the just-written dir so EVERY data
+        # file is manifest-accounted: rows=0, ranges unknowable.
+        for dirpath, _dirs, files in os.walk(cdir):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                rel = os.path.relpath(os.path.join(dirpath, f), cdir)
+                if rel not in fstats:
+                    fstats[rel] = {c: [None, None] for c in cols}
+                    fstats[rel][ROWS_KEY] = 0
         cstats = {}
         dtypes = dict(df.dtypes)
         for c in cols:
@@ -563,9 +577,10 @@ class CowTable:
         per-file [min, max] inside each surviving chunk. Returns
         absolute paths — individual data files where the manifest
         recorded file stats, the whole chunk dir where it didn't
-        (pruning must never lose rows). A file absent from a chunk's
-        file_stats holds zero rows (stats are computed per actual
-        data file at write time), so skipping it is exact."""
+        (pruning must never lose rows). Empty part files are recorded
+        with ``__rows__ = 0`` (so verify() audits their existence) and
+        skipped here exactly; a file absent from a pre-zero-recording
+        manifest likewise holds zero rows, so skipping it is exact."""
         man = self.manifest(version)
         fstats_all = man.get("file_stats", {})
         cstats_all = man.get("stats", {})
@@ -579,6 +594,8 @@ class CowTable:
             # files of a chunk share the chunk's written dtype
             tmp = self._stat_temporal(cstats_all.get(c, {}), col, lo, hi)
             for fname in sorted(fstats):
+                if fstats[fname].get(ROWS_KEY) == 0:
+                    continue  # recorded empty part file: skip exactly
                 rng = fstats[fname].get(col)
                 keep = True
                 if rng is not None and None not in rng:
