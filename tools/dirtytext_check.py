@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Dirty-documents sweep: the full oracle gate on adversarial TEXT.
+
+The synthetic ``documents.text`` is uniformly mid-sized, space-
+tokenized ASCII — nothing like a web crawl, which is where a
+training-data pipeline actually runs. This sweep rebuilds the
+documents table with ~5% of rows mutated through the text shapes a
+real corpus is guaranteed to contain, then reruns the complete
+Spark-vs-DuckDB gate (every registry key) with BOTH engines reading
+the same dirty replica — so every mismatch is a genuine engine
+divergence (Java regex vs RE2, ICU casing, NUL handling) or a text
+assumption in our code, never an oracle bookkeeping artifact.
+
+Mutation classes (deterministic by doc_id, no RNG):
+
+  0 empty string            5 RTL scripts (Arabic/Hebrew)
+  1 whitespace-only         6 ~100 KB document
+  2 combining diacritics    7 regex metacharacters as content
+  3 CJK with no spaces      8 one token repeated thousands of times
+  4 emoji + ZWJ sequences   9 NUL byte + C0 control characters
+
+  python tools/dirtytext_check.py [--json-out FILE] [key ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.oracle_check import TABLES  # noqa: E402 — one table list, four tools
+
+SRC_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+MUTATION_EVERY = 20  # 5% of rows, cycling through the classes
+
+DIRTY: tuple[str, ...] = (
+    "",
+    " \t\n\r      ",
+    "café naïve façade résumé " * 4,
+    "春眠不覚晓处处闻啼鸟"
+    "夜来风雨声花落知多少" * 6,
+    "\U0001f469‍\U0001f469‍\U0001f467‍\U0001f466 "
+    "rocket \U0001f680 fire \U0001f525 flag \U0001f1f0\U0001f1f7 " * 8,
+    "مرحبا بالعا"
+    "لم שלום עולם " * 8,
+    ("the quick brown fox jumps over the lazy dog while the engine "
+     "keeps reading rows from a page that never seems to end ") * 900,
+    "a+b* (c|d) [e-f] {2,3} \\d \\\\ $end ^start dot. any? " * 20,
+    "spam " * 5000,
+    "before\x00after \x01\x02\x03 control \x7f chars",
+)
+
+
+def build_dirty_replica(src: str, dst: str) -> dict[str, int]:
+    """Copy every table; rebuild documents with every
+    MUTATION_EVERY-th row's text replaced by the next dirty class in
+    doc_id order. Returns {class_repr: count} for the log."""
+    for t in TABLES:
+        if t != "documents":
+            shutil.copyfile(os.path.join(src, f"{t}.parquet"),
+                            os.path.join(dst, f"{t}.parquet"))
+    tbl = pq.read_table(os.path.join(src, "documents.parquet"))
+    texts = tbl.column("text").to_pylist()
+    counts: dict[str, int] = {}
+    for i in range(0, len(texts), MUTATION_EVERY):
+        cls = (i // MUTATION_EVERY) % len(DIRTY)
+        texts[i] = DIRTY[cls]
+        label = f"class_{cls}"
+        counts[label] = counts.get(label, 0) + 1
+    new = tbl.set_column(tbl.schema.get_field_index("text"), "text",
+                         pa.array(texts, type=pa.string()))
+    pq.write_table(new, os.path.join(dst, "documents.parquet"))
+    return counts
+
+
+PASS = ("OK", "ROWS_ONLY")
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json-out")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    with tempfile.TemporaryDirectory(prefix="dirtysf-") as dst:
+        counts = build_dirty_replica(SRC_SF_DIR, dst)
+        print(f"dirty replica: {sum(counts.values())} mutated rows "
+              f"across {len(counts)} classes")
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            rec_path = tf.name
+        cmd = [sys.executable, os.path.join(REPO, "tools", "oracle_check.py"),
+               "--json", rec_path] + args.keys
+        rc = subprocess.call(cmd, env=dict(os.environ, SPARK_GRAFT_SF_DIR=dst),
+                             cwd=REPO)
+        if not os.path.exists(rec_path):
+            print(f"oracle_check wrote no record (exit {rc}); "
+                  "see its output above", file=sys.stderr)
+            return rc or 1
+        with open(rec_path) as fh:
+            record = json.load(fh)
+        os.unlink(rec_path)
+
+    if args.json_out:
+        with open(args.json_out, "w") as fh:
+            json.dump(record, fh, indent=1, sort_keys=True)
+    fails = [k for k, v in record.items() if v["status"] not in PASS]
+    print(f"dirty-text sweep: {len(record)} keys, {len(fails)} failures"
+          + (f": {fails}" if fails else ""))
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
