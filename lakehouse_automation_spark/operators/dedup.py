@@ -113,6 +113,37 @@ def shingle_hashes_col(toks: Column, k: int) -> Column:
 
 # ------------------------------------------------------------- exact dedup
 
+# Engine-portable content normalization for exact dedup. The dedup
+# verdict must be REPLAYABLE by any engine (our oracle is DuckDB), so
+# every rule is pinned to an explicit character set the engines are
+# guaranteed to agree on — the generic forms silently diverge:
+#   - trim strips 0x20 ONLY. Spark's trim() already does; DuckDB's
+#     default trim() also eats \t \n \r \v \f, so the SQL side must
+#     say trim(text, ' ') (caught by the round-8 dirty-text sweep on
+#     NBSP/thin-space/tab padding).
+#   - case-fold ASCII A-Z ONLY, via translate. Unicode lower()
+#     diverges between Java and utf8proc (Turkish dotted İ -> "i̇"
+#     vs "i"; Greek Σ final-sigma rule), so a lower()-based hash is
+#     not portable across engines.
+#   - collapse runs of 0x20 (same regex both sides).
+_AZ_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_AZ_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+#: DuckDB/ANSI replica of :func:`content_norm_col`; format with the
+#: column name, e.g. ``CONTENT_NORM_SQL.format(col="text")``.
+CONTENT_NORM_SQL = (
+    "regexp_replace(translate(trim({col}, ' '), "
+    f"'{_AZ_UPPER}', '{_AZ_LOWER}'), ' +', ' ', 'g')"
+)
+
+
+def content_norm_col(col: Column | str = "text") -> Column:
+    """The Spark side of the portable normalization (see above)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.translate(F.trim(c), _AZ_UPPER, _AZ_LOWER), " +", " ")
+
+
 def exact_dedup_groups(docs: DataFrame, text: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Exact dedup by md5 of normalized text.
@@ -121,7 +152,7 @@ def exact_dedup_groups(docs: DataFrame, text: str = "text",
     keeper_id = min doc id). At scale this is one hash-shuffle on a
     16-byte key with map-side partial aggregation — the cheapest dedup.
     """
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text))), " +", " ")
+    norm = content_norm_col(text)
     return (
         docs.select(F.col(id_col), F.md5(norm).alias("content_md5"))
         .groupBy("content_md5")

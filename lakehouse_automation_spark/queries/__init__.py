@@ -48,83 +48,76 @@ from . import graph           # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). Round-8 priority, in order
-# (VERDICT r7 asks #1-#2: drain the never-swept backlog completely and
-# freeze registry growth below sweep capacity):
+# derives it — never hand-count). Round-9 priority, in order
+# (VERDICT r8 asks #2 and #5: re-green the r4-stale cohort; keep the
+# registry frozen):
 #
-#   1. The entire 48-key never-swept backlog (round 7's
-#      _NEXT_SWEEP_QUEUE, verbatim order). After this round's sweep
-#      the never-swept count is 0.
-#   2. The 2 spare fold slots go to curate_pipeline (this round's
-#      bench watch item, re-measured per BASELINE.md §4, and an
-#      r4-stale green — re-greening it starts the r4 freshness wave)
-#      and flagship_regional_revenue (the oldest r4 green in
-#      registration order).
+#   1. The entire 47-key r4-stale cohort (round 8's
+#      _NEXT_SWEEP_QUEUE, i.e. every key whose newest official gate
+#      entry is round 4), reordered only to move the 4 live-stream
+#      keys to the fold tail (wedge-isolation rule below). After this
+#      round's sweep the oldest official entry is >= r5.
+#   2. The 3 spare slots go to the keys whose code or oracle CHANGED
+#      in round 9's dirty-text fix and are not already in the cohort:
+#      text_exact_dedup + udf_sql_register (the two r8 VALUE_MISMATCH
+#      reds — their post-fix state must enter the official record) and
+#      text_incremental_dedup (shares the rewritten content-norm; its
+#      last gate is r5, the stalest of the remaining changed keys).
+#      The other two changed keys are already covered: curate_pipeline
+#      gated r8, fn_string's oracle change is value-identical on the
+#      gate corpus and it re-gates with the r6 cohort in r10.
 #
-# Growth freeze: round 8 adds at most the spare-slot count of new
-# keys; any r8-new key must displace a slot-2 key so it lands INSIDE
-# the fold (VERDICT r7 ask #2: never-swept backlog must not regrow).
+# Growth freeze (VERDICT r8 ask #5): round 9 adds ZERO new keys; the
+# spare slots are spent on changed-key re-confirmation instead.
 #
-# All 50 fold keys are batch-checked — the wedge-isolation tail rule
-# (live-stream keys {tf_stream_ingest, lifecycle_daemon,
-# stream_custom_state, stream_stream_join} last) is vacuously
-# satisfied; none of the fold keys are live streams.
+# Wedge isolation: the 4 live-stream keys in the fold
+# ({tf_stream_ingest, lifecycle_daemon, stream_custom_state,
+# stream_stream_join}) close the block so a hung stream cannot starve
+# the batch results.
 _SWEEP_ORDER = [
-    # --- 1: the 48-key never-swept backlog, round-7 queue order ---
-    "graph_pagerank", "ts_changepoint", "event_cooccurrence",
-    "agg_gini", "win_streaks", "ts_seasonality", "agg_entropy",
-    "text_rake_keywords", "graph_triangles", "rfm_segments",
-    "win_intervals_overlap", "graph_jaccard_neighbors",
-    "ts_linreg_trend", "text_collocations",
-    "agg_mad_outliers", "agg_skew_kurt", "agg_weighted_median",
-    "ts_crosscorr",
-    "graph_shortest_paths", "ts_monthly_growth", "vec_dispersion",
-    "agg_freq_histogram",
-    "agg_sample_estimate", "graph_assortativity",
-    "win_cumulative_distinct",
-    "vec_cluster_quality", "text_vocab_stats",
-    "event_interarrival_stats",
-    "event_active_users", "agg_benford_digits", "event_ab_test",
-    "agg_exact_deciles", "order_basket_lift", "join_asof_nearest",
-    "mm_exact_dedup", "agg_topk_share", "vec_centroid_drift",
-    "event_attribution_linear", "win_skyline", "text_vocab_coverage",
-    "agg_hhi", "project_unpivot", "event_attribution_first",
-    "agg_pareto_8020", "sink_json", "join_cross",
-    "vec_label_outliers", "event_conversion_lag",
-    # --- 2: the spare slots — the round's one NEW key (growth-freeze
-    # rule: a new key must land inside the fold) and the r4-wave head
-    # (this round's bench watch item, re-measured per BASELINE.md §4) ---
-    "curate_pipeline", "vec_ivf_index_refresh",
-    # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # The round-9 queue continues in _NEXT_SWEEP_QUEUE below.
-]
-
-# The round-9 fold front (VERDICT r7 ask #5), machine-readable. With
-# the never-swept backlog fully inside the r8 fold, the queue's job
-# changes from "never-swept keys" to "stalest official greens": these
-# are the r4-cohort keys (latest official green = round 4) that did
-# NOT fit in the r8 fold, in registration order. tests/test_smoke.py
-# recomputes the cohort from the CORRECTNESS_r*.json files and
-# enforces that this list is exactly the stalest-not-in-fold set, so
-# the rotation cannot silently drop a stale key. Any key added after
-# the r8 fold froze would be never-swept and must be inserted into
-# the fold itself (growth-freeze rule above), not here.
-_NEXT_SWEEP_QUEUE = [
+    # --- 1+2: 43 batch r4-cohort keys, then the 3 changed-key spares,
+    # then the 4 live-stream cohort keys at the tail ---
     "flagship_regional_revenue", "join_skew_salted", "join_bucketed",
     "join_asof", "join_interval_bucketed", "subq_scalar", "subq_in",
     "subq_exists_correlated", "cte_recursive", "win_rank_pct",
-    "fn_bitwise", "agg_median", "fn_levenshtein",
-    "agg_approx_distinct", "agg_percentile_approx",
-    "sample_hash_split", "fn_datetime", "fn_math", "fn_cond_null",
-    "fn_json", "fn_array_map", "fn_explode", "fn_hash", "gen_rows",
-    "retention_delete", "poll_new_files", "schedule_microbatch",
+    "fn_bitwise", "agg_median", "fn_levenshtein", "agg_approx_distinct",
+    "agg_percentile_approx", "sample_hash_split", "fn_datetime", "fn_math",
+    "fn_cond_null", "fn_json", "fn_array_map", "fn_explode", "fn_hash",
+    "gen_rows", "retention_delete", "poll_new_files",
+    "schedule_microbatch", "text_minhash_pairs", "text_bm25_rank",
+    "vec_ivf_kmeans_topk", "vec_neardup_lsh", "vec_pq_topk",
+    "vec_ivf_pq_topk", "vec_knn_join", "vec_semantic_doc_dedup",
+    "mm_frame_sample", "mm_resize", "mm_audio_resample", "sink_orc",
+    "tf_acid_append", "tf_cdc_feed", "tf_schema_evolve", "tf_time_travel",
+    "text_exact_dedup", "udf_sql_register", "text_incremental_dedup",
     "lifecycle_daemon", "stream_custom_state", "stream_stream_join",
-    "text_minhash_pairs", "text_bm25_rank", "vec_ivf_kmeans_topk",
-    "vec_neardup_lsh", "vec_pq_topk", "vec_ivf_pq_topk",
-    "vec_knn_join", "vec_semantic_doc_dedup", "mm_frame_sample",
-    "mm_resize", "mm_audio_resample", "sink_orc", "tf_acid_append",
-    "tf_cdc_feed", "tf_schema_evolve", "tf_time_travel",
     "tf_stream_ingest",
+    # ---- fold: the driver sweep stops reading here (50 keys) ----
+    # The round-10 queue continues in _NEXT_SWEEP_QUEUE below.
+]
+
+# The round-10 fold front, machine-readable: the stalest official
+# greens once the r9 fold lands — the 45-key r5-gated cohort that is
+# not in the r9 fold, in registration order. tests/test_smoke.py
+# recomputes the cohort from the CORRECTNESS_r*.json files and
+# enforces that this list is exactly the stalest-not-in-fold set, so
+# the rotation cannot silently drop a stale key. Any NEW key must be
+# inserted into the fold itself (growth-freeze rule above), not here.
+_NEXT_SWEEP_QUEUE = [
+    "flagship_pricing_summary", "scan_parquet", "project_rename_cast",
+    "filter_pred", "case_when", "join_inner_equi", "join_broadcast",
+    "join_outer", "join_semi", "join_anti", "join_self",
+    "join_asof_forward", "join_asof_tolerance", "join_null_safe",
+    "agg_hash_basic", "agg_distinct", "agg_rollup", "win_rank",
+    "set_intersect_all", "set_except_all", "fn_try_arith", "call_proc",
+    "stream_static_join", "text_decontaminate", "mixture_sample",
+    "pack_sequences", "text_chunk_split", "text_unigram_logprob",
+    "vec_ivf_index_persisted", "vec_matryoshka_topk", "profile_table",
+    "sink_dynamic_overwrite", "udf_grouped_agg", "tf_restore", "tf_clone",
+    "mv_incremental_refresh", "tf_verify", "tf_history",
+    "sessionize_events", "event_funnel", "retention_cohort",
+    "agg_sketch_rollup", "join_bloom_filtered", "agg_approx_topk",
+    "win_pattern_detect",
 ]
 
 

@@ -26,7 +26,7 @@ from .base import register, t
            upper(c_mktsegment)                        AS seg_upper,
            substring(c_name, 1, 8)                    AS name_prefix,
            strpos(c_name, '1')                        AS pos_one,
-           length(trim(c_name))                       AS name_len,
+           length(trim(c_name, ' '))                  AS name_len,
            regexp_extract(c_name, '([0-9]+)', 1)      AS name_digits,
            regexp_replace(c_name, '[0-9]', '#', 'g')  AS name_masked,
            len(string_split(c_name, '0'))             AS n_zero_splits

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.dedup import (
+    CONTENT_NORM_SQL,
     MERSENNE31,
     MINHASH_A,
     MINHASH_B,
@@ -27,6 +28,7 @@ from ..operators.dedup import (
     ROWS_PER_BAND,
     SIMHASH_BITS,
     SIMHASH_CHUNKS,
+    content_norm_col,
     exact_dedup_groups,
     minhash_buckets,
     minhash_candidate_pairs,
@@ -37,6 +39,10 @@ from ..operators.dedup import (
     tokens_col,
 )
 from .base import register, t
+
+# DuckDB replica of content_norm_col over the documents.text column
+# (see operators/dedup.py for why every rule pins an explicit charset).
+_NORM_MD5_SQL = "md5(" + CONTENT_NORM_SQL.format(col="text") + ")"
 
 P = MERSENNE31
 
@@ -242,8 +248,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_exact_dedup",
-    oracle="""
-    SELECT md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS content_md5,
+    oracle=f"""
+    SELECT {_NORM_MD5_SQL} AS content_md5,
            count(*)    AS n_docs,
            min(doc_id) AS keeper_id
     FROM documents
@@ -555,7 +561,7 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact AS (
       SELECT doc_id,
              MIN(doc_id) OVER (
-               PARTITION BY md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g'))
+               PARTITION BY {_NORM_MD5_SQL}
              ) AS exact_keeper
       FROM documents
     ),
@@ -597,11 +603,11 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import neardup_clusters, ngram_jaccard_pairs
 
     d = t(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
     exact = d.select(
         "doc_id",
         F.min("doc_id").over(
-            Window.partitionBy(F.md5(norm))).alias("exact_keeper"),
+            Window.partitionBy(F.md5(content_norm_col("text"))))
+        .alias("exact_keeper"),
     )
     toks = tokens_col(F.col("text"))
     n_tok = F.size(toks)
@@ -864,7 +870,7 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH buckets AS ({_minhash_buckets_sql()}),
     h AS (
       SELECT doc_id,
-             md5(regexp_replace(trim(lower(text)), ' +', ' ', 'g')) AS m
+             {_NORM_MD5_SQL} AS m
       FROM documents
     ),
     exact AS (
@@ -903,8 +909,8 @@ def text_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 >= 8)
 
     def content_md5(df: DataFrame) -> DataFrame:
-        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), " +", " ")
-        return df.select("doc_id", F.md5(norm).alias("content_md5"))
+        return df.select(
+            "doc_id", F.md5(content_norm_col("text")).alias("content_md5"))
 
     root = tempfile.mkdtemp(prefix="las_dedup_idx_")
     try:

@@ -69,7 +69,7 @@ def udf_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "udf_sql_register",
     oracle=f"""
-    SELECT ((length(trim(text)) * {_MULT}) % {_MOD}) % 16 AS shard,
+    SELECT ((length(trim(text, ' ')) * {_MULT}) % {_MOD}) % 16 AS shard,
            COUNT(*) AS n
     FROM documents GROUP BY 1
     """,
@@ -88,10 +88,11 @@ def udf_sql_register(spark: SparkSession, sf_dir: str) -> DataFrame:
         # hand it back (the oracle's trim/length propagate NULL)
         if text is None:
             return None
-        # strip SPACES only: the oracle's DuckDB trim(text) strips
-        # ' ' alone, while Python's bare strip() would also take
-        # tabs/newlines — the two engines must drop the identical
-        # character set or docs shard differently.
+        # strip SPACES only, and pin the oracle to the same charset
+        # with trim(text, ' '): DuckDB's DEFAULT trim also eats
+        # \t \n \r \v \f (Python's bare strip() would too), so on
+        # tab/NBSP-padded text the engines shard docs differently
+        # unless both drop exactly 0x20 (round-8 dirty-text catch).
         return ((len(text.strip(" ")) * _MULT) % _MOD) % 16
 
     spark.udf.register("las_shard", shard_of, "long")

@@ -18,6 +18,12 @@ Mutation classes (deterministic by doc_id, no RNG):
   2 combining diacritics    7 regex metacharacters as content
   3 CJK with no spaces      8 one token repeated thousands of times
   4 emoji + ZWJ sequences   9 NUL byte + C0 control characters
+                           10 Unicode casing zoo (İ/ı, ς/Σ, ß, Ǆ, fullwidth)
+
+Class 10 exists because the round-8 sweep proved Java and utf8proc
+lower() disagree (Turkish dotted İ, Greek final sigma): any operator
+that case-folds must do it over an explicit ASCII charset or it is
+not oracle-replayable.
 
   python tools/dirtytext_check.py [--json-out FILE] [key ...]
 """
@@ -59,6 +65,8 @@ DIRTY: tuple[str, ...] = (
     "a+b* (c|d) [e-f] {2,3} \\d \\\\ $end ^start dot. any? " * 20,
     "spam " * 5000,
     "before\x00after \x01\x02\x03 control \x7f chars",
+    "İstanbul ıssız ΣΟΦΟΣ ΟΔΟΣ STRASSE ß Ǆungle ǅungle "
+    "ＦＵＬＬＷＩＤＴＨ ﬃ CAFÉ Résumé MIXED Case " * 6,
 )
 
 
