@@ -104,6 +104,18 @@ HEADLINE = [
 ]
 
 
+# Ambient-drift controls (BASELINE.md §8/§9): keys whose code has been
+# byte-identical since their baseline was recorded, so their measured
+# ratio vs bench/BASELINE_results.json is PURE host drift. The emitted
+# control_ratio (median of the three) is the waterline every other
+# key's ratio must be judged against — raw cross-round totals on this
+# shared host are meaningless without it (r8's "regressions" were all
+# explained by a 1.5-1.6x control waterline). If one of these keys is
+# ever edited, swap in another untouched-since-baseline key and note
+# the change in BASELINE.md §9.
+CONTROL_KEYS = ["set_union", "join_asof", "win_frame_rows"]
+
+
 def main() -> None:
     from lakehouse_automation_spark.engine import get_spark
     from lakehouse_automation_spark.queries import REGISTRY
@@ -137,13 +149,35 @@ def main() -> None:
         # stays cached across keys.
         release_persisted()
 
-    print(json.dumps({
+    record = {
         "metric": "headline_query_set_wallclock",
         "value": round(sum(results.values()), 4),
         "unit": "sec",
         "queries": results,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+
+    # the same-window ambient waterline, embedded in the record so a
+    # reader never has to re-derive it (BASELINE.md §9)
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "bench", "BASELINE_results.json")
+    try:
+        with open(base_path) as fh:
+            base = json.load(fh)
+        ratios = {
+            k: round(results[k] / base[k]["sec"], 4)
+            for k in CONTROL_KEYS
+            if k in results and base.get(k, {}).get("sec")
+            and float(base[k]["sf"]) == record["sf"]
+        }
+        if ratios:
+            med = sorted(ratios.values())[len(ratios) // 2]
+            record["control_keys"] = ratios
+            record["control_ratio"] = med
+    except (OSError, ValueError):
+        pass  # no baseline at this sf (e.g. ad-hoc sf0.01 run): omit
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -353,7 +353,21 @@ def ivf_index_compact(spark, path: str,
     step, ordered last: write new → move old aside → move new in →
     delete old. A crash before the delete leaves the old cell intact
     in scratch; only the instant between the two renames has the cell
-    absent (readers see a missing cell, never a torn one)."""
+    absent (readers see a missing cell, never a torn one). On entry
+    the pass first REPLAYS any interrupted swap it finds in scratch —
+    a cell directory missing from the table is restored from its
+    surviving scratch copy (old-N preferred: it is the authoritative
+    pre-compact data; new-N only if old-N is already gone) — and only
+    then wipes scratch, so a crash is recoverable by simply running
+    compact again, and the wipe can never destroy the sole copy.
+
+    Index-maintenance paths (this and :func:`ivf_index_refresh`) drive
+    the swap with driver-local os.rename/isdir, so ``path`` must be a
+    LOCAL filesystem (or a POSIX mount like NFS/FUSE-mounted object
+    storage). On native HDFS/S3 URIs the data writes would succeed but
+    the maintenance metadata ops would not — a production port routes
+    these through the Hadoop FileSystem API, which is the same
+    single-directory rename contract."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
@@ -363,6 +377,20 @@ def ivf_index_compact(spark, path: str,
             int(_os.path.basename(d).split("=", 1)[1])
             for d in _glob.glob(_os.path.join(_glob.escape(path), "cell_id=*")))
     scratch = _os.path.join(path, "_compact_tmp")
+    # crash recovery BEFORE touching scratch: an interrupted prior run
+    # can have left a cell present only as scratch/old-N (crash between
+    # the two renames) or only as scratch/new-N (crash after rename(cdir,
+    # old) failed midway through a dirty shutdown). Restore before the
+    # wipe below, or the wipe would delete the last copy of the cell.
+    if _os.path.isdir(scratch):
+        for prefix in ("old-", "new-"):  # old first: authoritative copy
+            for leftover in sorted(_glob.glob(
+                    _os.path.join(_glob.escape(scratch), prefix + "*"))):
+                cid_s = _os.path.basename(leftover)[len(prefix):]
+                cdir = _os.path.join(path, f"cell_id={cid_s}")
+                if not _os.path.isdir(cdir):
+                    _os.rename(leftover, cdir)
+        _shutil.rmtree(scratch, ignore_errors=True)
     _os.makedirs(scratch, exist_ok=True)
     for cid in cells:
         cdir = _os.path.join(path, f"cell_id={cid}")

@@ -52,9 +52,15 @@ def _addn(a: int | None, b: int | None) -> int | None:
 def _fold_batch(pdf: pd.DataFrame) -> tuple[int, int | None]:
     """(rows, exact integer cents or None) for one pandas chunk —
     COUNT(*) counts every row; the cents sum skips NULLs and is NULL
-    when the chunk carries no non-null value (SQL SUM semantics)."""
-    s = _cents(pdf["value"]).sum(min_count=1)
-    return len(pdf), None if pd.isna(s) else int(s)
+    when the chunk carries no non-null value (SQL SUM semantics).
+    The accumulate runs in int64 after the NULLs are dropped: _cents
+    returns float64 only to carry NaN, and a float64 SUM is exact only
+    to 2^53 — the BIGINT cents contract is 2^63, so the per-chunk fold
+    must not silently downgrade it."""
+    c = _cents(pdf["value"]).dropna()
+    if len(c) == 0:
+        return len(pdf), None
+    return len(pdf), int(c.astype("int64").sum())
 
 
 def update_user_totals(key: tuple, pdfs: Iterator[pd.DataFrame],

@@ -386,6 +386,48 @@ def test_ivf_index_compact_crash_residue_is_invisible(spark, emb, tmp_path):
         == res_clean
 
 
+def test_ivf_index_compact_replays_interrupted_swap(spark, emb, tmp_path):
+    """Crash WINDOW recovery (not just residue invisibility): a run
+    killed between rename(cdir, old) and rename(tmp, cdir) leaves the
+    cell absent from the table with both copies stranded in scratch.
+    Re-running compact must first restore the missing cell from the
+    authoritative old-N copy — never wipe scratch while it holds the
+    sole copy — and then finish normally, leaving assignments and
+    search byte-identical to the pre-crash index."""
+    import glob
+    import os
+
+    from lakehouse_automation_spark.operators.vector import (
+        ivf_index_compact, ivf_index_search, ivf_index_write)
+
+    idx = str(tmp_path / "idx")
+    ivf_index_write(emb, idx)
+    clean = {(r.vec_id, r.cell_id) for r in
+             spark.read.parquet(idx).select("vec_id", "cell_id").collect()}
+    res_clean = sorted(map(tuple, ivf_index_search(spark, emb, idx).collect()))
+
+    # stage the mid-swap crash: cell 0 gone from the table, old copy
+    # (authoritative) AND a half-written new copy both in scratch
+    scratch = os.path.join(idx, "_compact_tmp")
+    os.makedirs(scratch)
+    cdir = os.path.join(idx, "cell_id=0")
+    os.rename(cdir, os.path.join(scratch, "old-0"))
+    os.makedirs(os.path.join(scratch, "new-0"))  # torn write, no parts
+    assert not os.path.isdir(cdir)
+
+    n_cells = ivf_index_compact(spark, idx)
+    assert n_cells > 0
+    assert os.path.isdir(cdir), "cell 0 not restored from scratch"
+    assert not os.path.isdir(scratch) or not os.listdir(scratch)
+    after = {(r.vec_id, r.cell_id) for r in
+             spark.read.parquet(idx).select("vec_id", "cell_id").collect()}
+    assert after == clean
+    assert sorted(map(tuple, ivf_index_search(spark, emb, idx).collect())) \
+        == res_clean
+    for d in glob.glob(os.path.join(idx, "cell_id=*")):
+        assert len(glob.glob(os.path.join(d, "*.parquet"))) == 1, d
+
+
 def test_ivf_index_refresh_rejects_pre_meta_index(spark, emb, tmp_path):
     """A pre-refresh-era index (no _meta/centroids) must fail with a
     clear rebuild instruction, not a cryptic parquet error."""
