@@ -3,11 +3,13 @@
 A training-data lakehouse carries image/audio/video as ``binary``
 columns with metadata; the engine's job is schema, partitioning, and
 Arrow-batched Python decode — the actual codec is a library call. The
-container ships no image/audio libs, so the real decode is a
-clearly-marked stub (``decode_real`` raises NotImplementedError until
-PIL/soundfile are importable) while the Spark-side plumbing —
-binary column, mapInPandas signature, Arrow batch shape, deterministic
-fake decode — is real and fully tested.
+container ships no image/audio libs, so the real tier resolves PIL
+when present and otherwise the vendored pure-stdlib PNG codec
+(operators/_png.py) — real decoding either way (PNG-only in the
+vendored tier; audio still has no real tier, soundfile being
+unvendorable). The Spark-side plumbing — binary column, mapInPandas
+signature, Arrow batch shape, deterministic fake decode — is real and
+fully tested independent of codec.
 
 The fake decode derives every feature from the payload bytes alone
 (md5-based, same portable hash as operators/dedup.py), so a DuckDB
@@ -67,15 +69,19 @@ def _fake_decode_one(
 
 
 def _image_codec():
-    """Import probe for the real image codec. Returns the PIL.Image
-    module when the runtime ships it, else None — every real-decode
-    entry point dispatches on this, so the moment PIL lands in the
-    environment the real tier lights up with no code change."""
+    """Resolve the real image codec. Prefers PIL.Image (full format
+    coverage) the moment it lands in the environment; otherwise falls
+    back to the vendored pure-stdlib PNG codec (operators/_png.py —
+    CRC-checked, inflate + inverse-filter decode, written from the
+    public PNG spec because pip install is impossible here, probed
+    r8). Both expose the same open()/new()/width/height/mode surface,
+    so every real-decode entry point is codec-agnostic."""
     try:
         import PIL.Image
         return PIL.Image
     except ImportError:
-        return None
+        from . import _png
+        return _png
 
 
 HAS_IMAGE_CODEC = _image_codec() is not None
@@ -106,12 +112,15 @@ def _decode_with(codec, payload: bytes | None) -> dict:
 
 
 def decode_real(payload: bytes) -> dict:
-    """Real decode path — import-gated on PIL. When the codec is
-    present this decodes the actual image header (width/height/mode);
-    when absent it raises NotImplementedError so callers fall back to
-    the deterministic fake tier (which stays the oracle either way)."""
+    """Real decode path: the resolved codec (PIL when shipped, else
+    the vendored PNG codec) decodes the actual image
+    (width/height/mode, with the vendored tier CRC-checking and
+    unfiltering the pixel data). Raises NotImplementedError only if
+    no codec resolves at all, so callers can fall back to the
+    deterministic fake tier (which stays the oracle either way)."""
     codec = _image_codec()
-    if codec is None:
+    if codec is None:  # unreachable today (_png is vendored); kept so
+        # a future slimmed build degrades loudly, not with AttributeError
         raise NotImplementedError(
             "image codec not available in this runtime; "
             "use the deterministic fake decode for plumbing tests"

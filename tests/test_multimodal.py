@@ -61,51 +61,53 @@ def test_frame_sample_offsets(media):
     assert all(r.byte_offset == r.frame_idx * FRAME_BYTES for r in rows)
 
 
-def test_real_decode_gated_on_codec_import():
-    """Without PIL the real tier must fail loudly (NotImplementedError,
-    never a silent fake result); with PIL it must decode actual image
-    headers. Exactly one branch runs per environment."""
-    from lakehouse_automation_spark.operators.multimodal import HAS_IMAGE_CODEC
-
-    if not HAS_IMAGE_CODEC:
-        with pytest.raises(NotImplementedError):
-            decode_real(b"\x89PNG...")
-    else:
-        import io
-
-        import PIL.Image
-
-        buf = io.BytesIO()
-        PIL.Image.new("RGB", (12, 7)).save(buf, format="PNG")
-        got = decode_real(buf.getvalue())
-        assert (got["width"], got["height"], got["mode"]) == (12, 7, "RGB")
-
-
-@pytest.mark.skipif(
-    "not __import__('lakehouse_automation_spark.operators.multimodal', "
-    "fromlist=['HAS_IMAGE_CODEC']).HAS_IMAGE_CODEC",
-    reason="image codec (PIL) not shipped in this runtime; pip install "
-           "pillow is provably impossible here — pypi.org is "
-           "unreachable (DNS 'Name or service not known', probed "
-           "r8); auto-unskips when installed",
-)
-def test_real_decode_features_end_to_end(spark):
-    """When the runtime ships PIL, the Arrow-batched real-decode path
-    must produce per-payload image headers through mapInPandas."""
+def test_real_decode_decodes_actual_images():
+    """The real tier decodes ACTUAL image bytes in every environment:
+    PIL when shipped, else the vendored stdlib PNG codec
+    (operators/_png.py) — no skip. And without ANY codec (a future
+    slimmed build, simulated by monkeypatching the resolver) it must
+    fail loudly, never return a silent fake result."""
     import io
 
-    import PIL.Image
+    from lakehouse_automation_spark.operators import multimodal
 
+    codec = multimodal._image_codec()
+    buf = io.BytesIO()
+    codec.new("RGB", (12, 7)).save(buf, format="PNG")
+    got = decode_real(buf.getvalue())
+    assert (got["width"], got["height"], got["mode"]) == (12, 7, "RGB")
+
+
+def test_real_decode_fails_loudly_without_any_codec(monkeypatch):
+    from lakehouse_automation_spark.operators import multimodal
+
+    monkeypatch.setattr(multimodal, "_image_codec", lambda: None)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_real(b"\x89PNG...")
+
+
+def _png_bytes(w, h):
+    import io
+
+    from lakehouse_automation_spark.operators.multimodal import _image_codec
+
+    buf = io.BytesIO()
+    _image_codec().new("RGB", (w, h)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_real_decode_features_end_to_end(spark):
+    """The Arrow-batched real-decode path must produce per-payload
+    image headers through mapInPandas (un-gated in round 9: the
+    vendored PNG codec replaced the PIL skip; executors resolve the
+    same codec per task)."""
     from lakehouse_automation_spark.operators.multimodal import decode_features_real
 
-    def png(w, h):
-        buf = io.BytesIO()
-        PIL.Image.new("RGB", (w, h)).save(buf, format="PNG")
-        return buf.getvalue()
-
     media = spark.createDataFrame(
-        [(0, png(8, 4)), (1, png(3, 9))], "doc_id bigint, payload binary"
+        [(0, _png_bytes(8, 4)), (1, _png_bytes(3, 9)), (2, None)],
+        "doc_id bigint, payload binary"
     )
     rows = {r.doc_id: r for r in decode_features_real(media).collect()}
     assert (rows[0].width, rows[0].height) == (8, 4)
     assert (rows[1].width, rows[1].height) == (3, 9)
+    assert rows[2].width is None  # NULL payload -> NULL features
