@@ -145,7 +145,12 @@ def _has_protobuf() -> bool:
     reason="transformWithState's driver worker imports google.protobuf "
            "(absent in this container; pip install protobuf is provably "
            "impossible — pypi.org unreachable, DNS 'Name or service "
-           "not known', probed r8) — auto-unskips when installed; "
+           "not known', probed r8; re-assessed r9: unlike the PNG codec "
+           "vendored for the image tier, protobuf cannot be honestly "
+           "vendored — the import happens inside pyspark's own "
+           "StatefulProcessor worker, needs the generated C++/upb or "
+           "full pure-python runtime, and a stub would fake the very "
+           "serialization under test) — auto-unskips when installed; "
            "the batch restatement stays oracle-gated regardless",
 )
 def test_tws_stream_matches_batch(spark, tmp_path):
