@@ -372,10 +372,6 @@ def ivf_index_compact(spark, path: str,
     import os as _os
     import shutil as _shutil
 
-    if cells is None:
-        cells = sorted(
-            int(_os.path.basename(d).split("=", 1)[1])
-            for d in _glob.glob(_os.path.join(_glob.escape(path), "cell_id=*")))
     scratch = _os.path.join(path, "_compact_tmp")
     # crash recovery BEFORE touching scratch: an interrupted prior run
     # can have left a cell present only as scratch/old-N (crash between
@@ -392,6 +388,12 @@ def ivf_index_compact(spark, path: str,
                     _os.rename(leftover, cdir)
         _shutil.rmtree(scratch, ignore_errors=True)
     _os.makedirs(scratch, exist_ok=True)
+    # enumerate cells AFTER recovery, so a just-restored cell is both
+    # listed and compacted in the same pass
+    if cells is None:
+        cells = sorted(
+            int(_os.path.basename(d).split("=", 1)[1])
+            for d in _glob.glob(_os.path.join(_glob.escape(path), "cell_id=*")))
     for cid in cells:
         cdir = _os.path.join(path, f"cell_id={cid}")
         tmp = _os.path.join(scratch, f"new-{cid}")
