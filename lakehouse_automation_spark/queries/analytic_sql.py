@@ -205,18 +205,31 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_levenshtein",
     oracle="""
     SELECT c_custkey, c_name,
-           levenshtein(c_name, 'Customer#000000000') AS dist
+           levenshtein(regexp_replace(c_name, '[^ -~]', '', 'g'),
+                       'Customer#000000000') AS dist
     FROM customer WHERE c_custkey < 100
     """,
 )
 def fn_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit distance (fuzzy matching's workhorse; MySQL users reach it
-    via UDFs, Spark has it built in JVM-side)."""
+    via UDFs, Spark has it built in JVM-side).
+
+    The distance is computed over the PRINTABLE-ASCII projection of
+    the name (non-ASCII and control code points deleted on both
+    sides, a no-op on the clean corpus): Spark's levenshtein counts
+    CODE POINTS while DuckDB's counts BYTES ('👩' vs 'e' is 1 there,
+    4 here), so the raw function is not oracle-replayable on
+    non-ASCII text — and deletion is the one projection where Java's
+    code-unit regex and RE2's code-point regex agree exactly (each
+    surrogate half is deleted individually vs the pair at once — same
+    result). Found by the round-9 dirty-names probe."""
+    ascii_name = F.regexp_replace(F.col("c_name"), "[^ -~]", "")
     return (
         t(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") < 100)
         .select(
             "c_custkey", "c_name",
-            F.levenshtein(F.col("c_name"), F.lit("Customer#000000000")).alias("dist"),
+            F.levenshtein(ascii_name,
+                          F.lit("Customer#000000000")).alias("dist"),
         )
     )

@@ -16,6 +16,10 @@ regression fails the suite:
      -> text_exact_dedup on the casing-zoo class
   3. the composed pipelines reusing the content-norm must inherit the
      fix -> curate_pipeline, text_incremental_dedup
+  4. levenshtein must run over the printable-ASCII projection on both
+     engines (Spark counts CODE POINTS, DuckDB counts BYTES — the raw
+     function diverges on any non-ASCII name; the sweep now mutates
+     customer.c_name too) -> fn_levenshtein
 
 Each key runs on a dirty replica AND is compared against the DuckDB
 oracle reading the SAME replica — the full gate's logic, scoped to
@@ -32,6 +36,7 @@ KEYS = [
     "udf_sql_register",
     "curate_pipeline",
     "text_incremental_dedup",
+    "fn_levenshtein",
 ]
 
 
@@ -88,6 +93,10 @@ def test_dirty_replica_carries_the_divergent_shapes(dirty_sf_dir):
                for t in texts), "whitespace-zoo class missing"
     assert any(t is not None and "İ" in t and "ΣΟΦΟΣ" in t
                for t in texts), "casing-zoo class missing"
+    names = pq.read_table(f"{dirty_sf_dir}/customer.parquet") \
+              .column("c_name").to_pylist()
+    assert any(n is not None and "\U0001f469" in n
+               for n in names), "emoji class missing from c_name"
 
 
 def test_content_norm_is_engine_identical_on_probe_strings(spark,

@@ -70,25 +70,38 @@ DIRTY: tuple[str, ...] = (
 )
 
 
+def _mutate_column(src: str, dst: str, table: str, column: str,
+                   shapes: tuple[str, ...],
+                   counts: dict[str, int]) -> None:
+    tbl = pq.read_table(os.path.join(src, f"{table}.parquet"))
+    vals = tbl.column(column).to_pylist()
+    for i in range(0, len(vals), MUTATION_EVERY):
+        cls = (i // MUTATION_EVERY) % len(shapes)
+        vals[i] = shapes[cls]
+        label = f"{table}_class_{cls}"
+        counts[label] = counts.get(label, 0) + 1
+    new = tbl.set_column(tbl.schema.get_field_index(column), column,
+                         pa.array(vals, type=pa.string()))
+    pq.write_table(new, os.path.join(dst, f"{table}.parquet"))
+
+
 def build_dirty_replica(src: str, dst: str) -> dict[str, int]:
-    """Copy every table; rebuild documents with every
-    MUTATION_EVERY-th row's text replaced by the next dirty class in
-    doc_id order. Returns {class_repr: count} for the log."""
+    """Copy every table; rebuild ``documents.text`` AND
+    ``customer.c_name`` (round 9 — short-string functions like
+    substring/strpos/levenshtein run over names, and the byte-vs-
+    codepoint levenshtein divergence lived exactly there) with every
+    MUTATION_EVERY-th row's value replaced by the next dirty class in
+    row order. Returns {table_class: count} for the log."""
     for t in TABLES:
-        if t != "documents":
+        if t not in ("documents", "customer"):
             shutil.copyfile(os.path.join(src, f"{t}.parquet"),
                             os.path.join(dst, f"{t}.parquet"))
-    tbl = pq.read_table(os.path.join(src, "documents.parquet"))
-    texts = tbl.column("text").to_pylist()
     counts: dict[str, int] = {}
-    for i in range(0, len(texts), MUTATION_EVERY):
-        cls = (i // MUTATION_EVERY) % len(DIRTY)
-        texts[i] = DIRTY[cls]
-        label = f"class_{cls}"
-        counts[label] = counts.get(label, 0) + 1
-    new = tbl.set_column(tbl.schema.get_field_index("text"), "text",
-                         pa.array(texts, type=pa.string()))
-    pq.write_table(new, os.path.join(dst, "documents.parquet"))
+    _mutate_column(src, dst, "documents", "text", DIRTY, counts)
+    # names are short fields: same shapes, capped at 48 code points
+    # (the 100 KB / mass-repetition classes are document phenomena)
+    _mutate_column(src, dst, "customer", "c_name",
+                   tuple(s[:48] for s in DIRTY), counts)
     return counts
 
 
