@@ -22,20 +22,28 @@ from .base import register, t
     SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+           CAST(SUM(CASE WHEN abs(value) <= 1e15
+                         THEN CAST(value AS DECIMAL(18,2)) END)
+                AS DOUBLE) AS value_sum
     FROM events GROUP BY 1, 2
     """,
 )
 def stream_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windows (the files/min rate of datagen.py:128,
     widened): ``window()`` — identical semantics under readStream with
-    a watermark (tests cover the streaming run)."""
+    a watermark (tests cover the streaming run). The exact DECIMAL sum
+    takes only decimal(18,2)-representable values (|v| <= 1e15, the
+    streaming/stateful.py domain predicate — FALSE for NaN/±Inf in
+    every engine): under ANSI mode a bare cast aborts the whole
+    micro-batch on one corrupt double."""
+    v = F.col("value")
     return (
         t(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+            F.sum(F.when(F.abs(v) <= 1e15, v.cast("decimal(18,2)")))
+            .cast("double").alias("value_sum"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "value_sum")
     )
@@ -174,7 +182,9 @@ def stream_file_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum
+           CAST(SUM(CASE WHEN abs(value) <= 1e15
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS cents_sum
     FROM events GROUP BY user_id
     """,
 )
@@ -282,8 +292,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c.c_mktsegment,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
-             AS cents
+           CAST(SUM(CASE WHEN abs(e.value) <= 1e15
+                         THEN CAST(round(e.value * 100) AS BIGINT) END)
+                AS BIGINT) AS cents
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY 1
     """,
@@ -305,7 +316,13 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(dim), ev.user_id == dim.c_custkey)
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+             # representable-cents guard (streaming/stateful.py
+             # CENTS_MAX_ABS): out-of-domain values (NaN, ±Inf, >1e15)
+             # fold as NULL — under ANSI mode a bare cast would abort
+             # the whole micro-batch on one corrupt double
+             F.sum(F.when(F.abs(F.col("value")) <= 1e15,
+                          F.round(F.col("value") * 100).cast("long")))
+             .alias("cents"))
     )
 
 
@@ -314,8 +331,12 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
-           CAST(MAX(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_max
+           CAST(SUM(CASE WHEN abs(value) <= 1e15
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS cents_sum,
+           CAST(MAX(CASE WHEN abs(value) <= 1e15
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS cents_max
     FROM events GROUP BY user_id
     """,
 )

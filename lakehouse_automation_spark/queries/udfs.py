@@ -107,7 +107,9 @@ def udf_sql_register(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents_sum,
+           CAST(SUM(CASE WHEN abs(value) <= 1e15
+                         THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS cents_sum,
            CAST(MIN(user_id) AS BIGINT) AS min_user
     FROM events GROUP BY event_type
     """,
@@ -123,8 +125,12 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
         # SQL SUM semantics by hand: skip NULL values (pandas skipna
         # sum), and an all-NULL group sums to NULL, not 0 —
-        # min_count=1 makes pandas return NaN there, mapped to None
-        cents = (pdf["value"] * 100).round().sum(min_count=1)
+        # min_count=1 makes pandas return NaN there, mapped to None.
+        # Out-of-domain values (NaN, ±Inf, |v|>1e15 — see
+        # streaming/stateful.py CENTS_MAX_ABS) fold as NULL too:
+        # int(inf) would otherwise kill the executor on one corrupt row
+        v = pdf["value"].where(pdf["value"].abs() <= 1e15)
+        cents = (v * 100).round().sum(min_count=1)
         return pd.DataFrame({
             "event_type": [pdf["event_type"].iloc[0]],
             "n": [len(pdf)],
@@ -179,7 +185,8 @@ def udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           round(exp(avg(ln(l_quantity))), 6) AS geo_mean_qty
+           round(exp(avg(CASE WHEN l_quantity > 0 AND l_quantity <= 1e15
+                         THEN ln(l_quantity) END)), 6) AS geo_mean_qty
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -195,8 +202,17 @@ def udf_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
 
     @F.pandas_udf("double")
-    def geo_mean(v: pd.Series) -> float:
-        return float(np.exp(np.log(v.astype("float64")).mean()))
+    def geo_mean(v: pd.Series) -> float | None:
+        # geo-mean's mathematical domain, pinned on both engines: only
+        # positive in-range values (the > 0 / <= 1e15 pair is FALSE for
+        # NaN and ±Inf everywhere) — DuckDB's ln() RAISES on negatives
+        # where numpy would quietly emit NaN, so an unguarded version
+        # isn't even comparable on dirty input
+        v = v.astype("float64")
+        v = v[(v > 0) & (v <= 1e15)]
+        if len(v) == 0:
+            return None
+        return float(np.exp(np.log(v).mean()))
 
     li = t(spark, sf_dir, "lineitem")
     # Spark refuses pandas + JVM aggregates in ONE agg

@@ -27,6 +27,18 @@ OUTPUT_SCHEMA = "user_id bigint, n_events bigint, cents_sum bigint"
 STATE_SCHEMA = "n bigint, cents bigint"
 
 
+# Representable-cents domain: |value| <= 1e15 keeps cents within
+# int64 with headroom. The single <= predicate is FALSE for NaN and
+# ±Inf in pandas, Spark SQL, and DuckDB alike (all three order NaN
+# above every number, and abs(inf) exceeds any finite bound), so one
+# expression excludes every IEEE edge value identically in all three
+# engines — no isfinite() spelling differences to reconcile. A value
+# outside the domain folds as NULL (skipped by SUM), never a crash:
+# before this guard a single Inf in a micro-batch killed the stream
+# with pandas IntCastingNaNError (round-9 extremes probe).
+CENTS_MAX_ABS = 1e15
+
+
 def _cents(values: "pd.Series") -> "pd.Series":
     """Integer cents with HALF-AWAY-FROM-ZERO rounding — pandas'
     ``.round()`` is banker's (half-to-even), which silently diverges
@@ -36,9 +48,10 @@ def _cents(values: "pd.Series") -> "pd.Series":
     would trip the gate, hence the explicit form."""
     import numpy as np
 
-    v = values * 100
-    # float64 with NaN preserved, not int64: NULL values are data (SQL
-    # SUM skips them; a NULL-bearing batch must not crash the fold)
+    v = (values.where(values.abs() <= CENTS_MAX_ABS)) * 100
+    # float64 with NaN preserved, not int64: NULL and out-of-domain
+    # values are data (SQL SUM skips them; a NULL- or Inf-bearing
+    # batch must not crash the fold)
     return pd.Series(np.sign(v) * np.floor(np.abs(v) + 0.5),
                      index=values.index)
 
@@ -177,10 +190,11 @@ def user_totals_tws_batch(events: DataFrame) -> DataFrame:
     restatement the oracle gate checks for ``stream_tws_state``."""
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         n, cents = _fold_batch(pdf)
-        cmax = int(_cents(pdf["value"]).max())
+        m = _cents(pdf["value"]).max()  # NaN when no in-domain value
         return pd.DataFrame({
             "user_id": [int(pdf["user_id"].iloc[0])],
-            "n_events": [n], "cents_sum": [cents], "cents_max": [cmax],
+            "n_events": [n], "cents_sum": [cents],
+            "cents_max": [None if pd.isna(m) else int(m)],
         })
 
     return (

@@ -1,0 +1,96 @@
+"""Extreme-numerics regression gate: the RAW-INGEST surface (every
+stream_* and udf_* key — the operators that meet unvalidated input by
+contract) on a replica with IEEE-754 edge values injected into double
+columns (tools/extremes_check.py, record bench/EXTREMES_r09.json).
+
+The round-9 probe found one crash class and two engine divergences:
+
+  1. pandas int-casts killed the executor on one corrupt double
+     (IntCastingNaNError on Inf cents) -> stream_custom_state,
+     stream_tws_state, udf_grouped_map
+  2. ANSI-mode JVM casts aborted the whole micro-batch on one Inf
+     (decimal/long NUMERIC_VALUE_OUT_OF_RANGE)
+     -> stream_tumbling_agg, stream_static_join
+  3. DuckDB ln() RAISES on negatives where numpy emits NaN
+     -> udf_grouped_agg
+
+All are fixed by ONE domain predicate: ``abs(value) <= 1e15``
+(streaming/stateful.py CENTS_MAX_ABS) — FALSE for NaN and ±Inf in
+pandas, Spark SQL, and DuckDB alike, so it excludes every edge value
+identically in all three engines with no isfinite() spelling to
+reconcile; out-of-domain values fold as NULL (skipped by SUM/AVG),
+never a crash. Batch-analytics keys keep the validated-finite-domain
+contract instead (SCALE.md taxonomy): extremes are rejected at ingest
+there, exactly as tf_constraints rejects NULL keys.
+
+This file runs the fix-class keys against the DuckDB oracle on the
+SAME extremes replica — the full gate's logic, scoped fast.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+KEYS = [
+    "stream_custom_state",
+    "stream_tws_state",
+    "stream_tumbling_agg",
+    "stream_static_join",
+    "udf_grouped_map",
+    "udf_grouped_agg",
+]
+
+
+@pytest.fixture(scope="module")
+def extremes_sf_dir(tmp_path_factory):
+    from tools.extremes_check import build_extremes_replica
+
+    from tests.conftest import SF_SMOKE
+
+    d = tmp_path_factory.mktemp("extremesf")
+    build_extremes_replica(SF_SMOKE, str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def oracle_con(extremes_sf_dir):
+    from tools.oracle_check import TABLES
+
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(f"CREATE VIEW {tbl} AS "
+                    f"SELECT * FROM '{extremes_sf_dir}/{tbl}.parquet'")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("key", KEYS)
+def test_key_matches_oracle_on_extreme_values(spark, extremes_sf_dir,
+                                              oracle_con, key):
+    from tools.oracle_check import compare
+
+    from lakehouse_automation_spark import queries as Q
+    from lakehouse_automation_spark.operators.cache import release_persisted
+
+    reg = Q.REGISTRY[key]
+    try:
+        verdict = compare(key, reg.fn(spark, extremes_sf_dir),
+                          reg.oracle, oracle_con)
+        assert verdict.startswith("OK"), verdict
+    finally:
+        release_persisted(spark)
+
+
+def test_extremes_replica_carries_the_edge_values(extremes_sf_dir):
+    """Guard the fixture's premise: the replica must contain ±Inf and
+    NaN in events.value (the column all six keys fold) or the tests
+    above are vacuously clean-data."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    vals = [v for v in pq.read_table(f"{extremes_sf_dir}/events.parquet")
+            .column("value").to_pylist() if v is not None]
+    assert any(math.isinf(v) for v in vals), "no Inf injected"
+    assert any(math.isnan(v) for v in vals), "no NaN injected"

@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Extreme-numerics robustness sweep: the full Spark-vs-DuckDB oracle
+gate on replicas with IEEE-754 edge values deterministically injected
+into DOUBLE value columns.
+
+Production pipelines meet ±Inf (upstream division), NaN (bad parses
+propagated through float channels), subnormals, negative zero, and
+integers above 2^53 stored in doubles. The clean corpus carries none
+of these, so every aggregate/window/cast path is untested on exactly
+the values where engines disagree (cast saturation vs error, NaN
+grouping and ordering, -0.0 canonicalization, decimal conversion of
+non-finite values). Both engines read the SAME replica, so a mismatch
+is a genuine divergence or a finite-value assumption in our code.
+
+Scope: DOUBLE columns only. Integer extremes are deliberately OUT of
+scope: int64 overflow is defined differently by design (Spark non-ANSI
+wraps, ANSI and DuckDB raise), so "parity" there would test engine
+configuration, not our queries; doubles saturate identically per
+IEEE-754 in both engines, making parity a fair contract.
+
+Injection: ~EXTREME_RATE of each column's rows, cycling through
+EXTREMES by row position, deterministic per (table, column) — same
+replica every run.
+
+  python tools/extremes_check.py [--json FILE] [key ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.oracle_check import TABLES  # noqa: E402 — one table list, five tools
+
+SRC_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+
+EXTREME_RATE = 0.02
+
+EXTREMES = (
+    float("inf"),
+    float("-inf"),
+    float("nan"),
+    1e300,           # finite but astronomically large
+    -1e300,
+    1e-300,          # subnormal-adjacent tiny
+    -0.0,            # sign-of-zero canonicalization
+    9007199254740993.0,   # 2^53 + 1: above exact-integer range
+)
+
+# table -> DOUBLE value columns (the null sweep's column map, floats only)
+FLOAT_COLS: dict[str, tuple[str, ...]] = {
+    "customer": ("c_acctbal",),
+    "supplier": ("s_acctbal",),
+    "part": ("p_retailprice",),
+    "orders": ("o_totalprice",),
+    "lineitem": ("l_quantity", "l_extendedprice", "l_discount", "l_tax"),
+    "events": ("value",),
+}
+
+
+def _positions(table: str, col: str, n: int) -> np.ndarray:
+    import zlib
+
+    seed = zlib.crc32(f"extremes/{table}/{col}".encode())
+    rng = np.random.Generator(np.random.PCG64(seed))
+    return np.nonzero(rng.random(n) < EXTREME_RATE)[0]
+
+
+def build_extremes_replica(src: str, dst: str) -> dict[str, int]:
+    """Copy each table, replacing ~EXTREME_RATE of each FLOAT_COLS
+    column with the EXTREMES cycle. Arrow-level rewrite; untouched
+    columns pass through byte-identical."""
+    injected: dict[str, int] = {}
+    for t in TABLES:
+        tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
+        n = tbl.num_rows
+        cols = []
+        for field in tbl.schema:
+            arr = tbl.column(field.name).combine_chunks()
+            if field.name in FLOAT_COLS.get(t, ()) and n:
+                pos = _positions(t, field.name, n)
+                if len(pos):
+                    vals = arr.to_numpy(zero_copy_only=False).copy()
+                    vals[pos] = [EXTREMES[i % len(EXTREMES)]
+                                 for i in range(len(pos))]
+                    arr = pa.array(vals, type=field.type)
+                    injected[f"{t}.{field.name}"] = len(pos)
+            cols.append(arr)
+        out = pa.table(cols, schema=tbl.schema)
+        pq.write_table(out, os.path.join(dst, f"{t}.parquet"))
+    return injected
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", dest="json_out")
+    ap.add_argument("keys", nargs="*")
+    args = ap.parse_args()
+
+    with tempfile.TemporaryDirectory(prefix="extremesf-") as dst:
+        injected = build_extremes_replica(SRC_SF_DIR, dst)
+        print(f"extremes replica: {sum(injected.values())} cells "
+              f"across {len(injected)} columns")
+        cmd = [sys.executable, os.path.join(REPO, "tools", "oracle_check.py")]
+        if args.json_out:
+            cmd += ["--json", args.json_out]
+        cmd += args.keys
+        return subprocess.call(
+            cmd, env=dict(os.environ, SPARK_GRAFT_SF_DIR=dst), cwd=REPO)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
