@@ -64,7 +64,9 @@ _SESSIONIZE_ORACLE = f"""
     SELECT user_id, session_seq,
            MIN(ts) AS session_start, MAX(ts) AS session_end,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           CAST(SUM(CASE WHEN abs(value) <= 1e15  -- representable-cents guard
+                    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             AS sum_value
     FROM s GROUP BY user_id, session_seq
     """
 
@@ -97,7 +99,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(dec("value")).cast("double").alias("sum_value"),
+        F.sum(F.when(F.abs(F.col("value")) <= 1e15, dec("value"))).cast("double").alias("sum_value"),
     )
 
 
@@ -143,7 +145,7 @@ def sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("ts").alias("session_start"),
              F.max("ts").alias("session_end"),
              F.count(F.lit(1)).alias("n_events"),
-             F.sum(dec("value")).alias("_dec_value"))
+             F.sum(F.when(F.abs(F.col("value")) <= 1e15, dec("value"))).alias("_dec_value"))
     )
 
     # level 2: merge boundary-straddling sessions per user — operates
@@ -217,7 +219,7 @@ def sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.min("ts").alias("session_start"),
                      F.max("ts").alias("session_end"),
                      F.count(F.lit(1)).alias("n_events"),
-                     F.sum(dec("value")).alias("sum_dec")))
+                     F.sum(F.when(F.abs(F.col("value")) <= 1e15, dec("value"))).alias("sum_dec")))
 
     # persisted state: sessions over everything BEFORE the batch day
     state_path = _scratch(sf_dir, "session_state")
@@ -253,8 +255,18 @@ def sessionize_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_end",
         (F.col("n_events") + F.when(merge1, F.col("t_n")).otherwise(F.lit(0)))
          .alias("n_events"),
-        (F.col("sum_dec") + F.when(merge1, F.col("t_sum"))
-         .otherwise(F.lit(0).cast("decimal(18,2)"))).alias("sum_dec"),
+        # SQL-SUM combine of two nullable sums (a session whose every
+        # value is out of the cents domain carries a NULL sum): NULL
+        # iff both parts are NULL, else coalesce-add — a plain + would
+        # turn (NULL tail + 5.00 batch) into NULL where the oracle's
+        # full recompute says 5.00
+        F.when(merge1 & (F.col("sum_dec").isNull()
+                         & F.col("t_sum").isNull()), F.col("sum_dec"))
+         .when(merge1, F.coalesce(F.col("sum_dec"),
+                                  F.lit(0).cast("decimal(18,2)"))
+               + F.coalesce(F.col("t_sum"),
+                            F.lit(0).cast("decimal(18,2)")))
+         .otherwise(F.col("sum_dec")).alias("sum_dec"),
     )
     # state rows that survive as-is: everything except tails that merged
     merged_tails = (lx.filter(merge1)
@@ -687,7 +699,8 @@ def win_pattern_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id, event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             CAST(round(value * 100) AS BIGINT) AS cents
+             CASE WHEN abs(value) <= 1e15
+                  THEN CAST(round(value * 100) AS BIGINT) END AS cents
       FROM events
     ), attr AS (
       SELECT event_type, cents,
@@ -720,7 +733,8 @@ def event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (t(spark, sf_dir, "events")
           .select("user_id", "event_id", "event_type",
                   F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-                  F.round(F.col("value") * 100).cast("long").alias("cents")))
+                  F.when(F.abs(F.col("value")) <= 1e15,
+                         F.round(F.col("value") * 100).cast("long")).alias("cents")))
     wprev = (W.partitionBy("user_id").orderBy("us", "event_id")
              .rowsBetween(W.unboundedPreceding, -1))
     touch = F.last(
@@ -996,7 +1010,8 @@ def event_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_custkey,
              MAX(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000) AS last_day,
              CAST(COUNT(*) AS BIGINT) AS freq,
-             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CASE WHEN abs(o_totalprice) <= 1e15
+                       THEN CAST(o_totalprice AS DECIMAL(18,2)) END) * 100
                   AS BIGINT) AS cents
       FROM orders GROUP BY 1
     ), mx AS (
@@ -1047,7 +1062,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .agg(F.max(F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"
                                   " div 86400000000")).alias("last_day"),
                      F.count(F.lit(1)).alias("freq"),
-                     (F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                     (F.sum(F.when(F.abs(F.col("o_totalprice")) <= 1e15,
+                                    F.col("o_totalprice")
+                                    .cast("decimal(18,2)")))
                       * 100).cast("long").alias("cents")))
     per_cust = tracked_persist(per_cust)  # two consumers: mx + scored
     mx = per_cust.agg(F.max("last_day").alias("max_day"))
@@ -1333,7 +1350,8 @@ def event_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id, event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             CAST(round(value * 100) AS BIGINT) AS cents
+             CASE WHEN abs(value) <= 1e15
+                  THEN CAST(round(value * 100) AS BIGINT) END AS cents
       FROM events
     ), j AS (
       SELECT user_id, event_id, event_type, us, cents,
@@ -1400,7 +1418,8 @@ def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("user_id", "event_id", "event_type",
                   F.unix_micros(F.col("ts").cast("timestamp"))
                   .alias("us"),
-                  F.round(F.col("value") * 100).cast("long")
+                  F.when(F.abs(F.col("value")) <= 1e15,
+                         F.round(F.col("value") * 100).cast("long"))
                   .alias("cents")))
     wprev = (W.partitionBy("user_id").orderBy("us", "event_id")
              .rowsBetween(W.unboundedPreceding, -1))
@@ -1449,7 +1468,8 @@ def event_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT user_id, event_id, event_type,
              epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             CAST(round(value * 100) AS BIGINT) AS cents
+             CASE WHEN abs(value) <= 1e15
+                  THEN CAST(round(value * 100) AS BIGINT) END AS cents
       FROM events
     ), j AS (
       SELECT user_id, event_id, event_type, us, cents,
@@ -1498,7 +1518,8 @@ def event_attribution_first(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("user_id", "event_id", "event_type",
                   F.unix_micros(F.col("ts").cast("timestamp"))
                   .alias("us"),
-                  F.round(F.col("value") * 100).cast("long")
+                  F.when(F.abs(F.col("value")) <= 1e15,
+                         F.round(F.col("value") * 100).cast("long"))
                   .alias("cents")))
     wprev = (W.partitionBy("user_id").orderBy("us", "event_id")
              .rowsBetween(W.unboundedPreceding, -1))

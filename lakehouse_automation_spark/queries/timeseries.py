@@ -190,7 +190,8 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             CAST(round(value * 100) AS BIGINT) AS cents
+             CASE WHEN abs(value) <= 1e15  -- representable-cents guard
+                  THEN CAST(round(value * 100) AS BIGINT) END AS cents
       FROM events
     ), st AS (
       SELECT user_id, event_id, cents,
@@ -228,7 +229,11 @@ def ts_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation to 9·variance, avoiding sqrt. One user_id Exchange;
     the frame is row-bounded so window state is O(24) per user at any
     scale."""
-    cents = F.round(F.col("value") * 100).cast("long")
+    # representable-cents guard (streaming/stateful.py CENTS_MAX_ABS):
+    # out-of-domain values (NaN, ±Inf, |v|>1e15) carry NULL cents —
+    # under ANSI mode a bare cast aborts the job on one corrupt double
+    v = F.col("value")
+    cents = F.when(F.abs(v) <= 1e15, F.round(v * 100).cast("long"))
     ev = (t(spark, sf_dir, "events")
           .select("user_id", "event_id",
                   F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
@@ -270,7 +275,8 @@ def _ewma_oracle() -> str:
     return f"""
     WITH ev AS (
       SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-             CAST(round(value * 100) AS BIGINT) AS cents
+             CASE WHEN abs(value) <= 1e15  -- representable-cents guard
+                  THEN CAST(round(value * 100) AS BIGINT) END AS cents
       FROM events WHERE user_id % 5 = 0
     )
     SELECT user_id, event_id,
@@ -301,7 +307,9 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
           .filter(F.col("user_id") % 5 == 0)
           .select("user_id", "event_id",
                   F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
-                  F.round(F.col("value") * 100).cast("long").alias("cents")))
+                  F.when(F.abs(F.col("value")) <= 1e15,
+                         F.round(F.col("value") * 100).cast("long"))
+                  .alias("cents")))  # domain guard, see ts_rolling_anomaly
     w = W.partitionBy("user_id").orderBy("us", "event_id")
     wsum, nsum = F.lit(0.0), F.lit(0.0)
     for k in range(_EWMA_LAGS):
@@ -573,7 +581,9 @@ def ts_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.s_nationkey AS nation,
              epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
                AS day,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CASE WHEN abs(l.l_extendedprice) <= 1e15
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                  * 100
                   AS HUGEINT) AS cents
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
@@ -627,7 +637,8 @@ def ts_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_suppkey",
                   F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"
                          " div 86400000000").alias("day"),
-                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  F.when(F.abs(F.col("l_extendedprice")) <= 1e15,
+                         F.col("l_extendedprice").cast("decimal(18,2)"))
                   .alias("price")))
     sup = (t(spark, sf_dir, "supplier")
            .select(F.col("s_suppkey").alias("l_suppkey"),
@@ -669,7 +680,9 @@ def ts_linreg_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT s.s_nationkey AS nation,
              epoch_us(CAST(l.l_shipdate AS TIMESTAMP)) // 86400000000
                AS day,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CASE WHEN abs(l.l_extendedprice) <= 1e15
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                  * 100
                   AS HUGEINT) AS cents
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
@@ -713,7 +726,8 @@ def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("l_suppkey",
                   F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"
                          " div 86400000000").alias("day"),
-                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  F.when(F.abs(F.col("l_extendedprice")) <= 1e15,
+                         F.col("l_extendedprice").cast("decimal(18,2)"))
                   .alias("price")))
     sup = (t(spark, sf_dir, "supplier")
            .select(F.col("s_suppkey").alias("l_suppkey"),
@@ -755,7 +769,9 @@ def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(date_part('year', CAST(l.l_shipdate AS DATE)) * 100
                   + date_part('month', CAST(l.l_shipdate AS DATE))
                   AS BIGINT) AS ym,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CASE WHEN abs(l.l_extendedprice) <= 1e15
+                       THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) END)
+                  * 100
                   AS BIGINT) AS cents
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
@@ -793,7 +809,8 @@ def ts_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (F.year(F.col("l_shipdate").cast("date")) * 100
                    + F.month(F.col("l_shipdate").cast("date")))
                   .cast("long").alias("ym"),
-                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  F.when(F.abs(F.col("l_extendedprice")) <= 1e15,
+                         F.col("l_extendedprice").cast("decimal(18,2)"))
                   .alias("price")))
     sup = (t(spark, sf_dir, "supplier")
            .select(F.col("s_suppkey").alias("l_suppkey"),

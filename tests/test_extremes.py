@@ -1,16 +1,19 @@
-"""Extreme-numerics regression gate: the RAW-INGEST surface (every
-stream_* and udf_* key — the operators that meet unvalidated input by
-contract) on a replica with IEEE-754 edge values injected into double
-columns (tools/extremes_check.py, record bench/EXTREMES_r09.json).
+"""Extreme-numerics regression gate: the RAW-FEED surface (every
+stream_*/udf_*/udtf_*/ts_/sessionize_/event_ key plus rfm/retention/
+sketch-rollup — the operators that meet unvalidated input by contract;
+`tools/extremes_check.py --gated`, 43 keys, record
+bench/EXTREMES_r09.json) on a replica with IEEE-754 edge values
+injected into double columns.
 
 The round-9 probe found one crash class and two engine divergences:
 
   1. pandas int-casts killed the executor on one corrupt double
      (IntCastingNaNError on Inf cents) -> stream_custom_state,
      stream_tws_state, udf_grouped_map
-  2. ANSI-mode JVM casts aborted the whole micro-batch on one Inf
-     (decimal/long NUMERIC_VALUE_OUT_OF_RANGE)
-     -> stream_tumbling_agg, stream_static_join
+  2. ANSI-mode JVM casts aborted the whole job on one Inf/1e300
+     (decimal/long NUMERIC_VALUE_OUT_OF_RANGE) -> stream_tumbling_agg,
+     stream_static_join, the ts_ cents/revenue keys, the sessionize/
+     attribution/rfm events keys
   3. DuckDB ln() RAISES on negatives where numpy emits NaN
      -> udf_grouped_agg
 
@@ -19,8 +22,11 @@ All are fixed by ONE domain predicate: ``abs(value) <= 1e15``
 pandas, Spark SQL, and DuckDB alike, so it excludes every edge value
 identically in all three engines with no isfinite() spelling to
 reconcile; out-of-domain values fold as NULL (skipped by SUM/AVG),
-never a crash. Batch-analytics keys keep the validated-finite-domain
-contract instead (SCALE.md taxonomy): extremes are rejected at ingest
+never a crash. sessionize_incremental additionally needed a null-safe
+SQL-SUM combine when a persisted tail's sum is NULL. Core relational
+keys over curated warehouse tables keep the validated-finite-domain
+contract instead (SCALE.md taxonomy, full-registry probe recorded in
+bench/EXTREMES_PROBE_full_r09.json): extremes are rejected at ingest
 there, exactly as tf_constraints rejects NULL keys.
 
 This file runs the fix-class keys against the DuckDB oracle on the
@@ -39,6 +45,9 @@ KEYS = [
     "stream_static_join",
     "udf_grouped_map",
     "udf_grouped_agg",
+    "ts_rolling_anomaly",
+    "sessionize_incremental",
+    "rfm_segments",
 ]
 
 

@@ -102,11 +102,36 @@ def build_extremes_replica(src: str, dst: str) -> dict[str, int]:
     return injected
 
 
+# The GATED scope: every key computing over raw, unvalidated feeds by
+# contract — streaming (stream_*), the Python boundary (udf_*/udtf_*),
+# time-series monitoring (ts_*), and the behavioral-events family
+# (sessionize_*/event_*/rfm/retention/sketch rollups). These must be
+# extremes-safe (the round-9 fixes: one abs(v) <= 1e15 domain
+# predicate per cast site). The rest of the registry — the core
+# relational surface over curated warehouse tables — carries the
+# validated-domain contract instead (extremes are rejected at INGEST;
+# SCALE.md taxonomy), so it is probed but not gated.
+GATED_PREFIXES = ("stream_", "udf_", "udtf_", "ts_", "sessionize_",
+                  "event_")
+GATED_EXTRA = ("rfm_segments", "retention_cohort", "agg_sketch_rollup")
+
+
+def gated_keys() -> list[str]:
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    return [k for k in REGISTRY
+            if k.startswith(GATED_PREFIXES) or k in GATED_EXTRA]
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", dest="json_out")
+    ap.add_argument("--gated", action="store_true",
+                    help="run the gated scope (raw-feed key families)")
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
+    if args.gated:
+        args.keys = gated_keys() + args.keys
 
     with tempfile.TemporaryDirectory(prefix="extremesf-") as dst:
         injected = build_extremes_replica(SRC_SF_DIR, dst)
