@@ -174,8 +174,10 @@ def main() -> None:
             med = sorted(ratios.values())[len(ratios) // 2]
             record["control_keys"] = ratios
             record["control_ratio"] = med
-    except (OSError, ValueError):
-        pass  # no baseline at this sf (e.g. ad-hoc sf0.01 run): omit
+    except (OSError, ValueError, KeyError, TypeError):
+        # annotation only — a missing/malformed baseline entry must
+        # never discard the measured record it decorates
+        pass
 
     print(json.dumps(record))
 

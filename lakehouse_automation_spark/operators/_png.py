@@ -107,6 +107,8 @@ def open(fp: BinaryIO) -> PngImage:  # noqa: A001 — PIL-compatible name
         if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC on {ctype!r} chunk")
         if ctype == b"IHDR":
+            if len(body) != 13:
+                raise ValueError(f"IHDR body is {len(body)} B, not 13")
             ihdr = struct.unpack(">IIBBBBB", body)
         elif ctype == b"PLTE":
             plte = body
@@ -130,7 +132,12 @@ def open(fp: BinaryIO) -> PngImage:  # noqa: A001 — PIL-compatible name
     mode = _MODES[color_type]
     if mode == "P" and plte is None:
         raise ValueError("palette image without PLTE")
-    raw = zlib.decompress(b"".join(idat))
+    if not idat:
+        raise ValueError("no IDAT chunk")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:  # keep the documented ValueError contract
+        raise ValueError(f"corrupt IDAT deflate stream: {e}") from e
     bpp = _CHANNELS[mode]
     stride = width * bpp
     if len(raw) != (stride + 1) * height:

@@ -84,6 +84,13 @@ def _image_codec():
         return _png
 
 
+# True whenever ANY real codec resolves — constant-True since the PNG
+# codec was vendored (round 9); kept because a slimmed build that
+# drops _png.py should still degrade loudly through the guards below.
+# NOTE: the vendored tier decodes PNG only — a non-PNG payload raises
+# ValueError from the decoder (a real decode failure), it does NOT
+# fall back to the fake tier; callers wanting the deterministic fake
+# features must call decode_features explicitly.
 HAS_IMAGE_CODEC = _image_codec() is not None
 
 REAL_DECODE_SCHEMA = (
@@ -131,8 +138,11 @@ def decode_real(payload: bytes) -> dict:
 def decode_features_real(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL decode via mapInPandas — same plumbing shape
     as decode_features (the fake/oracle tier), but each payload goes
-    through the actual codec. Raises NotImplementedError in runtimes
-    without PIL; use HAS_IMAGE_CODEC to dispatch."""
+    through the actual codec (PIL when shipped, else the vendored
+    PNG-only codec; a payload the codec cannot parse raises ValueError
+    executor-side — corrupt media is a data-quality signal, not
+    something to silently fake). The NotImplementedError guard fires
+    only in a build with no codec at all."""
     if not HAS_IMAGE_CODEC:
         raise NotImplementedError(
             "decode_features_real requires an image codec (PIL)"

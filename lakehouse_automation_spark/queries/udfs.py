@@ -123,18 +123,20 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events").select("event_type", "value", "user_id")
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
-        # SQL SUM semantics by hand: skip NULL values (pandas skipna
-        # sum), and an all-NULL group sums to NULL, not 0 —
-        # min_count=1 makes pandas return NaN there, mapped to None.
-        # Out-of-domain values (NaN, ±Inf, |v|>1e15 — see
-        # streaming/stateful.py CENTS_MAX_ABS) fold as NULL too:
-        # int(inf) would otherwise kill the executor on one corrupt row
-        v = pdf["value"].where(pdf["value"].abs() <= 1e15)
-        cents = (v * 100).round().sum(min_count=1)
+        # the ONE pinned cents fold (streaming/stateful.py _cents):
+        # half-away-from-zero rounding (pandas .round() is banker's and
+        # diverges from the oracle's round() on exact .5-cent
+        # boundaries), the CENTS_MAX_ABS domain guard (NaN/±Inf/huge
+        # fold as NULL, int(inf) would kill the executor), and an
+        # int64 — not float64 — accumulate. SQL SUM semantics: skip
+        # NULLs, all-NULL group sums to NULL.
+        from ..streaming.stateful import _cents
+
+        c = _cents(pdf["value"]).dropna()
         return pd.DataFrame({
             "event_type": [pdf["event_type"].iloc[0]],
             "n": [len(pdf)],
-            "cents_sum": [None if pd.isna(cents) else int(cents)],
+            "cents_sum": [int(c.astype("int64").sum()) if len(c) else None],
             "min_user": [int(pdf["user_id"].min())],
         })
 

@@ -50,7 +50,7 @@ def test_key_runs_on_empty_tables(spark, empty_sf_dir, key, want_rows):
         df = Q.REGISTRY[key].fn(spark, empty_sf_dir)
         assert df.count() == want_rows
     finally:
-        release_persisted(spark)
+        release_persisted()
 
 
 def test_empty_replica_preserves_schema(spark, empty_sf_dir):

@@ -77,7 +77,7 @@ def test_key_matches_oracle_on_dirty_text(spark, dirty_sf_dir, oracle_con,
                           reg.oracle, oracle_con)
         assert verdict.startswith("OK"), verdict
     finally:
-        release_persisted(spark)
+        release_persisted()
 
 
 def test_dirty_replica_carries_the_divergent_shapes(dirty_sf_dir):

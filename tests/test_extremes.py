@@ -88,7 +88,35 @@ def test_key_matches_oracle_on_extreme_values(spark, extremes_sf_dir,
                           reg.oracle, oracle_con)
         assert verdict.startswith("OK"), verdict
     finally:
-        release_persisted(spark)
+        release_persisted()
+
+
+def test_domain_bound_literals_match_the_constant():
+    """The abs(v) <= 1e15 guard is written as a LITERAL at every cast
+    site — Spark expressions and the SQL oracle strings alike (an
+    oracle string cannot reference a Python constant without turning
+    every plain docstring-oracle into an f-string). This pin turns
+    silent drift into a loud failure: if CENTS_MAX_ABS is ever changed,
+    every literal site must move with it or this test names the count
+    that didn't."""
+    import glob
+    import os
+    import re
+
+    from lakehouse_automation_spark.streaming.stateful import CENTS_MAX_ABS
+
+    assert CENTS_MAX_ABS == 1e15, (
+        "CENTS_MAX_ABS changed — update every `1e15` guard literal "
+        "(queries/*.py, streaming/stateful.py) and then this pin")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "lakehouse_automation_spark")
+    sites = 0
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        sites += len(re.findall(r"<= 1e15", open(f).read()))
+    # the guard family as of round 9; growing it is fine (bump the
+    # bound below), SHRINKING it without a matching code change means
+    # a guard was lost
+    assert sites >= 35, f"only {sites} `<= 1e15` guard sites found"
 
 
 def test_extremes_replica_carries_the_edge_values(extremes_sf_dir):

@@ -74,7 +74,7 @@ def test_key_matches_oracle_on_null_data(spark, null_sf_dir, oracle_con,
                           reg.oracle, oracle_con)
         assert verdict.startswith("OK"), verdict
     finally:
-        release_persisted(spark)
+        release_persisted()
 
 
 def test_null_replica_actually_carries_nulls(null_sf_dir):

@@ -116,6 +116,9 @@ def ivf_probe(spark, record: dict) -> None:
     emb = (spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
            .select("vec_id", "embedding"))
     rows = emb.collect()  # 20k x 64 floats ~ 5 MB: ground-truth copy
+    rows.sort(key=lambda r: r.vec_id)  # collect order is partition-
+    # interleaved in general; _spread_queries' seed-exclusion stride
+    # assumes vec_id order
     all_ids = np.array([r.vec_id for r in rows], dtype=np.int64)
     all_X = _normed(np.array([r.embedding for r in rows],
                              dtype=np.float64))

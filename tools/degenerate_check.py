@@ -82,7 +82,7 @@ def main() -> int:
                 print(f"{k:32s} FAIL {msg}", flush=True)
             finally:
                 try:
-                    release_persisted(spark)
+                    release_persisted()
                 except Exception:  # noqa: BLE001 — sweep must continue
                     pass
     print(f"\n{len(keys)} keys, {fails} failures")

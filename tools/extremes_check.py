@@ -91,9 +91,14 @@ def build_extremes_replica(src: str, dst: str) -> dict[str, int]:
             if field.name in FLOAT_COLS.get(t, ()) and n:
                 pos = _positions(t, field.name, n)
                 if len(pos):
-                    vals = arr.to_numpy(zero_copy_only=False).copy()
-                    vals[pos] = [EXTREMES[i % len(EXTREMES)]
-                                 for i in range(len(pos))]
+                    # to_pylist, not to_numpy: numpy maps NULL -> NaN
+                    # and the round trip would silently convert every
+                    # pre-existing NULL into a NaN VALUE, changing the
+                    # replica's COUNT/SUM semantics for rows this
+                    # sweep never touched
+                    vals = arr.to_pylist()
+                    for i, p in enumerate(pos):
+                        vals[p] = EXTREMES[i % len(EXTREMES)]
                     arr = pa.array(vals, type=field.type)
                     injected[f"{t}.{field.name}"] = len(pos)
             cols.append(arr)
