@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -171,7 +172,10 @@ def main() -> None:
             and float(base[k]["sf"]) == record["sf"]
         }
         if ratios:
-            med = sorted(ratios.values())[len(ratios) // 2]
+            # statistics.median averages the two middle values on an
+            # even count (a filtered-out control key must not bias the
+            # drift waterline toward the upper-middle element)
+            med = round(statistics.median(ratios.values()), 4)
             record["control_keys"] = ratios
             record["control_ratio"] = med
     except (OSError, ValueError, KeyError, TypeError):

@@ -8,12 +8,16 @@ with ``width``/``height``/``mode``, context-manager close, and
 ``save(fp, format="PNG")`` — nothing else.
 
 It is a REAL decoder, not a header sniffer: chunk CRCs are verified,
-the IDAT stream is inflated, and every scanline is run through the
-spec's inverse filters (None/Sub/Up/Average/Paeth), so a truncated or
-corrupt payload raises instead of yielding plausible garbage. Scope
-is deliberately tight: 8-bit depth, no interlace (Adam7 raises), no
+the IDAT stream is inflated (bounded by the IHDR-derived size, so a
+crafted high-ratio deflate stream raises instead of OOMing the
+executor), and every scanline is run through the spec's inverse
+filters (None/Sub/Up/Average/Paeth), so a truncated or corrupt
+payload raises instead of yielding plausible garbage. Scope is
+deliberately tight: 8-bit depth, no interlace (Adam7 raises), no
 ancillary-chunk interpretation — enough to round-trip the pipeline's
-own images and decode well-formed baseline PNGs.
+own images and decode well-formed baseline PNGs. ``read_header()``
+is the metadata fast path: the same structural/CRC pass without the
+pixel inflate+unfilter cost (the per-byte Python loops).
 
 Encoding writes filter-0 scanlines with one zlib IDAT — the simplest
 spec-valid stream (any decoder, incl. PIL, reads it back).
@@ -85,12 +89,19 @@ def new(mode: str, size: tuple[int, int], color: int = 0) -> PngImage:
                     bytes([color & 0xFF]) * (w * h * _CHANNELS[mode]))
 
 
-def open(fp: BinaryIO) -> PngImage:  # noqa: A001 — PIL-compatible name
-    """Decode a baseline PNG: verify signature + chunk CRCs, inflate
-    IDAT, inverse-filter every scanline. Raises ValueError on any
-    structural corruption, NotImplementedError on spec features
-    outside this codec's scope (16-bit, interlace)."""
-    data = fp.read()
+#: Hard ceiling on decoded pixel-buffer size (256 MiB). A crafted IHDR
+#: claiming absurd dimensions must not turn the bounded inflate below
+#: into a multi-GiB allocation; real pipeline images are far smaller.
+MAX_DECODED_BYTES = 1 << 28
+
+
+def _walk_chunks(data: bytes):
+    """Shared structural pass for open()/read_header(): verify the
+    signature and EVERY chunk CRC, parse + validate IHDR, and return
+    ``(width, height, mode, idat_parts, plte)``. Raises ValueError on
+    structural corruption, NotImplementedError on out-of-scope spec
+    features (16-bit depth, Adam7 interlace) — the same contract on
+    both entry points."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat, plte, ended = 8, None, [], None, False
@@ -134,16 +145,50 @@ def open(fp: BinaryIO) -> PngImage:  # noqa: A001 — PIL-compatible name
         raise ValueError("palette image without PLTE")
     if not idat:
         raise ValueError("no IDAT chunk")
-    try:
-        raw = zlib.decompress(b"".join(idat))
-    except zlib.error as e:  # keep the documented ValueError contract
-        raise ValueError(f"corrupt IDAT deflate stream: {e}") from e
+    return width, height, mode, idat, plte
+
+
+def read_header(fp: BinaryIO) -> tuple[int, int, str]:
+    """Metadata fast path: ``(width, height, mode)`` after the full
+    structural pass (signature, every chunk CRC incl. IDAT bytes,
+    IHDR validation) but WITHOUT inflating or unfiltering pixel data —
+    O(payload) CRC instead of seconds of per-byte Python unfiltering.
+    It cannot detect a CRC-valid-but-semantically-corrupt deflate
+    stream; callers needing pixel-level verification use open()."""
+    width, height, mode, _, _ = _walk_chunks(fp.read())
+    return width, height, mode
+
+
+def open(fp: BinaryIO) -> PngImage:  # noqa: A001 — PIL-compatible name
+    """Decode a baseline PNG: verify signature + chunk CRCs, inflate
+    IDAT (bounded by the IHDR-derived size — a crafted high-ratio
+    deflate stream raises instead of exhausting executor memory),
+    inverse-filter every scanline. Raises ValueError on any
+    structural corruption, NotImplementedError on spec features
+    outside this codec's scope (16-bit, interlace)."""
+    width, height, mode, idat, _ = _walk_chunks(fp.read())
     bpp = _CHANNELS[mode]
     stride = width * bpp
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    if expected > MAX_DECODED_BYTES:
+        raise ValueError(
+            f"{width}x{height} {mode} decodes to {expected} B, over the "
+            f"codec's {MAX_DECODED_BYTES} B ceiling")
+    # Bounded inflate: never allocate past expected+1 bytes, whatever
+    # the deflate stream claims (decompression-bomb guard).
+    d = zlib.decompressobj()
+    try:
+        raw = d.decompress(b"".join(idat), expected + 1)
+    except zlib.error as e:  # keep the documented ValueError contract
+        raise ValueError(f"corrupt IDAT deflate stream: {e}") from e
+    if len(raw) > expected or d.unconsumed_tail:
+        raise ValueError(
+            f"IDAT inflates past the {expected} B expected for "
+            f"{width}x{height} {mode} (decompression bomb?)")
+    if len(raw) != expected:
         raise ValueError(
             f"IDAT inflates to {len(raw)} B, expected "
-            f"{(stride + 1) * height} B for {width}x{height} {mode}")
+            f"{expected} B for {width}x{height} {mode}")
     return PngImage(width, height, mode,
                     _unfilter(raw, height, stride, bpp))
 

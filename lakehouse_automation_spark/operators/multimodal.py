@@ -80,13 +80,19 @@ def _image_codec():
         import PIL.Image
         return PIL.Image
     except ImportError:
+        pass
+    try:
         from . import _png
         return _png
+    except ImportError:  # slimmed build without the vendored codec
+        return None
 
 
 # True whenever ANY real codec resolves — constant-True since the PNG
 # codec was vendored (round 9); kept because a slimmed build that
-# drops _png.py should still degrade loudly through the guards below.
+# drops _png.py degrades through the ``codec is None`` guards below
+# (the fallback import above returns None instead of failing the
+# module import, so that path is actually reachable).
 # NOTE: the vendored tier decodes PNG only — a non-PNG payload raises
 # ValueError from the decoder (a real decode failure), it does NOT
 # fall back to the fake tier; callers wanting the deterministic fake
@@ -109,6 +115,16 @@ def _decode_with(codec, payload: bytes | None) -> dict:
     if payload is None:
         return {"n_bytes": None, "width": None, "height": None,
                 "mode": None}
+    # Metadata fast path: the vendored codec's read_header() runs the
+    # full structural/CRC pass without the per-byte unfilter loops —
+    # the metadata-only feature extract must not cost a full pixel
+    # decode per payload. PIL has no such entry point but its open()
+    # is already lazy (header read; pixels decode on .load()).
+    read_header = getattr(codec, "read_header", None)
+    if read_header is not None:
+        width, height, mode = read_header(io.BytesIO(payload))
+        return {"n_bytes": len(payload), "width": width,
+                "height": height, "mode": mode}
     with codec.open(io.BytesIO(payload)) as img:
         return {
             "n_bytes": len(payload),

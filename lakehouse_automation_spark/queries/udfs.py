@@ -128,15 +128,16 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         # diverges from the oracle's round() on exact .5-cent
         # boundaries), the CENTS_MAX_ABS domain guard (NaN/±Inf/huge
         # fold as NULL, int(inf) would kill the executor), and an
-        # int64 — not float64 — accumulate. SQL SUM semantics: skip
-        # NULLs, all-NULL group sums to NULL.
+        # unbounded-Python-int accumulate (numpy int64 wraps silently
+        # past 2^63; the oracle's SUM widens to HUGEINT). SQL SUM
+        # semantics: skip NULLs, all-NULL group sums to NULL.
         from ..streaming.stateful import _cents
 
         c = _cents(pdf["value"]).dropna()
         return pd.DataFrame({
             "event_type": [pdf["event_type"].iloc[0]],
             "n": [len(pdf)],
-            "cents_sum": [int(c.astype("int64").sum()) if len(c) else None],
+            "cents_sum": [sum(int(x) for x in c) if len(c) else None],
             "min_user": [int(pdf["user_id"].min())],
         })
 

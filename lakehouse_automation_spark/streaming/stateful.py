@@ -66,14 +66,15 @@ def _fold_batch(pdf: pd.DataFrame) -> tuple[int, int | None]:
     """(rows, exact integer cents or None) for one pandas chunk —
     COUNT(*) counts every row; the cents sum skips NULLs and is NULL
     when the chunk carries no non-null value (SQL SUM semantics).
-    The accumulate runs in int64 after the NULLs are dropped: _cents
-    returns float64 only to carry NaN, and a float64 SUM is exact only
-    to 2^53 — the BIGINT cents contract is 2^63, so the per-chunk fold
-    must not silently downgrade it."""
+    The accumulate runs in unbounded Python ints after the NULLs are
+    dropped: _cents returns float64 only to carry NaN, a float64 SUM
+    is exact only to 2^53, and a numpy int64 sum WRAPS silently past
+    2^63 (the oracle's SUM(BIGINT) widens to HUGEINT — ~92 rows at the
+    1e17-cent domain max would wrap) — Python ints can't overflow."""
     c = _cents(pdf["value"]).dropna()
     if len(c) == 0:
         return len(pdf), None
-    return len(pdf), int(c.astype("int64").sum())
+    return len(pdf), sum(int(x) for x in c)
 
 
 def update_user_totals(key: tuple, pdfs: Iterator[pd.DataFrame],

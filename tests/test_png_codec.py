@@ -103,6 +103,49 @@ def test_corruption_raises_not_garbage():
         _png.open(io.BytesIO(bytes(lying)))
 
 
+def test_decompression_bomb_raises_before_allocating():
+    """A tiny payload whose deflate stream inflates far past the
+    IHDR-derived size must raise — not allocate executor memory. The
+    bounded inflate caps allocation at expected+1 bytes."""
+    buf = io.BytesIO()
+    buf.write(b"\x89PNG\r\n\x1a\n")
+    _png._write_chunk(buf, b"IHDR",
+                      struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+    _png._write_chunk(buf, b"IDAT", zlib.compress(b"\x00" * 10_000_000))
+    _png._write_chunk(buf, b"IEND", b"")
+    assert len(buf.getvalue()) < 20_000  # ~1000:1 crafted ratio
+    buf.seek(0)
+    with pytest.raises(ValueError, match="bomb"):
+        _png.open(buf)
+
+
+def test_absurd_ihdr_dimensions_hit_size_ceiling():
+    buf = io.BytesIO()
+    buf.write(b"\x89PNG\r\n\x1a\n")
+    _png._write_chunk(buf, b"IHDR",
+                      struct.pack(">IIBBBBB", 60_000, 60_000, 8, 6, 0, 0, 0))
+    _png._write_chunk(buf, b"IDAT", zlib.compress(b"\x00"))
+    _png._write_chunk(buf, b"IEND", b"")
+    buf.seek(0)
+    with pytest.raises(ValueError, match="ceiling"):
+        _png.open(buf)
+
+
+def test_read_header_fast_path_matches_open_and_checks_crcs():
+    buf = io.BytesIO()
+    _png.new("RGBA", (9, 4), color=3).save(buf, format="PNG")
+    good = buf.getvalue()
+    assert _png.read_header(io.BytesIO(good)) == (9, 4, "RGBA")
+    # the fast path still runs the full structural pass: an IDAT-body
+    # bit flip fails its chunk CRC even though pixels are never inflated
+    flipped = bytearray(good)
+    flipped[40] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _png.read_header(io.BytesIO(bytes(flipped)))
+    with pytest.raises(ValueError, match="signature"):
+        _png.read_header(io.BytesIO(b"GIF89a" + good[6:]))
+
+
 def test_out_of_scope_features_raise_notimplemented():
     def with_ihdr(depth, interlace):
         buf = io.BytesIO()

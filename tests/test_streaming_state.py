@@ -216,3 +216,18 @@ def test_tws_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert latest == want
+
+
+def test_fold_batch_accumulates_past_int64_without_wrap():
+    """The cents fold must sum in unbounded Python ints: 200 rows at
+    the 1e15 domain max are 2e19 cents — past 2^63, where a numpy
+    int64 accumulate wraps silently (the oracle's SUM widens to
+    HUGEINT, so a wrap is a value divergence, not a crash)."""
+    import pandas as pd
+
+    from lakehouse_automation_spark.streaming.stateful import _fold_batch
+
+    pdf = pd.DataFrame({"value": [1e15] * 200})
+    n, cents = _fold_batch(pdf)
+    assert n == 200
+    assert cents == 200 * 10**17  # exact, > 2^63 ~= 9.22e18
