@@ -20,8 +20,8 @@ from .base import register, t, dec, dsum, davg
     oracle="""
     SELECT l_returnflag,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) <= 1e15 THEN l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
            MIN(l_extendedprice) AS min_price,
            MAX(l_extendedprice) AS max_price
     FROM lineitem GROUP BY l_returnflag
@@ -220,7 +220,7 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUPING(l_returnflag) AS g_flag,
            GROUPING(l_linestatus) AS g_status,
            COUNT(*) AS n,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           CAST(SUM(CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
 )
@@ -278,9 +278,9 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_having",
     oracle="""
     SELECT l_partkey,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+           CAST(SUM(CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
     FROM lineitem GROUP BY l_partkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+    HAVING SUM(CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2))) > 300
     """,
 )
 def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -331,11 +331,11 @@ def agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH m AS (
       SELECT l_returnflag,
              COUNT(*) AS n,
-             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(20,4))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS syy,
-             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(28,4))) AS DOUBLE) AS sxy
+             CAST(SUM(CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(CASE WHEN abs(l_quantity * l_quantity) <= 1e15 THEN l_quantity * l_quantity END AS DECIMAL(20,4))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) <= 1e15 THEN l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(CASE WHEN abs(l_extendedprice * l_extendedprice) <= 1e15 THEN l_extendedprice * l_extendedprice END AS DECIMAL(30,4))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(CASE WHEN abs(l_quantity * l_extendedprice) <= 1e15 THEN l_quantity * l_extendedprice END AS DECIMAL(28,4))) AS DOUBLE) AS sxy
       FROM lineitem GROUP BY l_returnflag
     )
     SELECT l_returnflag,
@@ -374,8 +374,8 @@ def agg_stddev_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_pivot",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
-           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2)) END) AS DOUBLE) AS O,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2)) END) AS DOUBLE) AS F
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -541,7 +541,8 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l.l_suppkey, s.s_nationkey,
-             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+             CAST(SUM(CAST(CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) <= 1e15
+                           THEN l.l_extendedprice * (1 - l.l_discount) END
                            AS DECIMAL(20,4))) * 10000 AS BIGINT) AS r4
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
@@ -587,8 +588,8 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     # revenue per supplier in exact 1e-4 units
     li = t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast("decimal(20,4)").alias("rev"))
+        dec(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            20, 4).alias("rev"))
     sup = t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
     rev = (li.join(F.broadcast(sup), "l_suppkey")
@@ -671,7 +672,8 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT l.l_suppkey, s.s_nationkey,
-             CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+             CAST(SUM(CAST(CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) <= 1e15
+                           THEN l.l_extendedprice * (1 - l.l_discount) END
                            AS DECIMAL(20,4))) * 10000 AS BIGINT) AS r4
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
@@ -742,8 +744,8 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
-        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
-        .cast("decimal(20,4)").alias("rev"))
+        dec(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            20, 4).alias("rev"))
     sup = t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
     rev = (li.join(F.broadcast(sup), "l_suppkey")
@@ -812,7 +814,12 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                       * CAST(l_quantity AS BIGINT)
                       * CAST(l_quantity AS BIGINT)
                       * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s4
-      FROM lineitem GROUP BY 1
+      FROM lineitem
+      -- moment domain: out-of-domain quantities (NULL/NaN/±Inf/huge)
+      -- are excluded from the distribution entirely — an Inf would
+      -- abort the BIGINT cast and a guarded NULL would skip sums but
+      -- still count in n, skewing every moment
+      WHERE abs(l_quantity) <= 1e15 GROUP BY 1
     ), m AS (
       SELECT l_returnflag, n, s1, s2, s3, s4,
              CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
@@ -853,6 +860,8 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     five longs per flag per task and nothing else."""
     q = F.col("l_quantity").cast("long")
     s = (t(spark, sf_dir, "lineitem")
+         # the oracle's moment-domain contract (see oracle comment)
+         .filter(F.abs(F.col("l_quantity")) <= 1e15)
          .select("l_returnflag", q.alias("q"))
          .groupBy("l_returnflag")
          .agg(F.count(F.lit(1)).alias("n"),
@@ -893,13 +902,15 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pv AS (
       SELECT l_returnflag,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             CAST(CAST(CASE WHEN abs(l_extendedprice) <= 1e15 THEN l_extendedprice END AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS cents,
              CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
       FROM lineitem
-      -- percentile semantics: NULL prices are not points of the price
-      -- distribution and NULL quantities carry no weight
-      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+      -- percentile semantics: NULL/out-of-domain prices are not points
+      -- of the price distribution and NULL/out-of-domain quantities
+      -- carry no weight (abs(x) <= 1e15 is FALSE for NULL, NaN, ±Inf
+      -- in both engines)
+      WHERE abs(l_extendedprice) <= 1e15 AND abs(l_quantity) <= 1e15
       GROUP BY 1, 2
     ), cum AS (
       SELECT l_returnflag, cents, w,
@@ -934,13 +945,14 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     pv = (t(spark, sf_dir, "lineitem")
-          # the oracle's contract: NULL prices are not distribution
-          # points, NULL quantities carry no weight (and a NULL cents
-          # bucket would cum-sum in engine-specific NULL order)
-          .filter(F.col("l_extendedprice").isNotNull()
-                  & F.col("l_quantity").isNotNull())
+          # the oracle's contract: NULL/out-of-domain prices are not
+          # distribution points, NULL/out-of-domain quantities carry
+          # no weight (a NULL cents bucket would cum-sum in engine-
+          # specific NULL order; an Inf weight would abort the cast)
+          .filter((F.abs(F.col("l_extendedprice")) <= 1e15)
+                  & (F.abs(F.col("l_quantity")) <= 1e15))
           .select("l_returnflag",
-                  (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                  (dec("l_extendedprice") * 100)
                   .cast("long").alias("cents"),
                   F.col("l_quantity").cast("long").alias("q"))
           .groupBy("l_returnflag", "cents")
@@ -1006,7 +1018,7 @@ def agg_freq_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tagged AS (
       SELECT l_returnflag,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             CAST(CAST(CASE WHEN abs(l_extendedprice) <= 1e15 THEN l_extendedprice END AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS cents,
              CAST(('0x' || substr(md5('se:' || CAST(l_orderkey AS VARCHAR)
                    || ':' || CAST(l_linenumber AS VARCHAR)), 1, 15))
@@ -1059,7 +1071,7 @@ def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(":"), F.col("l_linenumber").cast("string")))
     tagged = (t(spark, sf_dir, "lineitem")
               .select("l_returnflag",
-                      (F.col("l_extendedprice").cast("decimal(18,2)")
+                      (dec("l_extendedprice")
                        * 100).cast("long").alias("cents"),
                       (h % 100).alias("bucket")))
     g = (tagged.groupBy("l_returnflag")
@@ -1088,10 +1100,15 @@ def agg_sample_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_benford_digits",
     oracle="""
     WITH d AS (
-      SELECT CAST(substr(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+      SELECT CAST(substr(CAST(CAST(CAST(CASE WHEN abs(o_totalprice) <= 1e15 THEN o_totalprice END AS DECIMAL(18,2))
                                    * 100 AS BIGINT) AS VARCHAR), 1, 1)
                   AS BIGINT) AS digit
-      FROM orders WHERE o_totalprice > 0
+      FROM orders
+      -- Benford domain: at least one cent and in the money domain —
+      -- a 1e-300 rounds to 0 cents (digit 0 divides by zero in the
+      -- benford_share expression) and an Inf/NaN/huge price has no
+      -- leading decimal digit
+      WHERE o_totalprice >= 0.01 AND abs(o_totalprice) <= 1e15
     ), cnt AS (
       SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
     ), tot AS (
@@ -1121,9 +1138,10 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.cache import tracked_persist
 
     cnt = (t(spark, sf_dir, "orders")
-           .filter(F.col("o_totalprice") > 0)
+           .filter((F.col("o_totalprice") >= 0.01)
+                   & (F.abs(F.col("o_totalprice")) <= 1e15))
            .select(F.substring(
-               (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+               (dec("o_totalprice") * 100)
                .cast("long").cast("string"), 1, 1)
                .cast("long").alias("digit"))
            .groupBy("digit").agg(F.count(F.lit(1)).alias("n")))
@@ -1144,12 +1162,14 @@ def agg_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pv AS (
       SELECT l_returnflag,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+             CAST(CAST(CASE WHEN abs(l_extendedprice) <= 1e15 THEN l_extendedprice END AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS cents,
              CAST(COUNT(*) AS BIGINT) AS w
       FROM lineitem
-      -- NULL prices are not points of the price distribution
-      WHERE l_extendedprice IS NOT NULL
+      -- domain contract: NULL and out-of-domain prices (NaN/±Inf/
+      -- |v|>1e15) are not points of the price distribution — a folded
+      -- NULL cents bucket would cum-sum in engine-specific NULL order
+      WHERE abs(l_extendedprice) <= 1e15
       GROUP BY 1, 2
     ), cum AS (
       SELECT l_returnflag, cents, w,
@@ -1201,11 +1221,11 @@ def agg_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     pv = (t(spark, sf_dir, "lineitem")
-          # the oracle's contract: NULL prices are not distribution
-          # points (see agg_weighted_median)
-          .filter(F.col("l_extendedprice").isNotNull())
+          # the oracle's contract: NULL and out-of-domain prices are
+          # not distribution points (see agg_weighted_median)
+          .filter(F.abs(F.col("l_extendedprice")) <= 1e15)
           .select("l_returnflag",
-                  (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+                  (dec("l_extendedprice") * 100)
                   .cast("long").alias("cents"))
           .groupBy("l_returnflag", "cents")
           .agg(F.count(F.lit(1)).alias("w")))
@@ -1228,7 +1248,7 @@ def agg_exact_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT c.c_nationkey AS nation, o.o_custkey,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(CASE WHEN abs(o.o_totalprice) <= 1e15 THEN o.o_totalprice END AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
@@ -1268,7 +1288,7 @@ def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rev = (t(spark, sf_dir, "orders")
            .select("o_custkey",
-                   F.col("o_totalprice").cast("decimal(18,2)")
+                   dec("o_totalprice")
                    .alias("price"))
            .join(F.broadcast(
                t(spark, sf_dir, "customer")
@@ -1298,7 +1318,7 @@ def agg_topk_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT s.s_nationkey AS nation, l.l_suppkey,
-             CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(CASE WHEN abs(l.l_extendedprice) <= 1e15 THEN l.l_extendedprice END AS DECIMAL(18,2))) * 100
                   AS HUGEINT) AS cents
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
@@ -1329,7 +1349,7 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     d38 = "decimal(38,0)"
     li = t(spark, sf_dir, "lineitem").select(
         "l_suppkey",
-        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"))
+        dec("l_extendedprice").alias("price"))
     sup = t(spark, sf_dir, "supplier").select(
         F.col("s_suppkey").alias("l_suppkey"),
         F.col("s_nationkey").alias("nation"))
@@ -1353,7 +1373,7 @@ def agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
       SELECT c.c_nationkey AS nation, o.o_custkey,
-             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100
+             CAST(SUM(CAST(CASE WHEN abs(o.o_totalprice) <= 1e15 THEN o.o_totalprice END AS DECIMAL(18,2))) * 100
                   AS BIGINT) AS cents
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
       GROUP BY 1, 2
@@ -1401,7 +1421,7 @@ def agg_pareto_8020(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rev = (t(spark, sf_dir, "orders")
            .select("o_custkey",
-                   F.col("o_totalprice").cast("decimal(18,2)")
+                   dec("o_totalprice")
                    .alias("price"))
            .join(F.broadcast(
                t(spark, sf_dir, "customer")

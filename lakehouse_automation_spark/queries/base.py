@@ -100,14 +100,36 @@ def bounded_file_ingest(spark: SparkSession, sf_dir: str,
 
 # ------------------------------------------------------- determinism helpers
 
+#: Representable-money domain (the one pinned in streaming/stateful.py
+#: as CENTS_MAX_ABS): |v| <= 1e15 fits DECIMAL(18,2) and cents-in-int64
+#: with headroom. The single <= predicate is FALSE for NaN and ±Inf in
+#: Spark SQL, DuckDB, and pandas alike, so one expression excludes
+#: every IEEE edge value identically in all engines. A value outside
+#: the domain folds to NULL (SQL aggregates skip it) instead of
+#: aborting the job with an ANSI NUMERIC_VALUE_OUT_OF_RANGE — at 100 TB
+#: a handful of corrupt floats must not kill a stage.
+DOMAIN_MAX_ABS = 1e15
+
+
+def dguard(col: str | Column) -> Column:
+    """Domain-guard a money/measure expression: out-of-domain (±Inf,
+    NaN, |v| > 1e15) folds to NULL. Oracle-side mirror:
+    ``CASE WHEN abs(x) <= 1e15 THEN x END``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(F.abs(c) <= DOMAIN_MAX_ABS, c)
+
+
 def dec(col: str | Column, prec: int = 18, scale: int = 2) -> Column:
     """Cast to DECIMAL so downstream SUMs are exact and order-independent.
 
     Double -> decimal rounds half-up in both Spark and DuckDB; testdata
-    money columns are 2-decimal values so the cast is lossless.
+    money columns are 2-decimal values so the cast is lossless. The
+    input is domain-guarded (dguard): non-finite or oversized doubles
+    become NULL rather than an ANSI decimal-overflow abort, matching
+    the oracle spelling ``CAST(CASE WHEN abs(x) <= 1e15 THEN x END AS
+    DECIMAL(p,s))``.
     """
-    c = F.col(col) if isinstance(col, str) else col
-    return c.cast(f"decimal({prec},{scale})")
+    return dguard(col).cast(f"decimal({prec},{scale})")
 
 
 def dsum(col: str | Column, alias: str, prec: int = 18, scale: int = 2) -> Column:

@@ -23,13 +23,13 @@ from .base import register, t, dec, dsum, davg
     "flagship_pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)            AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)       AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
-           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           CAST(SUM(CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE)            AS sum_qty,
+           CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) <= 1e15 THEN l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE)       AS sum_base_price,
+           CAST(SUM(CAST(CASE WHEN abs(l_extendedprice * (1 - l_discount)) <= 1e15 THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(CASE WHEN abs(l_extendedprice * (1 - l_discount) * (1 + l_tax)) <= 1e15 THEN l_extendedprice * (1 - l_discount) * (1 + l_tax) END AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(CASE WHEN abs(l_extendedprice) <= 1e15 THEN l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(CASE WHEN abs(l_discount) <= 1e15 THEN l_discount END AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -198,7 +198,7 @@ def join_inner_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_broadcast",
     oracle="""
     SELECT p.p_brand,
-           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+           CAST(SUM(CAST(CASE WHEN abs(l.l_extendedprice * (1 - l.l_discount)) <= 1e15 THEN l.l_extendedprice * (1 - l.l_discount) END AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
            COUNT(*) AS n_items
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     GROUP BY p.p_brand
@@ -302,7 +302,7 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM range(0, 5) tbl(i)
     )
     SELECT b.bucket_id, COUNT(*) AS n,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+           CAST(SUM(CAST(CASE WHEN abs(l.l_extendedprice) <= 1e15 THEN l.l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
     FROM lineitem l JOIN buckets b ON l.l_quantity >= b.lo AND l.l_quantity < b.hi
     GROUP BY b.bucket_id
     """,
@@ -332,8 +332,8 @@ def join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     "flagship_regional_revenue",
     oracle="""
     SELECT n.n_name,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           CAST(SUM(CAST(CASE WHEN abs(l.l_extendedprice) <= 1e15 THEN l.l_extendedprice END AS DECIMAL(18,2))
+                    * (1 - CAST(CASE WHEN abs(l.l_discount) <= 1e15 THEN l.l_discount END AS DECIMAL(18,2)))) AS DOUBLE)
              AS revenue,
            COUNT(*) AS n_lineitems
     FROM customer c
@@ -389,7 +389,7 @@ def flagship_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_skew_salted",
     oracle="""
     SELECT s.s_nationkey, COUNT(*) AS n,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+           CAST(SUM(CAST(CASE WHEN abs(l.l_extendedprice) <= 1e15 THEN l.l_extendedprice END AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
     FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
     GROUP BY s.s_nationkey
     """,
@@ -424,7 +424,7 @@ def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_bucketed",
     oracle="""
     SELECT c.c_mktsegment, COUNT(*) AS n,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           CAST(SUM(CAST(CASE WHEN abs(o.o_totalprice) <= 1e15 THEN o.o_totalprice END AS DECIMAL(18,2))) AS DOUBLE) AS total
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -861,14 +861,14 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH long_form AS (
       SELECT l_returnflag, 'quantity' AS measure,
-             CAST(l_quantity AS DECIMAL(18,2)) AS val
+             CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2)) AS val
       FROM lineitem
       UNION ALL
       SELECT l_returnflag, 'extendedprice',
-             CAST(l_extendedprice AS DECIMAL(18,2)) FROM lineitem
+             CAST(CASE WHEN abs(l_extendedprice) <= 1e15 THEN l_extendedprice END AS DECIMAL(18,2)) FROM lineitem
       UNION ALL
       SELECT l_returnflag, 'discount',
-             CAST(l_discount AS DECIMAL(18,2)) FROM lineitem
+             CAST(CASE WHEN abs(l_discount) <= 1e15 THEN l_discount END AS DECIMAL(18,2)) FROM lineitem
     )
     SELECT l_returnflag, measure,
            CAST(COUNT(*) AS BIGINT) AS n,
@@ -892,11 +892,11 @@ def project_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     which partial-combines the expansion away."""
     li = (t(spark, sf_dir, "lineitem")
           .select("l_returnflag",
-                  F.col("l_quantity").cast("decimal(18,2)")
+                  dec("l_quantity")
                   .alias("quantity"),
-                  F.col("l_extendedprice").cast("decimal(18,2)")
+                  dec("l_extendedprice")
                   .alias("extendedprice"),
-                  F.col("l_discount").cast("decimal(18,2)")
+                  dec("l_discount")
                   .alias("discount")))
     melted = li.unpivot(
         ids=["l_returnflag"],

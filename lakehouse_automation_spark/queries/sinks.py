@@ -13,7 +13,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .base import register, t
+from .base import register, t, dec
 
 SCRATCH = os.path.join(tempfile.gettempdir(), "lakehouse_spark_scratch")
 
@@ -66,7 +66,7 @@ def scan_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_parquet",
     oracle="""
     SELECT p_brand, COUNT(*) AS n,
-           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
+           CAST(SUM(CAST(CASE WHEN abs(p_retailprice) <= 1e15 THEN p_retailprice END AS DECIMAL(18,2))) AS DOUBLE) AS price_sum
     FROM part GROUP BY p_brand
     """,
 )
@@ -79,7 +79,7 @@ def sink_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias("price_sum"),
+            F.sum(dec("p_retailprice")).cast("double").alias("price_sum"),
         )
     )
     agg.write.mode("overwrite").parquet(path)
@@ -283,7 +283,7 @@ def jdbc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_upsert",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+           CAST(SUM(CAST(CASE WHEN abs(value) <= 1e15 THEN value END AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
     FROM events GROUP BY event_type
     """,
 )
@@ -324,7 +324,7 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged = tbl.read()
     out = merged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        F.sum(dec("value")).cast("double").alias("value_sum"),
     )
     if cleanup is not None:
         out = out.localCheckpoint(eager=True)
@@ -519,7 +519,7 @@ def scan_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(SUM(CAST(CASE WHEN abs(o_totalprice) <= 1e15 THEN o_totalprice END AS DECIMAL(18,2))) AS DOUBLE)
              AS price_sum
     FROM orders GROUP BY o_orderpriority
     """,
@@ -540,7 +540,7 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (t(spark, sf_dir, "orders")
            .groupBy("o_orderpriority")
            .agg(F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                F.sum(dec("o_totalprice"))
                 .cast("double").alias("price_sum")))
     agg.write.mode("overwrite").json(path)
     schema = T.StructType([

@@ -13,7 +13,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .base import register, t
+from .base import register, t, dec
 
 # Survey-domain literals (reference datagen.py:22-27).
 CUSTOMER_TYPES = ("First-time", "Returning")
@@ -124,7 +124,7 @@ def schedule_microbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_load",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
+           CAST(SUM(CAST(CASE WHEN abs(value) <= 1e15 THEN value END AS DECIMAL(18,2))) AS DOUBLE) AS value_sum
     FROM events GROUP BY event_type
     """,
 )
@@ -147,7 +147,7 @@ def incremental_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return loaded.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("value_sum"),
+        F.sum(dec("value")).cast("double").alias("value_sum"),
     )
 
 

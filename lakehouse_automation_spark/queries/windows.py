@@ -71,7 +71,7 @@ def win_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_frame_rows",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+           CAST(SUM(CAST(CASE WHEN abs(l_quantity) <= 1e15 THEN l_quantity END AS DECIMAL(18,2)))
                 OVER (PARTITION BY l_orderkey
                       ORDER BY l_linenumber, l_quantity NULLS LAST
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
@@ -541,7 +541,7 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pts AS (
       SELECT p_partkey,
-             CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100
+             CAST(CAST(CASE WHEN abs(p_retailprice) <= 1e15 THEN p_retailprice END AS DECIMAL(18,2)) * 100
                   AS BIGINT) AS price_cents,
              CAST(p_size AS BIGINT) AS p_size
       FROM part
@@ -549,7 +549,7 @@ def win_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- size or price can neither dominate nor be dominated, so it
       -- is out of skyline contention by contract (and NULL ordering
       -- inside the window differs between engines anyway)
-      WHERE p_size IS NOT NULL AND p_retailprice IS NOT NULL
+      WHERE p_size IS NOT NULL AND abs(p_retailprice) <= 1e15
     ), best AS (
       SELECT p_partkey, price_cents, p_size,
              MIN(price_cents) OVER (
@@ -587,9 +587,9 @@ def win_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
            # the oracle's contract: null-dimension rows are out of
            # skyline contention (can't dominate, can't be dominated)
            .filter(F.col("p_size").isNotNull()
-                   & F.col("p_retailprice").isNotNull())
+                   & (F.abs(F.col("p_retailprice")) <= 1e15))
            .select("p_partkey",
-                   (F.col("p_retailprice").cast("decimal(18,2)") * 100)
+                   (dec("p_retailprice") * 100)
                    .cast("long").alias("price_cents"),
                    F.col("p_size").cast("long").alias("p_size")))
     wb = (W.orderBy("p_size", "price_cents", "p_partkey")

@@ -45,6 +45,11 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "∅"
         if isinstance(v, float):
+            if math.isinf(v):
+                # IEEE non-finites are representable values, not
+                # errors: both engines pass them through filters/
+                # sorts/projections, and int(v) above would raise
+                return "inf" if v > 0 else "-inf"
             if v == int(v) and abs(v) < 1e15:
                 # int format, not '%.6f': a null-bearing int64 column
                 # round-trips pandas as float64, so the SAME value can
