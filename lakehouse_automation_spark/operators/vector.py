@@ -281,7 +281,8 @@ def ivf_index_write(emb: DataFrame, path: str, n_centroids: int = 8) -> None:
      .coalesce(1).write.parquet(f"{path}/_meta/centroids"))
 
 
-def ivf_index_refresh(spark, batch: DataFrame, path: str) -> DataFrame:
+def ivf_index_refresh(spark, batch: DataFrame, path: str,
+                      compact_files_per_cell: int | None = None) -> DataFrame:
     """Incrementally maintain a persisted IVF index: assign ONLY the
     new ``batch`` vectors to the index's frozen build-time centroids
     (read back from ``_meta/`` — the batch never needs the original
@@ -304,14 +305,22 @@ def ivf_index_refresh(spark, batch: DataFrame, path: str) -> DataFrame:
     Sustained refresh accumulates one file per batch per touched cell;
     :func:`ivf_index_compact` rewrites chosen cells partition-locally
     (corpus-independent) when the small-file count hurts scan setup.
+    Pass ``compact_files_per_cell`` to fold that maintenance into the
+    refresh cadence: after the append, any TOUCHED cell holding more
+    parquet parts than the threshold is compacted in place — the
+    metric-driven form of the round-9 aging measurement
+    (SCALE.md §refresh-aging: file count, not recall, is what degrades
+    under sustained refresh; files/cell > 8 is the measured knee).
+    Untouched cells are never listed, so the check costs
+    O(touched cells), not an index walk.
 
     Returns the assigned batch (vec_id, cell_id) so callers can audit
     which cells were touched; the plan is one broadcast join + one
     append write of batch-sized data."""
-    import os as _os
+    from .pathio import pathio_for
 
     meta = f"{path}/_meta/centroids"
-    if not _os.path.isdir(meta):
+    if not pathio_for(spark, path).isdir(meta):
         raise FileNotFoundError(
             f"{path} has no _meta/centroids — the index predates "
             "refresh support (or is not an IVF index). Rebuild it with "
@@ -329,6 +338,20 @@ def ivf_index_refresh(spark, batch: DataFrame, path: str) -> DataFrame:
         .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell_id"))
     )
     assigned.write.mode("append").partitionBy("cell_id").parquet(path)
+    if compact_files_per_cell is not None:
+        io = pathio_for(spark, path)
+        # batch-sized collect: the distinct touched-cell ids (metadata
+        # scale — bounded by n_centroids, not corpus)
+        touched = sorted(
+            r["cell_id"] for r in
+            assigned.select("cell_id").distinct().collect())
+        crowded = [
+            cid for cid in touched
+            if sum(f.endswith(".parquet") for f in
+                   io.listdir(io.join(path, f"cell_id={cid}")))
+            > compact_files_per_cell]
+        if crowded:
+            ivf_index_compact(spark, path, cells=crowded)
     # batch-sized re-evaluation (deterministic given frozen centroids)
     return assigned.select("vec_id", "cell_id")
 
@@ -361,54 +384,43 @@ def ivf_index_compact(spark, path: str,
     then wipes scratch, so a crash is recoverable by simply running
     compact again, and the wipe can never destroy the sole copy.
 
-    Index-maintenance paths (this and :func:`ivf_index_refresh`) drive
-    the swap with driver-local os.rename/isdir, so ``path`` must be a
-    LOCAL filesystem (or a POSIX mount like NFS/FUSE-mounted object
-    storage). On native HDFS/S3 URIs the data writes would succeed but
-    the maintenance metadata ops would not — a production port routes
-    these through the Hadoop FileSystem API, which is the same
-    single-directory rename contract."""
-    import glob as _glob
-    import os as _os
-    import shutil as _shutil
+    Index-maintenance metadata ops (this and :func:`ivf_index_refresh`)
+    run through the PathIO abstraction (operators/pathio.py): local
+    paths use os.rename/isdir; hdfs/s3a/gs URIs resolve the Hadoop
+    FileSystem API — the same single-directory rename contract — and
+    an unsupported scheme raises loudly instead of half-running the
+    swap with os.* calls that cannot see the remote store."""
+    from .pathio import pathio_for, replay_interrupted_swap
 
-    scratch = _os.path.join(path, "_compact_tmp")
+    io = pathio_for(spark, path)
+    scratch = io.join(path, "_compact_tmp")
     # crash recovery BEFORE touching scratch: an interrupted prior run
     # can have left a cell present only as scratch/old-N (crash between
     # the two renames) or only as scratch/new-N (crash after rename(cdir,
     # old) failed midway through a dirty shutdown). Restore before the
     # wipe below, or the wipe would delete the last copy of the cell.
-    if _os.path.isdir(scratch):
-        for prefix in ("old-", "new-"):  # old first: authoritative copy
-            for leftover in sorted(_glob.glob(
-                    _os.path.join(_glob.escape(scratch), prefix + "*"))):
-                cid_s = _os.path.basename(leftover)[len(prefix):]
-                cdir = _os.path.join(path, f"cell_id={cid_s}")
-                if not _os.path.isdir(cdir):
-                    _os.rename(leftover, cdir)
-        _shutil.rmtree(scratch, ignore_errors=True)
-    _os.makedirs(scratch, exist_ok=True)
+    replay_interrupted_swap(io, path, scratch)
+    io.rmtree(scratch)
+    io.makedirs(scratch)
     # enumerate cells AFTER recovery, so a just-restored cell is both
     # listed and compacted in the same pass
     if cells is None:
         cells = sorted(
-            int(_os.path.basename(d).split("=", 1)[1])
-            for d in _glob.glob(_os.path.join(_glob.escape(path), "cell_id=*")))
+            int(name.split("=", 1)[1])
+            for name in io.list_prefixed(path, "cell_id="))
     for cid in cells:
-        cdir = _os.path.join(path, f"cell_id={cid}")
-        tmp = _os.path.join(scratch, f"new-{cid}")
-        old = _os.path.join(scratch, f"old-{cid}")
+        cdir = io.join(path, f"cell_id={cid}")
+        tmp = io.join(scratch, f"new-{cid}")
+        old = io.join(scratch, f"old-{cid}")
         (spark.read.parquet(cdir).coalesce(1)
          .write.mode("overwrite").parquet(tmp))
         # drop the nested _SUCCESS marker before the swap; the cell
         # dir must hold only parquet parts for the partitioned read
-        marker = _os.path.join(tmp, "_SUCCESS")
-        if _os.path.exists(marker):
-            _os.unlink(marker)
-        _os.rename(cdir, old)
-        _os.rename(tmp, cdir)
-        _shutil.rmtree(old)
-    _shutil.rmtree(scratch, ignore_errors=True)
+        io.unlink(io.join(tmp, "_SUCCESS"))
+        io.rename(cdir, old)
+        io.rename(tmp, cdir)
+        io.rmtree(old)
+    io.rmtree(scratch)
     return len(cells)
 
 

@@ -129,8 +129,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentile",
     oracle="""
     SELECT l_returnflag,
-           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
-           ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+           -- percentile domain contract (SCALE.md §extremes): the
+           -- distribution is the IN-DOMAIN values only — Spark ranks
+           -- NaN as the largest value while DuckDB's quantile_cont
+           -- ignores it, so an unguarded NaN shifts every rank
+           ROUND(quantile_cont(CASE WHEN abs(l_extendedprice) <= 1e15
+                               THEN l_extendedprice END, 0.5), 4)
+             AS p50_price,
+           ROUND(quantile_cont(CASE WHEN abs(l_extendedprice) <= 1e15
+                               THEN l_extendedprice END, 0.95), 4)
+             AS p95_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -139,10 +147,13 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation over the sorted group; rounded to absorb the one-ulp
     formula difference). ``percentile_approx`` is the sketch-based
     scale path — used in bench, tested separately."""
+    from .base import dguard
+
     li = t(spark, sf_dir, "lineitem")
+    price = dguard("l_extendedprice")  # NaN-rank contract: in-domain only
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.percentile(price, F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile(price, F.lit(0.95)), 4).alias("p95_price"),
     )
 
 
@@ -435,9 +446,14 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_hist_bins",
     oracle="""
-    WITH st AS (
+    WITH src AS (
+      -- histogram domain contract: in-domain values only (an Inf or
+      -- NaN edge poisons every bucket's arithmetic)
+      SELECT l_extendedprice FROM lineitem
+      WHERE abs(l_extendedprice) <= 1e15
+    ), st AS (
       SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
-      FROM lineitem
+      FROM src
     ), b AS (
       SELECT CASE WHEN mx = mn THEN 0
                   ELSE CAST(LEAST(19.0, FLOOR((l_extendedprice - mn)
@@ -445,7 +461,7 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               * 20.0)) AS INT)
              END AS bucket,
              mn, mx
-      FROM lineitem, st
+      FROM src, st
     )
     SELECT bucket,
            mn + bucket * ((mx - mn) / 20.0) AS lo_edge,
@@ -467,7 +483,10 @@ def agg_hist_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     make the bucket 0/0 = NaN — and under ANSI mode CAST(NaN AS INT)
     throws — so that case short-circuits to bucket 0, mirrored in the
     oracle (review r7)."""
-    li = t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    li = (t(spark, sf_dir, "lineitem")
+          # the oracle's histogram domain contract (in-domain only)
+          .filter(F.abs(F.col("l_extendedprice")) <= 1e15)
+          .select("l_extendedprice"))
     st = li.agg(F.min("l_extendedprice").alias("mn"),
                 F.max("l_extendedprice").alias("mx"))
     b = (li.crossJoin(F.broadcast(st))

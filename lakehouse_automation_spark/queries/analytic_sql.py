@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from .base import register, t
+from .base import register, t, dguard
 
 
 @register(
@@ -182,8 +182,13 @@ def fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_median",
     oracle="""
     SELECT l_returnflag,
-           ROUND(median(l_quantity), 4) AS med_qty,
-           ROUND(median(l_extendedprice), 4) AS med_price
+           -- percentile domain contract: in-domain values only (see
+           -- agg_percentile — NaN ranks largest in Spark, is ignored
+           -- by DuckDB's median)
+           ROUND(median(CASE WHEN abs(l_quantity) <= 1e15
+                        THEN l_quantity END), 4) AS med_qty,
+           ROUND(median(CASE WHEN abs(l_extendedprice) <= 1e15
+                        THEN l_extendedprice END), 4) AS med_price
     FROM lineitem GROUP BY l_returnflag
     """,
 )
@@ -195,8 +200,9 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.median("l_quantity"), 4).alias("med_qty"),
-            F.round(F.median("l_extendedprice"), 4).alias("med_price"),
+            F.round(F.median(dguard("l_quantity")), 4).alias("med_qty"),
+            F.round(F.median(dguard("l_extendedprice")), 4)
+             .alias("med_price"),
         )
     )
 

@@ -26,11 +26,16 @@ from .base import register, t
 
 # Money survives the cross-engine hash as integer cents (the
 # udf_grouped_map convention): exact in both engines, order-free.
-_CENTS = "CAST(SUM(CAST(round({c} * 100) AS BIGINT)) AS BIGINT)"
+# Domain-guarded (base.DOMAIN_MAX_ABS): NaN/±Inf/|v|>1e15 fold to NULL
+# in BOTH engines instead of a BIGINT cast-overflow abort.
+_CENTS = ("CAST(SUM(CASE WHEN abs({c}) <= 1e15 "
+          "THEN CAST(round({c} * 100) AS BIGINT) END) AS BIGINT)")
 
 
 def _cents(col: str) -> F.Column:
-    return F.sum(F.round(F.col(col) * 100).cast("long")).alias("cents")
+    return F.sum(F.when(F.abs(F.col(col)) <= 1e15,
+                        F.round(F.col(col) * 100).cast("long"))
+                 ).alias("cents")
 
 
 def _orders_slice(spark: SparkSession, sf_dir: str, mod: int, rem: int) -> DataFrame:
@@ -626,8 +631,10 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta = (
             tbl.changes(v_mv).groupBy("o_orderstatus")
             .agg(F.sum(sign).alias("dn"),
-                 F.sum(sign * F.round(F.col("o_totalprice") * 100)
-                       .cast("long")).alias("dcents"))
+                 F.sum(sign * F.when(
+                     F.abs(F.col("o_totalprice")) <= 1e15,
+                     F.round(F.col("o_totalprice") * 100))
+                     .cast("long")).alias("dcents"))
         )
         # null-safe key match: a NULL group key is a legitimate MV
         # group, and a plain equi-join would never match it — the MV
@@ -842,7 +849,8 @@ def tf_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tf_bloom_index",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           CAST(SUM(CASE WHEN abs(l_extendedprice) <= 1e15
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
                 AS BIGINT) AS cents,
            TRUE AS no_false_negatives, TRUE AS fp_slack_ok,
            TRUE AS absent_fp_slack_ok

@@ -468,7 +468,8 @@ _BLOOM_K = 5
     "join_bloom_filtered",
     oracle="""
     SELECT l_returnflag, COUNT(*) AS n,
-           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+           CAST(SUM(CASE WHEN abs(l_extendedprice) <= 1e15
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
                 AS BIGINT) AS cents
     FROM lineitem
     WHERE l_orderkey IN (
@@ -537,7 +538,9 @@ def join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "l_orderkey", "left_semi")
         .groupBy("l_returnflag")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+             F.sum(F.when(F.abs(F.col("l_extendedprice")) <= 1e15,
+                          F.round(F.col("l_extendedprice") * 100)
+                          .cast("long")))
               .alias("cents"))
     )
 

@@ -14,7 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .base import register, t, dec, dsum, davg
+from .base import register, t, dec, dguard, dsum, davg
 
 # --------------------------------------------------------------- flagship
 
@@ -94,7 +94,10 @@ def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey AS okey,
            l_linenumber AS line_no,
-           CAST(l_quantity AS BIGINT) AS qty_int,
+           -- floor() explicitly: DuckDB CAST(double AS BIGINT) rounds
+           -- where Spark truncates; the domain guard folds Inf/NaN/huge
+           CAST(floor(CASE WHEN abs(l_quantity) <= 1e15
+                      THEN l_quantity END) AS BIGINT) AS qty_int,
            strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_date
     FROM lineitem
     """,
@@ -105,7 +108,7 @@ def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         F.col("l_orderkey").alias("okey"),
         F.col("l_linenumber").alias("line_no"),
-        F.col("l_quantity").cast("bigint").alias("qty_int"),
+        F.floor(dguard("l_quantity")).cast("bigint").alias("qty_int"),
         F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("ship_date"),
     )
 
@@ -648,7 +651,8 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ev AS (
       SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS day,
-             user_id, CAST(round(value * 100) AS BIGINT) AS cents
+             user_id, CASE WHEN abs(value) <= 1e15
+                  THEN CAST(round(value * 100) AS BIGINT) END AS cents
       FROM events
     ), dim AS (
       SELECT day, substr(md5(day), 32, 1) AS tag
@@ -679,7 +683,9 @@ def join_dpp_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select(F.date_format(F.col("ts").cast("timestamp"),
                                 "yyyy-MM-dd").alias("day"),
                   "user_id",
-                  F.round(F.col("value") * 100).cast("long").alias("cents")))
+                  F.when(F.abs(F.col("value")) <= 1e15,
+                         F.round(F.col("value") * 100))
+                  .cast("long").alias("cents")))
     path = _scratch(sf_dir, "events_by_day")
     ev.write.mode("overwrite").partitionBy("day").parquet(path)
     # read back under the writer's schema (`day` stays STRING — its

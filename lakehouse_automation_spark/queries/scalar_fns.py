@@ -87,14 +87,26 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_math",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           CAST(floor(l_extendedprice / 10) AS BIGINT) AS price_div10,
-           CAST(ceil(l_quantity / 7) AS BIGINT)        AS qty_div7,
+           -- integer-returning fns carry the money-domain guard (an
+           -- Inf/NaN/1e300 cannot land in BIGINT in either engine);
+           -- sqrt/ln carry their own mathematical domain (DuckDB
+           -- errors on negatives where Spark yields NaN/NULL)
+           CAST(floor(CASE WHEN abs(l_extendedprice) <= 1e15
+                      THEN l_extendedprice END / 10) AS BIGINT)
+             AS price_div10,
+           CAST(ceil(CASE WHEN abs(l_quantity) <= 1e15
+                     THEN l_quantity END / 7) AS BIGINT) AS qty_div7,
            abs(l_quantity - 25)               AS qty_dev,
            l_orderkey % 7                     AS key_mod7,
            power(l_linenumber, 2)             AS line_sq,
-           sqrt(l_quantity)                   AS qty_sqrt,
-           round(ln(l_extendedprice), 6)      AS price_ln,
-           CAST(sign(l_discount - 0.05) AS DOUBLE)     AS disc_sign
+           CASE WHEN l_quantity >= 0 THEN sqrt(l_quantity) END
+             AS qty_sqrt,
+           CASE WHEN l_extendedprice > 0
+                THEN round(ln(l_extendedprice), 6) END AS price_ln,
+           -- sign(NaN) diverges (Spark NaN, DuckDB 0): domain-guard it
+           CASE WHEN abs(l_discount) <= 1e15
+                THEN CAST(sign(l_discount - 0.05) AS DOUBLE) END
+             AS disc_sign
     FROM lineitem
     """,
 )
@@ -102,16 +114,20 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math pack. floor/ceil/abs/mod/sqrt are IEEE-exact in both
     engines; ln is rounded to absorb libm last-ulp differences."""
     li = t(spark, sf_dir, "lineitem")
+    from .base import dguard
+
+    price, qty = F.col("l_extendedprice"), F.col("l_quantity")
     return li.select(
         "l_orderkey", "l_linenumber",
-        F.floor(F.col("l_extendedprice") / 10).alias("price_div10"),
-        F.ceil(F.col("l_quantity") / 7).alias("qty_div7"),
-        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.floor(dguard(price) / 10).alias("price_div10"),
+        F.ceil(dguard(qty) / 7).alias("qty_div7"),
+        F.abs(qty - 25).alias("qty_dev"),
         (F.col("l_orderkey") % 7).alias("key_mod7"),
         F.pow(F.col("l_linenumber"), 2).alias("line_sq"),
-        F.sqrt(F.col("l_quantity")).alias("qty_sqrt"),
-        F.round(F.log(F.col("l_extendedprice")), 6).alias("price_ln"),
-        F.signum(F.col("l_discount") - 0.05).alias("disc_sign"),
+        F.when(qty >= 0, F.sqrt(qty)).alias("qty_sqrt"),
+        F.when(price > 0, F.round(F.log(price), 6)).alias("price_ln"),
+        F.when(F.abs(F.col("l_discount")) <= 1e15,
+               F.signum(F.col("l_discount") - 0.05)).alias("disc_sign"),
     )
 
 
@@ -240,7 +256,7 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS div_by_zero,
            try_cast(l_returnflag AS INT) AS flag_as_int,
            CASE WHEN l_linenumber - 1 = 0 THEN NULL
-                ELSE CAST(floor(CAST(l_quantity AS BIGINT)
+                ELSE CAST(floor(try_cast(l_quantity AS BIGINT)
                           / (l_linenumber - 1)) AS BIGINT) END AS qty_per_prev
     FROM lineitem
     """,
@@ -266,7 +282,7 @@ def fn_try_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("l_quantity") - F.col("l_quantity"))
          .alias("div_by_zero"),
         F.expr("try_cast(l_returnflag AS INT)").alias("flag_as_int"),
-        F.floor(F.try_divide(F.col("l_quantity").cast("long"),
+        F.floor(F.try_divide(F.expr("try_cast(l_quantity AS BIGINT)"),
                              F.col("l_linenumber") - 1))
          .cast("long").alias("qty_per_prev"),
     )

@@ -336,7 +336,9 @@ def sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_orc",
     oracle="""
     SELECT event_type, COUNT(*) AS n,
-           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+           CAST(SUM(CASE WHEN abs(value) <= 1e15
+                    THEN CAST(round(value * 100) AS BIGINT) END)
+                AS BIGINT) AS cents
     FROM events GROUP BY event_type
     """,
 )
@@ -354,7 +356,9 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.orc(path)
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+             F.sum(F.when(F.abs(F.col("value")) <= 1e15,
+                          F.round(F.col("value") * 100).cast("long")))
+              .alias("cents"))
     )
 
 
@@ -366,20 +370,26 @@ def sink_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(DISTINCT l_quantity) AS n_distinct,
            CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
            CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
-           CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS cents
+           CAST(SUM(CASE WHEN abs(l_quantity) <= 1e15
+                    THEN CAST(round(l_quantity * 100) AS BIGINT) END)
+                AS BIGINT) AS cents
     FROM lineitem
     UNION ALL
     SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
            COUNT(DISTINCT l_extendedprice),
            CAST(MIN(l_extendedprice) AS DOUBLE),
            CAST(MAX(l_extendedprice) AS DOUBLE),
-           CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CASE WHEN abs(l_extendedprice) <= 1e15
+                    THEN CAST(round(l_extendedprice * 100) AS BIGINT) END)
+                AS BIGINT)
     FROM lineitem
     UNION ALL
     SELECT 'l_discount', COUNT(*), COUNT(*) - COUNT(l_discount),
            COUNT(DISTINCT l_discount),
            CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
-           CAST(SUM(CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT)
+           CAST(SUM(CASE WHEN abs(l_discount) <= 1e15
+                    THEN CAST(round(l_discount * 100) AS BIGINT) END)
+                AS BIGINT)
     FROM lineitem
     """,
 )
@@ -399,7 +409,9 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct(c).alias(f"nd_{c}"),
             F.min(c).cast("double").alias(f"mn_{c}"),
             F.max(c).cast("double").alias(f"mx_{c}"),
-            F.sum(F.round(F.col(c) * 100).cast("long")).alias(f"sm_{c}"),
+            F.sum(F.when(F.abs(F.col(c)) <= 1e15,
+                         F.round(F.col(c) * 100).cast("long")))
+            .alias(f"sm_{c}"),
         ]
     one = t(spark, sf_dir, "lineitem").agg(*aggs)
     rows = F.array(*[
@@ -422,10 +434,16 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(CAST(CAST(ts AS TIMESTAMP) AS DATE), '%Y-%m-%d')
              AS event_date,
            COUNT(*) AS n,
-           CAST(SUM(CAST(round(
+           -- the guard applies to the RESTATED value (what the reader
+           -- aggregates), so a doubled in-domain value that leaves the
+           -- domain folds identically in both engines
+           CAST(SUM(CASE WHEN abs(CASE WHEN CAST(CAST(ts AS TIMESTAMP)
+                                            AS DATE) = DATE '2024-01-05'
+                                  THEN value * 2 ELSE value END) <= 1e15
+                    THEN CAST(round(
              CASE WHEN CAST(CAST(ts AS TIMESTAMP) AS DATE)
                        = DATE '2024-01-05'
-                  THEN value * 2 ELSE value END * 100) AS BIGINT))
+                  THEN value * 2 ELSE value END * 100) AS BIGINT) END)
              AS BIGINT) AS cents
     FROM events
     WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE) <= DATE '2024-01-08'
@@ -469,8 +487,9 @@ def sink_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.date_format("event_date", "yyyy-MM-dd")
                      .alias("event_date"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.sum(F.round(F.col("value") * 100).cast("long"))
-                  .alias("cents"))
+                 F.sum(F.when(F.abs(F.col("value")) <= 1e15,
+                              F.round(F.col("value") * 100)
+                              .cast("long"))).alias("cents"))
             .localCheckpoint(eager=True)
         )
     finally:

@@ -1,9 +1,11 @@
-"""Extreme-numerics regression gate: the RAW-FEED surface (every
-stream_*/udf_*/udtf_*/ts_/sessionize_/event_ key plus rfm/retention/
-sketch-rollup — the operators that meet unvalidated input by contract;
-`tools/extremes_check.py --gated`, 43 keys, record
-bench/EXTREMES_r09.json) on a replica with IEEE-754 edge values
-injected into double columns.
+"""Extreme-numerics regression gate on a replica with IEEE-754 edge
+values injected into double columns. Round 9 gated the RAW-FEED
+surface (stream_*/udf_*/udtf_*/ts_/sessionize_/event_ + extras, 43
+keys); round 10 promoted the same recipe onto the batch
+money/percentile surface, so `tools/extremes_check.py --gated` now
+covers the WHOLE registry minus the documented exclusion
+(tf_constraints — see test_tf_constraints_rejects_extremes_at_ingest),
+record bench/EXTREMES_r10.json.
 
 The round-9 probe found one crash class and two engine divergences:
 
@@ -39,6 +41,7 @@ import duckdb
 import pytest
 
 KEYS = [
+    # round-9 raw-feed fix classes
     "stream_custom_state",
     "stream_tws_state",
     "stream_tumbling_agg",
@@ -48,6 +51,16 @@ KEYS = [
     "ts_rolling_anomaly",
     "sessionize_incremental",
     "rfm_segments",
+    # round-10 batch-surface fix classes, one representative each:
+    "flagship_pricing_summary",   # dec()/dsum ANSI decimal-overflow
+    "agg_hash_basic",             # plain money SUM through dec()
+    "agg_median",                 # percentile NaN-rank contract
+    "agg_exact_deciles",          # NULL-bucket window-order contract
+    "fn_math",                    # sign(NaN) engine divergence
+    "project_rename_cast",        # per-row BIGINT cast (floor+guard)
+    "tf_acid_append",             # cowtable _CENTS shared helper
+    "win_skyline",                # domain filter ahead of the window
+    "profile_table",              # per-column cents in one wide agg
 ]
 
 
@@ -131,3 +144,23 @@ def test_extremes_replica_carries_the_edge_values(extremes_sf_dir):
             .column("value").to_pylist() if v is not None]
     assert any(math.isinf(v) for v in vals), "no Inf injected"
     assert any(math.isnan(v) for v in vals), "no NaN injected"
+
+
+def test_tf_constraints_rejects_extremes_at_ingest(spark, extremes_sf_dir):
+    """The documented extremes-gate exclusion: tf_constraints IS the
+    ingest CHECK gate, and on an extremes-injected corpus its correct
+    behavior is to REJECT the batch (-Inf/-1e300 order totals violate
+    price_nonneg at CREATE), not to return rows. This pin is the
+    machine-checked form of that contract — if the key ever starts
+    silently accepting non-finite money, the exclusion is void."""
+    from lakehouse_automation_spark import queries as Q
+    from lakehouse_automation_spark.operators.cache import release_persisted
+    from lakehouse_automation_spark.tableformat import (
+        ConstraintViolationError,
+    )
+
+    try:
+        with pytest.raises(ConstraintViolationError, match="price_nonneg"):
+            Q.REGISTRY["tf_constraints"].fn(spark, extremes_sf_dir).collect()
+    finally:
+        release_persisted()
