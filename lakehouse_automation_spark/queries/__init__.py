@@ -48,62 +48,32 @@ from . import graph           # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). Round-9 priority, in order
-# (VERDICT r8 asks #2 and #5: re-green the r4-stale cohort; keep the
-# registry frozen):
+# derives it — never hand-count). Round-10 priority, in order
+# (VERDICT r9 ask #3: steady-state rotation, registry frozen):
 #
-#   1. The entire 47-key r4-stale cohort (round 8's
-#      _NEXT_SWEEP_QUEUE, i.e. every key whose newest official gate
-#      entry is round 4), reordered only to move the 4 live-stream
-#      keys to the fold tail (wedge-isolation rule below). After this
-#      round's sweep the oldest official entry is >= r5.
-#   2. The 3 spare slots go to the keys whose code or oracle CHANGED
-#      in round 9's dirty-text fix and are not already in the cohort:
-#      text_exact_dedup + udf_sql_register (the two r8 VALUE_MISMATCH
-#      reds — their post-fix state must enter the official record) and
-#      text_incremental_dedup (shares the rewritten content-norm; its
-#      last gate is r5, the stalest of the remaining changed keys).
-#      The other two changed keys are already covered: curate_pipeline
-#      gated r8, fn_string's oracle change is value-identical on the
-#      gate corpus and it re-gates with the r6 cohort in r10.
+#   1. The entire 45-key r5-gated cohort (round 9's
+#      _NEXT_SWEEP_QUEUE — every key whose newest official gate entry
+#      is round 5). After this round's sweep the oldest official
+#      entry is >= r6. Many of these keys' ORACLES gained the round-10
+#      extremes domain guard (value-identical on clean data), so this
+#      fold also re-confirms the guarded forms officially.
+#   2. The 5 spare slots go to changed-key re-confirmation:
+#      udf_grouped_map (VERDICT r9 "what's wrong" #1 — its cents fold
+#      changed AFTER the r9 records, and again this round: unbounded-
+#      int accumulate), plus the 4 r6-gated keys whose code or oracle
+#      changed in this round's extremes promotion and are not already
+#      in the cohort: agg_having, agg_stddev_corr, win_frame_rows
+#      (also a §9 control key), agg_hist_bins (new histogram domain
+#      contract).
 #
-# Growth freeze (VERDICT r8 ask #5): round 9 adds ZERO new keys; the
-# spare slots are spent on changed-key re-confirmation instead.
+# Growth freeze: round 10 adds ZERO new keys.
 #
-# Wedge isolation: the 4 live-stream keys in the fold
-# ({tf_stream_ingest, lifecycle_daemon, stream_custom_state,
-# stream_stream_join}) close the block so a hung stream cannot starve
-# the batch results.
+# Wedge isolation: no live-stream key ({tf_stream_ingest,
+# lifecycle_daemon, stream_custom_state, stream_stream_join}) is in
+# this fold (all re-gated r9), so the rule holds vacuously;
+# stream_static_join's ingest is the bounded/fallback form.
 _SWEEP_ORDER = [
-    # --- 1+2: 43 batch r4-cohort keys, then the 3 changed-key spares,
-    # then the 4 live-stream cohort keys at the tail ---
-    "flagship_regional_revenue", "join_skew_salted", "join_bucketed",
-    "join_asof", "join_interval_bucketed", "subq_scalar", "subq_in",
-    "subq_exists_correlated", "cte_recursive", "win_rank_pct",
-    "fn_bitwise", "agg_median", "fn_levenshtein", "agg_approx_distinct",
-    "agg_percentile_approx", "sample_hash_split", "fn_datetime", "fn_math",
-    "fn_cond_null", "fn_json", "fn_array_map", "fn_explode", "fn_hash",
-    "gen_rows", "retention_delete", "poll_new_files",
-    "schedule_microbatch", "text_minhash_pairs", "text_bm25_rank",
-    "vec_ivf_kmeans_topk", "vec_neardup_lsh", "vec_pq_topk",
-    "vec_ivf_pq_topk", "vec_knn_join", "vec_semantic_doc_dedup",
-    "mm_frame_sample", "mm_resize", "mm_audio_resample", "sink_orc",
-    "tf_acid_append", "tf_cdc_feed", "tf_schema_evolve", "tf_time_travel",
-    "text_exact_dedup", "udf_sql_register", "text_incremental_dedup",
-    "lifecycle_daemon", "stream_custom_state", "stream_stream_join",
-    "tf_stream_ingest",
-    # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # The round-10 queue continues in _NEXT_SWEEP_QUEUE below.
-]
-
-# The round-10 fold front, machine-readable: the stalest official
-# greens once the r9 fold lands — the 45-key r5-gated cohort that is
-# not in the r9 fold, in registration order. tests/test_smoke.py
-# recomputes the cohort from the CORRECTNESS_r*.json files and
-# enforces that this list is exactly the stalest-not-in-fold set, so
-# the rotation cannot silently drop a stale key. Any NEW key must be
-# inserted into the fold itself (growth-freeze rule above), not here.
-_NEXT_SWEEP_QUEUE = [
+    # --- 1: the 45-key r5 cohort, registration order ---
     "flagship_pricing_summary", "scan_parquet", "project_rename_cast",
     "filter_pred", "case_when", "join_inner_equi", "join_broadcast",
     "join_outer", "join_semi", "join_anti", "join_self",
@@ -118,6 +88,36 @@ _NEXT_SWEEP_QUEUE = [
     "sessionize_events", "event_funnel", "retention_cohort",
     "agg_sketch_rollup", "join_bloom_filtered", "agg_approx_topk",
     "win_pattern_detect",
+    # --- 2: the 5 changed-key spares ---
+    "udf_grouped_map", "agg_having", "agg_stddev_corr",
+    "win_frame_rows", "agg_hist_bins",
+    # ---- fold: the driver sweep stops reading here (50 keys) ----
+    # The round-11 queue continues in _NEXT_SWEEP_QUEUE below.
+]
+
+# The round-11 fold front, machine-readable: the stalest official
+# greens once the r10 fold lands — the r6-gated cohort minus the 4
+# members pulled forward as r10 spares (46 keys), in registration
+# order. tests/test_smoke.py recomputes the cohort from the
+# CORRECTNESS_r*.json files and enforces that this list is exactly
+# the stalest-not-in-fold set, so the rotation cannot silently drop a
+# stale key. Any NEW key must be inserted into the fold itself
+# (growth-freeze rule above), not here.
+_NEXT_SWEEP_QUEUE = [
+    "agg_bitmap_distinct", "agg_collect", "agg_count_min_sketch",
+    "agg_cube", "agg_grouping_sets", "agg_mode", "agg_percentile",
+    "agg_pivot", "agg_sketch_setops", "dedup", "distinct_proj",
+    "event_attribution", "event_path_analysis", "filter_in_between_like",
+    "fn_string", "join_dpp_partition_pruned", "join_theta_range",
+    "sample", "sample_stratified_topk", "scan_text",
+    "sessionize_incremental", "sessionize_salted", "set_except",
+    "set_intersect", "set_union", "set_union_all", "sink_partitioned",
+    "sort_multi", "stream_tws_state", "text_substring_dedup",
+    "tf_bloom_index", "tf_cdc_updates", "tf_constraints",
+    "tf_delete_vacuum", "tf_merge_cow", "tf_stats_prune", "tf_zorder",
+    "topk", "ts_ewma", "ts_interpolate_linear", "ts_resample_ffill",
+    "ts_rolling_anomaly", "vec_binary_topk", "vec_int8_topk",
+    "win_analytic", "win_frame_range",
 ]
 
 
