@@ -393,7 +393,10 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20,
         # accumulator values are only exact on the FIRST computation
         # of each partition, and a re-executed stage would double-count
         # into the convergence flag.
-        new_labels = new_labels.localCheckpoint(eager=True)
+        from .plancapture import capture_plan
+        new_labels = capture_plan(
+            "connected_components:loop_body",
+            new_labels).localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.select("node", "label")
         if changed == 0:

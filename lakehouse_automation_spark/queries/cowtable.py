@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..tableformat import CowTable
 from .base import register, t
+from ..operators.plancapture import capture_plan
 
 # Money survives the cross-engine hash as integer cents (the
 # udf_grouped_map convention): exact in both engines, order-free.
@@ -168,7 +169,9 @@ def tf_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(cust.filter(F.col("c_custkey") % 4 == 3))
         )
         tbl.merge(updates, "c_custkey")
-        return tbl.changes(v_before).localCheckpoint(eager=True)
+        return capture_plan(
+            "tf_cdc_feed:changes",
+            tbl.changes(v_before)).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -214,8 +217,10 @@ def tf_cdc_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         tbl.merge(updates, "c_custkey")
         return (
-            tbl.changes_with_updates("c_custkey", v_before)
-            .drop("_commit_timestamp")
+            capture_plan(
+                "tf_cdc_updates:changes",
+                tbl.changes_with_updates("c_custkey", v_before)
+                .drop("_commit_timestamp"))
             .localCheckpoint(eager=True)
         )
     finally:
@@ -655,7 +660,9 @@ def mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + F.coalesce("dcents", F.lit(0))).alias("cents"))
             .filter(F.col("n") > 0)
         )
-        return refreshed.localCheckpoint(eager=True)
+        return capture_plan(
+            "mv_incremental_refresh:refresh",
+            refreshed).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -39,6 +39,7 @@ from ..operators.dedup import (
     tokens_col,
 )
 from .base import register, t
+from ..operators.plancapture import capture_plan
 
 # DuckDB replica of content_norm_col over the documents.text column
 # (see operators/dedup.py for why every rule pins an explicit charset).
@@ -942,6 +943,8 @@ def text_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("is_exact"), "exact_dup")
                  .when(F.col("is_near"), "near_dup")
                  .otherwise("new").alias("verdict"))
+            .transform(lambda d: capture_plan(
+                "text_incremental_dedup:verdict", d))
             .localCheckpoint(eager=True)  # index scratch deleted below
         )
     finally:

@@ -34,6 +34,7 @@ from ..operators.vector import (
     pq_topk,
 )
 from .base import register, t
+from ..operators.plancapture import capture_plan
 
 # Shared oracle CTE: vectors as DOUBLE[] with their norms. list_sum over
 # list_transform is DuckDB's sequential double fold, same op order as
@@ -167,10 +168,12 @@ def vec_ivf_index_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = tempfile.mkdtemp(prefix="las_ivf_")
     try:
         ivf_index_write(emb, f"{root}/idx", n_centroids=8)
-        return ivf_index_search(
-            spark, emb, f"{root}/idx",
-            n_centroids=8, nprobe=3, n_queries=5, k=10,
-        ).localCheckpoint(eager=True)
+        return capture_plan(
+            "vec_ivf_index_persisted:search",
+            ivf_index_search(
+                spark, emb, f"{root}/idx",
+                n_centroids=8, nprobe=3, n_queries=5, k=10,
+            )).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -203,10 +206,12 @@ def vec_ivf_index_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"{root}/idx", n_centroids=8)
         ivf_index_refresh(spark, emb.filter(F.col("vec_id") >= split),
                           f"{root}/idx")
-        return ivf_index_search(
-            spark, emb, f"{root}/idx",
-            n_centroids=8, nprobe=3, n_queries=5, k=10,
-        ).localCheckpoint(eager=True)
+        return capture_plan(
+            "vec_ivf_index_refresh:search",
+            ivf_index_search(
+                spark, emb, f"{root}/idx",
+                n_centroids=8, nprobe=3, n_queries=5, k=10,
+            )).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

@@ -457,3 +457,51 @@ def test_triangles_joins_stay_equi_and_bounded(spark, sf_dir):
         assert "InMemoryTableScan" in plan, plan
     finally:
         release_persisted()
+
+
+def test_checkpointed_keys_capture_their_real_plans(spark, sf_dir):
+    """The checkpointed keys' observable plan is `Scan ExistingRDD`
+    (their scratch tables are deleted before return), so the REAL plan
+    is published through operators/plancapture.py — the same helper
+    tools/plan_report.py uses for PLANS.md (VERDICT r9 ask #7). Run
+    the registry key with capture on and assert the pre-checkpoint
+    search plan shows the cell_id PartitionFilters pruning that the
+    post-checkpoint plan hides."""
+    import os
+    import re
+
+    from lakehouse_automation_spark.operators import plancapture as PC
+    from lakehouse_automation_spark.operators.cache import release_persisted
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    os.environ["LAS_CAPTURE_PLANS"] = "1"
+    PC.clear_captured()
+    try:
+        out = REGISTRY["vec_ivf_index_refresh"].fn(spark, sf_dir)
+        post = out._jdf.queryExecution().executedPlan().toString()
+        assert "ExistingRDD" in post  # the observability gap, by design
+        plans = PC.captured_plans()
+        assert "vec_ivf_index_refresh:search" in plans, sorted(plans)
+        pre = plans["vec_ivf_index_refresh:search"]
+        assert re.search(r"PartitionFilters: \[[^\]]*cell_id", pre), (
+            pre[:800])
+    finally:
+        os.environ.pop("LAS_CAPTURE_PLANS", None)
+        PC.clear_captured()
+        release_persisted()
+
+
+def test_capture_plan_is_identity_when_disabled(spark, sf_dir):
+    """With LAS_CAPTURE_PLANS unset the helper must record nothing and
+    return the same DataFrame object — the bench/driver path pays no
+    explainString cost."""
+    import os
+
+    from lakehouse_automation_spark.operators import plancapture as PC
+    from lakehouse_automation_spark.queries.base import t
+
+    assert os.environ.get("LAS_CAPTURE_PLANS") != "1"
+    PC.clear_captured()
+    df = t(spark, sf_dir, "region")
+    assert PC.capture_plan("x", df) is df
+    assert PC.captured_plans() == {}

@@ -82,6 +82,9 @@ NOTES = {
     "project_unpivot": "Expand (unpivot) is a stateless projection; the only Exchange is the (flag, measure) partial+final agg.",
     "event_attribution_linear": "one user window for journey ids; purchases/touches/stats join at (user, journey) grain; |types|+1-row agg.",
     "vec_ivf_index_refresh": "search plan over the refreshed index: probed cell ids as partition filters (only touched+probed cell dirs listed); the refresh itself is a broadcast centroid join + batch-sized append, run before this plan exists.",
+    "tf_cdc_feed": "post-checkpoint Scan ExistingRDD; the captured pre-checkpoint plan below is the real manifest-diff CDC: only the rewritten chunk and its predecessor are scanned, exceptAll cancels carried rows.",
+    "tf_cdc_updates": "post-checkpoint Scan ExistingRDD; the captured plan is the update-pairing layer (semi/anti joins on the small diff) over the same manifest-diff CDC.",
+    "mv_incremental_refresh": "post-checkpoint Scan ExistingRDD; the captured plan is the signed-delta refresh: change-feed groupBy + null-safe full-outer fold into the 3-row MV — historical base rows never rescanned.",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -108,14 +111,27 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           "event_interarrival_stats",
           "win_skyline", "text_vocab_coverage", "agg_hhi",
           "project_unpivot", "event_attribution_linear",
-          "vec_ivf_index_refresh"]
+          "vec_ivf_index_refresh",
+          # checkpointed CDC/MV keys: published for their captured
+          # pre-checkpoint plans (the post-checkpoint plan is only
+          # `Scan ExistingRDD`)
+          "tf_cdc_feed", "tf_cdc_updates", "mv_incremental_refresh"]
 
 
 def main() -> int:
     from bench import HEADLINE
 
     from lakehouse_automation_spark.engine import get_spark
+    from lakehouse_automation_spark.operators.plancapture import (
+        captured_plans,
+        clear_captured,
+    )
     from lakehouse_automation_spark.queries import REGISTRY
+
+    # checkpointed keys stash their REAL (pre-checkpoint) plans through
+    # operators/plancapture.py; without this the report would show only
+    # `Scan ExistingRDD` for them (VERDICT r9 ask #7)
+    os.environ["LAS_CAPTURE_PLANS"] = "1"
 
     spark = get_spark("plan_report")
     lines = [
@@ -126,10 +142,16 @@ def main() -> int:
         "runtime re-planning (broadcast conversion, partition coalescing,",
         "skew splitting) refines it per query stage at execution.",
         "",
+        "Keys that `localCheckpoint` their result (scratch tables are",
+        "deleted before return) publish BOTH plans: the post-checkpoint",
+        "plan the driver sees (`Scan ExistingRDD`) and the real",
+        "pre-checkpoint plan captured via `operators/plancapture.py`.",
+        "",
     ]
     for key in HEADLINE + EXTRAS:
         if key not in REGISTRY:
             continue
+        clear_captured()
         df = REGISTRY[key].fn(spark, SF_DIR)
         plan = df._jdf.queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
@@ -140,6 +162,11 @@ def main() -> int:
         lines.append("```")
         lines.append(plan.rstrip())
         lines.append("```")
+        for label, pre in sorted(captured_plans().items()):
+            lines.append(f"\n### {key} — pre-checkpoint plan `{label}`\n")
+            lines.append("```")
+            lines.append(pre.rstrip())
+            lines.append("```")
         lines.append("")
         print(key, file=sys.stderr)
     with open(OUT, "w") as f:
