@@ -565,6 +565,10 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AS DECIMAL(20,4))) * 10000 AS BIGINT) AS r4
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
+      -- a supplier whose EVERY revenue folds out-of-domain has a NULL
+      -- r4; exclude it before the ASC rank (Spark orders NULLs first,
+      -- DuckDB last — one such row would shift every rank)
+      HAVING r4 IS NOT NULL
     ), rk AS (
       SELECT s_nationkey, r4,
              CAST(row_number() OVER (
@@ -613,7 +617,10 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
     rev = (li.join(F.broadcast(sup), "l_suppkey")
            .groupBy("l_suppkey", "s_nationkey")
-           .agg((F.sum("rev") * 10000).cast("long").alias("r4")))
+           .agg((F.sum("rev") * 10000).cast("long").alias("r4"))
+           # oracle's HAVING: all-out-of-domain suppliers are out of
+           # rank contention (NULL asc-ordering diverges cross-engine)
+           .filter(F.col("r4").isNotNull()))
     w = W.partitionBy("s_nationkey").orderBy("r4", "l_suppkey")
     rk = rev.select("s_nationkey", "r4",
                     F.row_number().over(w).cast("long").alias("i"))
@@ -696,6 +703,10 @@ def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
                            AS DECIMAL(20,4))) * 10000 AS BIGINT) AS r4
       FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
       GROUP BY 1, 2
+      -- a supplier whose EVERY revenue folds out-of-domain has a NULL
+      -- r4; exclude it before the ASC rank (Spark orders NULLs first,
+      -- DuckDB last — one such row would shift every rank)
+      HAVING r4 IS NOT NULL
     ), rk AS (
       SELECT s_nationkey, r4,
              CAST(row_number() OVER (
@@ -769,7 +780,9 @@ def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_suppkey").alias("l_suppkey"), "s_nationkey")
     rev = (li.join(F.broadcast(sup), "l_suppkey")
            .groupBy("l_suppkey", "s_nationkey")
-           .agg((F.sum("rev") * 10000).cast("long").alias("r4")))
+           .agg((F.sum("rev") * 10000).cast("long").alias("r4"))
+           # oracle's HAVING: see agg_gini
+           .filter(F.col("r4").isNotNull()))
     from ..operators.cache import tracked_persist
     rev = tracked_persist(rev)   # two ranked passes read it
 
