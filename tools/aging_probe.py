@@ -21,7 +21,7 @@ Both incremental paths were already shown corpus-independent PER BATCH
   over batch — the flat-cost claim, measured across k batches instead
   of one.
 
-Writes bench/AGING_r09.json and prints the SCALE.md tables.
+Writes bench/AGING_r10.json and prints the SCALE.md tables.
 
   python tools/aging_probe.py [--json-out FILE]
 """
@@ -128,10 +128,18 @@ def ivf_probe(spark, record: dict) -> None:
     batch_sz = (total - n0) // 8
     scratch = tempfile.mkdtemp(prefix="aging_ivf_")
     idx = os.path.join(scratch, "idx")  # write wants a fresh path
+    # cadenced twin (round 10): same build, refreshed with
+    # compact_files_per_cell=8 — the wired-in maintenance policy —
+    # to measure that file growth stays capped WITHOUT an external
+    # compact pass, at identical content/search results
+    idx2 = os.path.join(scratch, "idx_cadence")
     try:
         ivf_index_write(emb.filter(F.col("vec_id") < n0), idx,
                         n_centroids=N_CENTROIDS)
+        ivf_index_write(emb.filter(F.col("vec_id") < n0), idx2,
+                        n_centroids=N_CENTROIDS)
         steps = []
+        cadence_steps = []
 
         def checkpoint(label: str, hi: int) -> None:
             now = emb.filter(F.col("vec_id") < hi)
@@ -165,16 +173,34 @@ def ivf_probe(spark, record: dict) -> None:
             })
             print(json.dumps(steps[-1]))
 
+        def cadence_checkpoint(label: str, hi: int) -> None:
+            now = emb.filter(F.col("vec_id") < hi)
+            parts = glob.glob(os.path.join(idx2, "cell_id=*", "*.parquet"))
+            walls = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                ivf_index_search(
+                    spark, now, idx2, n_centroids=N_CENTROIDS,
+                    nprobe=NPROBE, n_queries=N_QUERIES, k=K).collect()
+                walls.append(time.perf_counter() - t0)
+            cadence_steps.append({
+                "step": label, "files": len(parts),
+                "search_sec": round(min(walls), 3)})
+            print(json.dumps({"cadence": cadence_steps[-1]}))
+
         checkpoint("build@50%", n0)
         for b in range(8):
             lo, hi = n0 + b * batch_sz, n0 + (b + 1) * batch_sz
             if b == 7:
                 hi = total
-            ivf_index_refresh(
-                spark, emb.filter((F.col("vec_id") >= lo)
-                                  & (F.col("vec_id") < hi)), idx)
+            batch = emb.filter((F.col("vec_id") >= lo)
+                               & (F.col("vec_id") < hi))
+            ivf_index_refresh(spark, batch, idx)
+            ivf_index_refresh(spark, batch, idx2,
+                              compact_files_per_cell=8)
             if b in (1, 3, 5, 7):
                 checkpoint(f"refresh#{b + 1}", hi)
+                cadence_checkpoint(f"refresh#{b + 1}", hi)
 
         # compaction closes the small-file half of aging
         t0 = time.perf_counter()
@@ -187,12 +213,22 @@ def ivf_probe(spark, record: dict) -> None:
                              nprobe=NPROBE, n_queries=N_QUERIES,
                              k=K).collect()
             walls.append(time.perf_counter() - t0)
+        # cadence-vs-plain content equality (the wired-in policy must
+        # never change assignments)
+        a = {(r.vec_id, r.cell_id) for r in spark.read.parquet(idx)
+             .select("vec_id", "cell_id").collect()}
+        b2 = {(r.vec_id, r.cell_id) for r in spark.read.parquet(idx2)
+              .select("vec_id", "cell_id").collect()}
         record["ivf"] = {
             "steps": steps,
             "compact_sec": round(compact_sec, 3),
             "search_sec_after_compact": round(min(walls), 3),
             "files_after_compact": len(glob.glob(
                 os.path.join(idx, "cell_id=*", "*.parquet"))),
+            "cadence_steps": cadence_steps,
+            "cadence_files_final": len(glob.glob(
+                os.path.join(idx2, "cell_id=*", "*.parquet"))),
+            "cadence_content_equal": a == b2,
         }
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -261,7 +297,7 @@ def text_probe(spark, record: dict) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json-out",
-                    default=os.path.join(REPO, "bench", "AGING_r09.json"))
+                    default=os.path.join(REPO, "bench", "AGING_r10.json"))
     args = ap.parse_args()
 
     from lakehouse_automation_spark.engine import get_spark
