@@ -189,6 +189,13 @@ def open(fp: BinaryIO) -> PngImage:  # noqa: A001 — PIL-compatible name
         raise ValueError(
             f"IDAT inflates to {len(raw)} B, expected "
             f"{expected} B for {width}x{height} {mode}")
+    if not d.eof:
+        # the stream produced exactly the expected bytes but never
+        # reached its final block / adler32 trailer — a truncated
+        # deflate stream must raise (zlib.decompress did; the bounded
+        # decompressobj form must keep that contract)
+        raise ValueError("truncated IDAT deflate stream (no final "
+                         "block/adler32 trailer)")
     return PngImage(width, height, mode,
                     _unfilter(raw, height, stride, bpp))
 

@@ -104,12 +104,15 @@ REAL_DECODE_SCHEMA = (
 )
 
 
-def _decode_with(codec, payload: bytes | None) -> dict:
+def _decode_with(codec, payload: bytes | None, full: bool = False) -> dict:
     """One payload through an already-resolved codec (batch loops
     resolve the codec once, not per row). A NULL payload decodes to
     NULL features in the REAL tier too — the same absent-media
     contract as the fake tier, at the shared per-payload level so
-    every real-decode entry point inherits it."""
+    every real-decode entry point inherits it. ``full=False`` takes
+    the metadata fast path when the codec offers one; ``full=True``
+    forces the pixel-level decode (inflate + unfilter in the vendored
+    tier) for callers whose point IS pixel verification."""
     import io
 
     if payload is None:
@@ -120,12 +123,14 @@ def _decode_with(codec, payload: bytes | None) -> dict:
     # the metadata-only feature extract must not cost a full pixel
     # decode per payload. PIL has no such entry point but its open()
     # is already lazy (header read; pixels decode on .load()).
-    read_header = getattr(codec, "read_header", None)
+    read_header = None if full else getattr(codec, "read_header", None)
     if read_header is not None:
         width, height, mode = read_header(io.BytesIO(payload))
         return {"n_bytes": len(payload), "width": width,
                 "height": height, "mode": mode}
     with codec.open(io.BytesIO(payload)) as img:
+        if full and hasattr(img, "load"):
+            img.load()  # PIL: force the lazy pixel decode too
         return {
             "n_bytes": len(payload),
             "width": img.width,
@@ -136,11 +141,14 @@ def _decode_with(codec, payload: bytes | None) -> dict:
 
 def decode_real(payload: bytes) -> dict:
     """Real decode path: the resolved codec (PIL when shipped, else
-    the vendored PNG codec) decodes the actual image
-    (width/height/mode, with the vendored tier CRC-checking and
-    unfiltering the pixel data). Raises NotImplementedError only if
-    no codec resolves at all, so callers can fall back to the
-    deterministic fake tier (which stays the oracle either way)."""
+    the vendored PNG codec) FULLY decodes the actual image — pixel
+    inflate + unfilter in the vendored tier, forced .load() under PIL
+    — so a CRC-valid-yet-semantically-corrupt deflate stream raises
+    here (the per-payload pixel-verification tier;
+    decode_features_real is the cheaper metadata tier). Raises
+    NotImplementedError only if no codec resolves at all, so callers
+    can fall back to the deterministic fake tier (which stays the
+    oracle either way)."""
     codec = _image_codec()
     if codec is None:  # unreachable today (_png is vendored); kept so
         # a future slimmed build degrades loudly, not with AttributeError
@@ -148,17 +156,21 @@ def decode_real(payload: bytes) -> dict:
             "image codec not available in this runtime; "
             "use the deterministic fake decode for plumbing tests"
         )
-    return _decode_with(codec, payload)
+    return _decode_with(codec, payload, full=True)
 
 
 def decode_features_real(media: DataFrame) -> DataFrame:
     """Arrow-batched REAL decode via mapInPandas — same plumbing shape
     as decode_features (the fake/oracle tier), but each payload goes
     through the actual codec (PIL when shipped, else the vendored
-    PNG-only codec; a payload the codec cannot parse raises ValueError
-    executor-side — corrupt media is a data-quality signal, not
-    something to silently fake). The NotImplementedError guard fires
-    only in a build with no codec at all."""
+    PNG-only codec). This is the METADATA tier: a structurally corrupt
+    payload (bad signature, truncated chunk, failed CRC — including
+    over the IDAT bytes) raises ValueError executor-side, but pixel
+    data is never inflated/unfiltered (PIL's open() is equally lazy),
+    so a CRC-valid-yet-semantically-corrupt deflate stream passes;
+    use decode_real per payload when pixel-level verification is the
+    point. The NotImplementedError guard fires only in a build with
+    no codec at all."""
     if not HAS_IMAGE_CODEC:
         raise NotImplementedError(
             "decode_features_real requires an image codec (PIL)"

@@ -319,8 +319,9 @@ def ivf_index_refresh(spark, batch: DataFrame, path: str,
     append write of batch-sized data."""
     from .pathio import pathio_for
 
+    io = pathio_for(spark, path)
     meta = f"{path}/_meta/centroids"
-    if not pathio_for(spark, path).isdir(meta):
+    if not io.isdir(meta):
         raise FileNotFoundError(
             f"{path} has no _meta/centroids — the index predates "
             "refresh support (or is not an IVF index). Rebuild it with "
@@ -337,9 +338,14 @@ def ivf_index_refresh(spark, batch: DataFrame, path: str,
         .filter(F.col("crk") == 1)
         .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell_id"))
     )
+    if compact_files_per_cell is not None:
+        # checkpoint the batch-sized assignment ONCE so the append
+        # write, the touched-cell listing, and the caller's audit
+        # consumption all read it instead of re-running the broadcast
+        # assignment job 3x (review r10)
+        assigned = assigned.localCheckpoint(eager=True)
     assigned.write.mode("append").partitionBy("cell_id").parquet(path)
     if compact_files_per_cell is not None:
-        io = pathio_for(spark, path)
         # batch-sized collect: the distinct touched-cell ids (metadata
         # scale — bounded by n_centroids, not corpus)
         touched = sorted(

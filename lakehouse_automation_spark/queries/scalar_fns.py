@@ -256,7 +256,10 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
            END AS div_by_zero,
            try_cast(l_returnflag AS INT) AS flag_as_int,
            CASE WHEN l_linenumber - 1 = 0 THEN NULL
-                ELSE CAST(floor(try_cast(l_quantity AS BIGINT)
+                -- trunc() first: Spark's try_cast(double AS BIGINT)
+                -- TRUNCATES where DuckDB's ROUNDS; trunc(±Inf/NaN)
+                -- stays non-finite so try_cast still NULLs it
+                ELSE CAST(floor(try_cast(trunc(l_quantity) AS BIGINT)
                           / (l_linenumber - 1)) AS BIGINT) END AS qty_per_prev
     FROM lineitem
     """,

@@ -131,13 +131,14 @@ def udf_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unbounded-Python-int accumulate (numpy int64 wraps silently
         # past 2^63; the oracle's SUM widens to HUGEINT). SQL SUM
         # semantics: skip NULLs, all-NULL group sums to NULL.
-        from ..streaming.stateful import _cents
+        from ..streaming.stateful import _cents, _check_bigint
 
         c = _cents(pdf["value"]).dropna()
         return pd.DataFrame({
             "event_type": [pdf["event_type"].iloc[0]],
             "n": [len(pdf)],
-            "cents_sum": [sum(int(x) for x in c) if len(c) else None],
+            "cents_sum": [_check_bigint(sum(int(x) for x in c))
+                          if len(c) else None],
             "min_user": [int(pdf["user_id"].min())],
         })
 

@@ -56,10 +56,26 @@ def _cents(values: "pd.Series") -> "pd.Series":
                      index=values.index)
 
 
+def _check_bigint(s: int | None) -> int | None:
+    """The cents columns are declared BIGINT (state, output, and the
+    oracle's final CAST): a sum past ±2^63 cannot be represented
+    end-to-end — DuckDB's HUGEINT->BIGINT cast aborts, and pandas->
+    Arrow serialization would raise an opaque overflow. Fail HERE with
+    a named contract error instead (the in-process Python-int sum is
+    exact, so this is a representability limit, not a wrap)."""
+    if s is not None and not (-(2 ** 63) <= s < 2 ** 63):
+        raise OverflowError(
+            f"cents sum {s} exceeds the BIGINT output contract "
+            "(|cents| < 2^63); with the 1e17-cent domain max this "
+            "takes ~10^2 max-magnitude rows per group — widen the "
+            "output column to decimal or tighten the ingest domain")
+    return s
+
+
 def _addn(a: int | None, b: int | None) -> int | None:
     """SQL-SUM-style accumulate: NULL contributes nothing, and a sum
     that never saw a value stays NULL."""
-    return b if a is None else a if b is None else a + b
+    return _check_bigint(b if a is None else a if b is None else a + b)
 
 
 def _fold_batch(pdf: pd.DataFrame) -> tuple[int, int | None]:
@@ -74,7 +90,7 @@ def _fold_batch(pdf: pd.DataFrame) -> tuple[int, int | None]:
     c = _cents(pdf["value"]).dropna()
     if len(c) == 0:
         return len(pdf), None
-    return len(pdf), sum(int(x) for x in c)
+    return len(pdf), _check_bigint(sum(int(x) for x in c))
 
 
 def update_user_totals(key: tuple, pdfs: Iterator[pd.DataFrame],

@@ -170,3 +170,27 @@ def test_crosscheck_against_pil_when_available():
     buf.seek(0)
     with PIL.open(buf) as img:
         assert (img.width, img.height, img.mode) == (12, 7, "RGB")
+
+
+def test_truncated_deflate_with_complete_output_still_raises():
+    """A deflate stream cut after emitting all expected bytes but
+    before its final-block/adler32 trailer must raise: the chunk CRC
+    is re-stamped over the truncated body (structurally valid), so
+    only the decompressobj eof check can catch it — the contract the
+    old whole-buffer zlib.decompress enforced implicitly."""
+    buf = io.BytesIO()
+    _png.new("RGB", (6, 6), color=9).save(buf, format="PNG")
+    good = buf.getvalue()
+    # locate the IDAT chunk and cut the last 4 bytes of its body
+    # (the zlib adler32 trailer), restamping length + CRC
+    pos = good.index(b"IDAT") - 4
+    (length,) = struct.unpack(">I", good[pos:pos + 4])
+    body = good[pos + 8:pos + 8 + length]
+    cut = body[:-4]
+    rebuilt = io.BytesIO()
+    rebuilt.write(good[:pos])
+    _png._write_chunk(rebuilt, b"IDAT", cut)
+    rebuilt.write(good[pos + 12 + length:])  # IEND
+    out = io.BytesIO(rebuilt.getvalue())
+    with pytest.raises(ValueError, match="truncated IDAT deflate"):
+        _png.open(out)

@@ -218,16 +218,21 @@ def test_tws_stream_matches_batch(spark, tmp_path):
     assert latest == want
 
 
-def test_fold_batch_accumulates_past_int64_without_wrap():
-    """The cents fold must sum in unbounded Python ints: 200 rows at
-    the 1e15 domain max are 2e19 cents — past 2^63, where a numpy
-    int64 accumulate wraps silently (the oracle's SUM widens to
-    HUGEINT, so a wrap is a value divergence, not a crash)."""
+def test_fold_batch_is_exact_to_the_bigint_boundary_then_loud():
+    """The cents fold sums in unbounded Python ints (a numpy int64
+    accumulate wraps silently past 2^63) and the BIGINT output
+    contract is enforced with a NAMED error: 92 rows at the 1e15
+    domain max (9.2e18 cents) are exact and representable; 200 rows
+    (2e19) exceed the declared bigint columns — DuckDB's
+    HUGEINT->BIGINT cast would abort there too, so the fold raises
+    the contract error instead of an opaque Arrow overflow."""
     import pandas as pd
+    import pytest
 
     from lakehouse_automation_spark.streaming.stateful import _fold_batch
 
-    pdf = pd.DataFrame({"value": [1e15] * 200})
-    n, cents = _fold_batch(pdf)
-    assert n == 200
-    assert cents == 200 * 10**17  # exact, > 2^63 ~= 9.22e18
+    n, cents = _fold_batch(pd.DataFrame({"value": [1e15] * 92}))
+    assert (n, cents) == (92, 92 * 10**17)  # exact, just under 2^63
+
+    with pytest.raises(OverflowError, match="BIGINT output contract"):
+        _fold_batch(pd.DataFrame({"value": [1e15] * 200}))
