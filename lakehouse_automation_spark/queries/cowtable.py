@@ -134,15 +134,22 @@ def tf_merge_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tf_cdc_feed",
     oracle="""
+    -- the IS DISTINCT FROM guard: a no-op update (NULL+1000 = NULL,
+    -- Inf+1000 = Inf, 1e300+1000 absorbed to 1e300) leaves the row
+    -- bit-identical, so the manifest diff's exceptAll cancels it —
+    -- NO delete+insert pair is the CORRECT CDC verdict (surfaced by
+    -- the sf0.01 extremes sweep, where %20==1 balances carry extremes)
     SELECT c_custkey, c_mktsegment, c_acctbal + 1000 AS c_acctbal,
            'insert' AS _change_type
     FROM customer WHERE c_custkey % 20 = 1
+      AND c_acctbal + 1000 IS DISTINCT FROM c_acctbal
     UNION ALL
     SELECT c_custkey, c_mktsegment, c_acctbal, 'insert'
     FROM customer WHERE c_custkey % 4 = 3
     UNION ALL
     SELECT c_custkey, c_mktsegment, c_acctbal, 'delete'
     FROM customer WHERE c_custkey % 20 = 1
+      AND c_acctbal + 1000 IS DISTINCT FROM c_acctbal
     """,
 )
 def tf_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -179,13 +186,16 @@ def tf_cdc_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tf_cdc_updates",
     oracle="""
+    -- no-op updates produce NO image pair (see tf_cdc_feed)
     SELECT c_custkey, c_mktsegment, c_acctbal,
            'update_preimage' AS _change_type, 3 AS _commit_version
     FROM customer WHERE c_custkey % 20 = 1
+      AND c_acctbal + 1000 IS DISTINCT FROM c_acctbal
     UNION ALL
     SELECT c_custkey, c_mktsegment, c_acctbal + 1000,
            'update_postimage', 3
     FROM customer WHERE c_custkey % 20 = 1
+      AND c_acctbal + 1000 IS DISTINCT FROM c_acctbal
     UNION ALL
     SELECT c_custkey, c_mktsegment, c_acctbal, 'insert', 3
     FROM customer WHERE c_custkey % 4 = 3

@@ -281,8 +281,11 @@ def _ewma_oracle() -> str:
     )
     SELECT user_id, event_id,
            CAST(cents AS DOUBLE) / 100.0 AS value,
+           -- NULLIF: a window whose EVERY tap is NULL/out-of-domain
+           -- has no defined EWMA — NULL, not a divide-by-zero abort
+           -- (surfaced by the composed null+extremes sweep at sf0.01)
            (({" + ".join(terms)})
-            / ({" + ".join(norms)})) / 100.0 AS ewma
+            / NULLIF({" + ".join(norms)}, 0.0)) / 100.0 AS ewma
     FROM ev
     WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
     """
@@ -321,7 +324,8 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id",
         (F.col("cents").cast("double") / F.lit(100.0)).alias("value"),
-        ((wsum / nsum) / F.lit(100.0)).alias("ewma"))
+        # oracle's NULLIF: an all-NULL 16-tap window has no EWMA
+        (F.when(nsum > 0, wsum / nsum) / F.lit(100.0)).alias("ewma"))
 
 
 _DAY_US = 86_400_000_000

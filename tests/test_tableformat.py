@@ -824,3 +824,41 @@ def test_string_column_stats_prune_raw_order(spark, tmp_path):
                          stats_cols=["d"])
     assert t2.scan("d", dt.datetime(2024, 1, 15),
                    dt.datetime(2024, 1, 16)).count() == 1
+
+
+def test_changes_noop_update_produces_no_pair(spark, tmp_path):
+    """A MERGE that leaves a row bit-identical (NULL + delta = NULL,
+    Inf + delta = Inf, or a delta absorbed by float magnitude) must
+    produce NO delete+insert pair — the rewritten-but-identical row
+    cancels in the manifest diff's exceptAll. This is the CDC contract
+    the sf0.01 extremes sweep enforced on the tf_cdc_* oracles
+    (round 10): the oracle's IS DISTINCT FROM guard mirrors exactly
+    this behavior."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", None), (3, "a", math.inf),
+         (4, "a", 1e300)],
+        "k long, seg string, bal double")
+    t = CowTable.create(spark, df, str(tmp_path / "t"))
+    v0 = t.version()
+    t.merge(
+        df.withColumn("bal", F.col("bal") + 1000.0), "k")
+    ch = [(r["k"], r["_change_type"]) for r in t.changes(v0).collect()]
+    # only k=1 actually changes (10 -> 1010); NULL stays NULL, Inf
+    # stays Inf, 1e300+1000 is absorbed to 1e300
+    assert sorted(ch) == [(1, "delete"), (1, "insert")], ch
+
+
+def test_changes_with_updates_noop_update_produces_no_images(spark, tmp_path):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", math.inf)],
+        "k long, seg string, bal double")
+    t = CowTable.create(spark, df, str(tmp_path / "t"))
+    v0 = t.version()
+    t.merge(df.withColumn("bal", F.col("bal") + 1000.0), "k")
+    ch = [(r["k"], r["_change_type"])
+          for r in t.changes_with_updates("k", v0).collect()]
+    assert sorted(ch) == [(1, "update_postimage"), (1, "update_preimage")], ch

@@ -241,3 +241,24 @@ def test_seasonality_shares_and_peak(spark):
         for r in rs:
             assert r.share == r.n / total
             assert r.peak_ratio == 7 * peak / total
+
+
+def test_ewma_all_null_window_is_null_not_divide_by_zero(spark, tmp_path):
+    """A user whose every value in the 16-tap window is out-of-domain
+    (NULL cents) has NO defined EWMA: the renormalizing weight sum is
+    0 and under ANSI mode the bare division aborted the job (surfaced
+    by the composed null+extremes sweep at sf0.01). The fixed form
+    yields NULL — mirrored by the oracle's NULLIF."""
+    import math
+
+    ev = spark.createDataFrame(
+        [(0, i, f"2024-01-01 00:0{i}:00", math.inf) for i in range(3)],
+        "user_id long, event_id long, ts string, value double")
+    path = str(tmp_path / "events.parquet")
+    ev.select("user_id", "event_id",
+              F.col("ts").cast("timestamp_ntz").alias("ts"),
+              "value").write.parquet(path)
+    out = REGISTRY["ts_ewma"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 3
+    assert all(r["ewma"] is None for r in out), out
+    assert all(r["value"] is None for r in out)  # Inf folds out-of-domain
