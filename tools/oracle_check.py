@@ -124,7 +124,10 @@ def main() -> int:
         try:
             res = compare(key, q.fn(spark, SF_DIR), q.oracle, con)
         except Exception as e:  # noqa: BLE001
-            res = f"ERROR {type(e).__name__}: {str(e).splitlines()[0][:300]}"
+            # `or [""]`: an empty exception message has no lines and
+            # would crash the SWEEP instead of failing the KEY
+            first = (str(e).splitlines() or [""])[0]
+            res = f"ERROR {type(e).__name__}: {first[:300]}"
         release_persisted()  # no cache accumulation across the sweep
         status = res.split(" ")[0]
         if status not in ("OK", "ROWS_ONLY"):
