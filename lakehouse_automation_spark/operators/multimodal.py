@@ -159,18 +159,27 @@ def decode_real(payload: bytes) -> dict:
     return _decode_with(codec, payload, full=True)
 
 
-def decode_features_real(media: DataFrame) -> DataFrame:
+def decode_features_real(media: DataFrame, full: bool = False) -> DataFrame:
     """Arrow-batched REAL decode via mapInPandas — same plumbing shape
     as decode_features (the fake/oracle tier), but each payload goes
     through the actual codec (PIL when shipped, else the vendored
-    PNG-only codec). This is the METADATA tier: a structurally corrupt
-    payload (bad signature, truncated chunk, failed CRC — including
-    over the IDAT bytes) raises ValueError executor-side, but pixel
-    data is never inflated/unfiltered (PIL's open() is equally lazy),
-    so a CRC-valid-yet-semantically-corrupt deflate stream passes;
-    use decode_real per payload when pixel-level verification is the
-    point. The NotImplementedError guard fires only in a build with
-    no codec at all."""
+    PNG-only codec). The verification tier is an EXPLICIT parameter
+    (ADVICE r10 — round 9 decoded pixels unconditionally; round 10
+    silently downgraded everyone to metadata-only):
+
+    - ``full=False`` (default) — METADATA tier: a structurally corrupt
+      payload (bad signature, truncated chunk, failed CRC — including
+      over the IDAT bytes) raises ValueError executor-side, but pixel
+      data is never inflated/unfiltered (PIL's open() is equally
+      lazy), so a CRC-valid-yet-semantically-corrupt deflate stream
+      passes.
+    - ``full=True`` — PIXEL-VERIFICATION tier (the round-9 contract):
+      every payload is fully inflated + unfiltered (``.load()`` under
+      PIL), so semantic deflate corruption raises too, at full decode
+      cost per payload.
+
+    The NotImplementedError guard fires only in a build with no codec
+    at all."""
     if not HAS_IMAGE_CODEC:
         raise NotImplementedError(
             "decode_features_real requires an image codec (PIL)"
@@ -179,7 +188,7 @@ def decode_features_real(media: DataFrame) -> DataFrame:
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         codec = _image_codec()  # resolved once per task, not per row
         for pdf in batches:
-            feats = [_decode_with(codec, p) for p in pdf["payload"]]
+            feats = [_decode_with(codec, p, full=full) for p in pdf["payload"]]
             out = pd.DataFrame(
                 feats, columns=["n_bytes", "width", "height", "mode"]
             )

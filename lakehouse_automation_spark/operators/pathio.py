@@ -48,10 +48,19 @@ class LocalPathIO:
 
     @staticmethod
     def _strip(p: str) -> str:
-        if p.startswith("file://"):
-            return p[len("file://"):]
+        # file: URIs may carry an authority (file://host/tmp/x). Blind
+        # prefix stripping would turn that into the RELATIVE path
+        # 'host/tmp/x' and silently run maintenance against a wrong
+        # local directory (ADVICE r10) — parse properly and refuse any
+        # non-local authority instead.
         if p.startswith("file:"):
-            return p[len("file:"):]
+            from urllib.parse import urlparse
+            u = urlparse(p)
+            if u.netloc not in ("", "localhost"):
+                raise ValueError(
+                    f"file: URI with remote authority {u.netloc!r} is "
+                    f"not a local path: {p}")
+            return u.path
         return p
 
     def join(self, *parts: str) -> str:
@@ -90,6 +99,28 @@ class LocalPathIO:
         return sorted(
             _os.path.basename(m) for m in _glob.glob(
                 _os.path.join(_glob.escape(p), _glob.escape(prefix) + "*")))
+
+    def publish_if_absent(self, dst: str, data: bytes) -> bool:
+        """Atomic create-if-absent publish — the POSIX spelling of an
+        object-store conditional PUT (``If-None-Match: *``): stage the
+        bytes to a unique temp name in dst's directory, then hard-link
+        to dst. ``os.link`` is atomic, so exactly one of N racing
+        writers wins; the losers see FileExistsError -> False (the
+        412 Precondition Failed of this protocol). This is the commit
+        primitive the CowTable manifest log publishes through."""
+        dst = self._strip(dst)
+        d = _os.path.dirname(dst)
+        _os.makedirs(d, exist_ok=True)
+        tmp = _os.path.join(d, f".tmp-{_os.getpid()}-{id(data)}")
+        with open(tmp, "wb") as fh:
+            fh.write(data)
+        try:
+            _os.link(tmp, dst)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            _os.unlink(tmp)
 
 
 class HadoopPathIO:
@@ -156,6 +187,36 @@ class HadoopPathIO:
     def list_prefixed(self, p: str, prefix: str) -> list[str]:
         return [n for n in self.listdir(p) if n.startswith(prefix)]
 
+    def publish_if_absent(self, dst: str, data: bytes) -> bool:
+        """Create-if-absent publish via ``FileSystem.create(path,
+        overwrite=false)``. Atomic on HDFS (namenode-arbitrated); on
+        S3A this maps to a conditional PUT (``If-None-Match: *``) on
+        Hadoop builds with conditional-create support
+        (``fs.s3a.create.conditional.enabled``, Hadoop 3.4.1+) — on
+        older S3A builds the exists-check is NOT atomic, which is
+        exactly why the CowTable commit protocol keeps the optimistic
+        retry loop around this primitive rather than assuming the
+        primitive alone (tested against a mocked conditional-put
+        backend in tests/test_tableformat.py). An already-exists
+        failure is the lost race -> False; any other failure raises."""
+        fs = self._fs(dst)
+        jp = self._path(dst)
+        try:
+            out = fs.create(jp, False)
+        except Exception as e:  # noqa: BLE001 — py4j surfaces the Java
+            # class name in the message; map the lost race to False and
+            # re-raise everything else (silent False on a transient I/O
+            # error would abort an append that should have retried)
+            msg = f"{type(e).__name__}: {e}"
+            if "AlreadyExists" in msg or "FileExists" in msg:
+                return False
+            raise
+        try:
+            out.write(bytearray(data))
+        finally:
+            out.close()
+        return True
+
 
 #: Test seam: map a URI scheme to a PathIO factory ``(spark) -> io``.
 #: Real schemes resolve through HadoopPathIO; tests register mock
@@ -163,15 +224,20 @@ class HadoopPathIO:
 SCHEME_OVERRIDES: dict[str, object] = {}
 
 
+_SCHEME_RE = None
+
+
 def _scheme(path: str) -> str | None:
-    i = path.find("://")
-    if i <= 0:
-        # "file:/x" (no slashes) is still a URI Hadoop accepts
-        j = path.find(":/")
-        if j > 0 and path[:j].isalpha():
-            return path[:j]
-        return None
-    return path[:i]
+    """Extract a URI scheme per RFC 3986 (letter, then letters/digits/
+    +-.), requiring >= 2 chars so a Windows drive path ('C:/data') or a
+    relative path containing 'x:/' resolves locally instead of routing
+    to HadoopPathIO and failing (ADVICE r10)."""
+    global _SCHEME_RE
+    if _SCHEME_RE is None:
+        import re
+        _SCHEME_RE = re.compile(r"^([A-Za-z][A-Za-z0-9+.-]+):/")
+    m = _SCHEME_RE.match(path)
+    return m.group(1) if m else None
 
 
 def pathio_for(spark, path: str):

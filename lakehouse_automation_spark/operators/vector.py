@@ -339,11 +339,17 @@ def ivf_index_refresh(spark, batch: DataFrame, path: str,
         .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell_id"))
     )
     if compact_files_per_cell is not None:
-        # checkpoint the batch-sized assignment ONCE so the append
-        # write, the touched-cell listing, and the caller's audit
-        # consumption all read it instead of re-running the broadcast
-        # assignment job 3x (review r10)
-        assigned = assigned.localCheckpoint(eager=True)
+        # cache (NOT localCheckpoint) the batch-sized assignment so the
+        # append write and the touched-cell listing compute it once
+        # instead of re-running the broadcast assignment job 2x (review
+        # r10). Cache, because it is RELEASABLE: a localCheckpoint here
+        # truncates lineage, so its executor-storage blocks could never
+        # be freed while the caller holds the audit DataFrame — a
+        # long-running refresh cadence would accumulate them until
+        # driver GC (ADVICE r10). The unpersist below returns storage
+        # after the maintenance pass; the returned audit select then
+        # re-evaluates lazily (deterministic given frozen centroids).
+        assigned = assigned.persist()
     assigned.write.mode("append").partitionBy("cell_id").parquet(path)
     if compact_files_per_cell is not None:
         # batch-sized collect: the distinct touched-cell ids (metadata
@@ -358,6 +364,7 @@ def ivf_index_refresh(spark, batch: DataFrame, path: str,
             > compact_files_per_cell]
         if crowded:
             ivf_index_compact(spark, path, cells=crowded)
+        assigned.unpersist()
     # batch-sized re-evaluation (deterministic given frozen centroids)
     return assigned.select("vec_id", "cell_id")
 

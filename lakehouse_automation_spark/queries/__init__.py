@@ -48,62 +48,35 @@ from . import graph           # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). Round-10 priority, in order
-# (VERDICT r9 ask #3: steady-state rotation, registry frozen):
+# derives it — never hand-count). Round-11 priority, in order
+# (VERDICT r10 ask #3: steady-state rotation, registry frozen):
 #
-#   1. The entire 45-key r5-gated cohort (round 9's
+#   1. The entire 46-key r6-gated cohort (round 10's
 #      _NEXT_SWEEP_QUEUE — every key whose newest official gate entry
-#      is round 5). After this round's sweep the oldest official
-#      entry is >= r6. Many of these keys' ORACLES gained the round-10
-#      extremes domain guard (value-identical on clean data), so this
-#      fold also re-confirms the guarded forms officially.
-#   2. The 5 spare slots go to changed-key re-confirmation:
-#      udf_grouped_map (VERDICT r9 "what's wrong" #1 — its cents fold
-#      changed AFTER the r9 records, and again this round: unbounded-
-#      int accumulate), plus the 4 r6-gated keys whose code or oracle
-#      changed in this round's extremes promotion and are not already
-#      in the cohort: agg_having, agg_stddev_corr, win_frame_rows
-#      (also a §9 control key), agg_hist_bins (new histogram domain
-#      contract).
+#      is round 6). After this round's sweep the oldest official
+#      entry is >= r7.
+#   2. The 4 spare slots go to changed-key re-confirmation (ask #2's
+#      guard-site edits first): flagship_pricing_summary and
+#      join_broadcast (the double domain-guard de-dup — idempotent,
+#      values cannot change, re-gated anyway), fn_datetime (due_date
+#      now ltrims the ISO-expanded '+' that year-10000 date-arithmetic
+#      overflow produces — found by the r11 relational time-edge
+#      gate), and tf_cdc_feed (the manifest publish now routes through
+#      PathIO publish_if_absent — ask #5's conditional-put commit
+#      seam, exercised by its create+append+merge commit sequence;
+#      also the r10 memory-flagged re-gate priority after its sf0.01
+#      oracle fix landed post-r9-gate). Note tf_zorder — the round's
+#      other changed-implementation key (rank-based z-values) — is
+#      already in the cohort above.
 #
-# Growth freeze: round 10 adds ZERO new keys.
+# Growth freeze: round 11 adds ZERO new keys.
 #
 # Wedge isolation: no live-stream key ({tf_stream_ingest,
 # lifecycle_daemon, stream_custom_state, stream_stream_join}) is in
 # this fold (all re-gated r9), so the rule holds vacuously;
-# stream_static_join's ingest is the bounded/fallback form.
+# stream_tws_state's stateful path is the batch-restatement form.
 _SWEEP_ORDER = [
-    # --- 1: the 45-key r5 cohort, registration order ---
-    "flagship_pricing_summary", "scan_parquet", "project_rename_cast",
-    "filter_pred", "case_when", "join_inner_equi", "join_broadcast",
-    "join_outer", "join_semi", "join_anti", "join_self",
-    "join_asof_forward", "join_asof_tolerance", "join_null_safe",
-    "agg_hash_basic", "agg_distinct", "agg_rollup", "win_rank",
-    "set_intersect_all", "set_except_all", "fn_try_arith", "call_proc",
-    "stream_static_join", "text_decontaminate", "mixture_sample",
-    "pack_sequences", "text_chunk_split", "text_unigram_logprob",
-    "vec_ivf_index_persisted", "vec_matryoshka_topk", "profile_table",
-    "sink_dynamic_overwrite", "udf_grouped_agg", "tf_restore", "tf_clone",
-    "mv_incremental_refresh", "tf_verify", "tf_history",
-    "sessionize_events", "event_funnel", "retention_cohort",
-    "agg_sketch_rollup", "join_bloom_filtered", "agg_approx_topk",
-    "win_pattern_detect",
-    # --- 2: the 5 changed-key spares ---
-    "udf_grouped_map", "agg_having", "agg_stddev_corr",
-    "win_frame_rows", "agg_hist_bins",
-    # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # The round-11 queue continues in _NEXT_SWEEP_QUEUE below.
-]
-
-# The round-11 fold front, machine-readable: the stalest official
-# greens once the r10 fold lands — the r6-gated cohort minus the 4
-# members pulled forward as r10 spares (46 keys), in registration
-# order. tests/test_smoke.py recomputes the cohort from the
-# CORRECTNESS_r*.json files and enforces that this list is exactly
-# the stalest-not-in-fold set, so the rotation cannot silently drop a
-# stale key. Any NEW key must be inserted into the fold itself
-# (growth-freeze rule above), not here.
-_NEXT_SWEEP_QUEUE = [
+    # --- 1: the 46-key r6 cohort ---
     "agg_bitmap_distinct", "agg_collect", "agg_count_min_sketch",
     "agg_cube", "agg_grouping_sets", "agg_mode", "agg_percentile",
     "agg_pivot", "agg_sketch_setops", "dedup", "distinct_proj",
@@ -118,6 +91,36 @@ _NEXT_SWEEP_QUEUE = [
     "topk", "ts_ewma", "ts_interpolate_linear", "ts_resample_ffill",
     "ts_rolling_anomaly", "vec_binary_topk", "vec_int8_topk",
     "win_analytic", "win_frame_range",
+    # --- 2: the 4 changed-key spares ---
+    "flagship_pricing_summary", "join_broadcast", "fn_datetime",
+    "tf_cdc_feed",
+    # ---- fold: the driver sweep stops reading here (50 keys) ----
+    # The round-12 queue continues in _NEXT_SWEEP_QUEUE below.
+]
+
+# The round-12 fold front, machine-readable: the stalest official
+# greens once the r11 fold lands — the full 47-key r7-gated cohort
+# (none of its members is an r11 spare). tests/test_smoke.py
+# recomputes the cohort from the CORRECTNESS_r*.json files and
+# enforces that this list is exactly the stalest-not-in-fold set, so
+# the rotation cannot silently drop a stale key. Any NEW key must be
+# inserted into the fold itself (growth-freeze rule above), not here.
+_NEXT_SWEEP_QUEUE = [
+    "analyze_stats", "bulk_load", "catalog_list", "ddl_exec",
+    "event_markov_transitions", "exec_timing", "graph_components",
+    "incremental_load", "jdbc_source", "ledger_insert", "ledger_topk",
+    "mm_decode_features", "multi_stmt_exec", "retry_exec",
+    "sample_weighted", "scan_csv_schema", "scan_json",
+    "sink_csv_header", "sink_parquet", "sink_upsert", "sql_to_pandas",
+    "storage_mount", "stream_dedup_state", "stream_file_ingest",
+    "stream_foreach_batch", "stream_session", "stream_sliding_agg",
+    "stream_tumbling_agg", "stream_watermark_late", "table_compact",
+    "text_dedup_clusters", "text_fingerprint", "text_lang_id",
+    "text_minhash_dedup", "text_ngram_jaccard", "text_pii_redact",
+    "text_quality_score", "text_repetition", "text_simhash",
+    "text_tokenize_stats", "tfidf_keywords", "ts_autocorr",
+    "udf_pandas_scalar", "udtf_lateral", "vec_cosine_topk",
+    "vec_ivf_topk", "vec_neardup_cosine",
 ]
 
 

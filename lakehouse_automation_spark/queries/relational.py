@@ -52,11 +52,11 @@ def flagship_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             dsum("l_quantity", "sum_qty"),
             dsum("l_extendedprice", "sum_base_price"),
-            dsum(dec(disc_price, 20, 4), "sum_disc_price", 20, 4),
+            dsum(disc_price, "sum_disc_price", 20, 4),
             # scale 6, not 4: the 3-factor product has 6 true decimal
             # places, so a scale-4 cast lands on round-half ties where
             # Spark (HALF_UP) and DuckDB (HALF_EVEN) disagree.
-            dsum(dec(charge, 24, 6), "sum_charge", 24, 6),
+            dsum(charge, "sum_charge", 24, 6),
             davg("l_quantity", "avg_qty"),
             davg("l_extendedprice", "avg_price"),
             davg("l_discount", "avg_disc"),
@@ -217,7 +217,7 @@ def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("p_brand")
         .agg(
-            dsum(dec(disc_price, 20, 4), "revenue", 20, 4),
+            dsum(disc_price, "revenue", 20, 4),
             F.count(F.lit(1)).alias("n_items"),
         )
     )

@@ -77,7 +77,15 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(d).alias("o_month"),
         F.quarter(d).alias("o_quarter"),
         F.date_trunc("month", d).alias("month_start"),
-        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("due_date"),
+        # ltrim('+'): a far-future placeholder (9999-12-31) + 30 days
+        # overflows into year 10000, which Spark's formatter spells
+        # ISO-8601-expanded ('+10000-01-30') while DuckDB spells plain
+        # ('10000-01-30') — same date VALUE, different spelling (found
+        # by the r11 relational time-edge gate). Both engines agree on
+        # the plain form once the sign prefix is stripped.
+        F.regexp_replace(F.date_format(F.date_add(d.cast("date"), 30),
+                                       "yyyy-MM-dd"),
+                         r"^\+", "").alias("due_date"),
         F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).alias("days_to_y2k"),
         F.date_format(d, "yyyy-MM").alias("ym"),
     )

@@ -434,16 +434,28 @@ class CowTable:
         tip = (man or self.manifest()).get(key, {})
         return {c: tip[c] for c in chunks if c in tip}
 
+    def _publish_io(self):
+        """PathIO backend the manifest log publishes through — scheme-
+        dispatched (operators/pathio.py): local paths get the os.link
+        create-if-absent protocol, remote URIs the Hadoop FileSystem's
+        ``create(path, overwrite=false)`` (a conditional PUT —
+        ``If-None-Match: *`` — on object stores that support it). Also
+        the test seam: tests swap in a mocked conditional-put backend
+        to drive the optimistic-retry loop through simulated 412
+        conflicts without a real object store."""
+        from .operators.pathio import pathio_for
+
+        return pathio_for(self.spark, self._log_dir())
+
     def _try_commit(self, v: int, chunks: list[str], op: str,
                     stats: dict | None = None,
                     file_stats: dict | None = None) -> bool:
-        """Attempt to publish version ``v`` atomically: stage the
-        manifest to a temp name, publish with ``os.link`` — an atomic
-        create-if-absent on POSIX (a conditional PUT on object
-        stores). False = another writer claimed ``v`` first."""
+        """Attempt to publish version ``v`` atomically through PathIO's
+        ``publish_if_absent`` — an atomic create-if-absent on
+        POSIX/HDFS, a conditional PUT on object stores. False =
+        another writer claimed ``v`` first."""
         import time
 
-        os.makedirs(self._log_dir(), exist_ok=True)
         doc = {"version": v, "op": op, "chunks": sorted(chunks),
                "n_chunks": len(chunks), "stats": stats or {},
                "file_stats": file_stats or {},
@@ -451,17 +463,10 @@ class CowTable:
                "bloom_cols": self.bloom_cols,
                "constraints": self.constraints,
                "committed_at": time.time()}
-        tmp = os.path.join(self._log_dir(),
-                           f".tmp-{os.getpid()}-{id(doc)}-{v}")
-        with open(tmp, "w") as fh:
-            json.dump(doc, fh)
-        try:
-            os.link(tmp, os.path.join(self._log_dir(), _vname(v)))
-            return True
-        except FileExistsError:
-            return False
-        finally:
-            os.unlink(tmp)
+        io = self._publish_io()
+        return io.publish_if_absent(
+            io.join(self._log_dir(), _vname(v)),
+            json.dumps(doc).encode())
 
     def _commit(self, chunks: list[str], op: str,
                 stats: dict | None = None,
@@ -1080,19 +1085,34 @@ class CowTable:
 
     def _zorder_value(self, df: DataFrame, cols: list[str]) -> Column:
         """Interleaved-bit Z-value over ``cols`` (numeric or
-        timestamp). Each column is scaled to [0, 2^b) with integer
-        arithmetic from its ACTUAL min/max — one metadata-scale agg
-        (2 scalars per column, driver-side) — so the curve covers the
-        occupied range, not the type range. Bit interleaving is plain
-        shift/and/or on longs: JVM-side, whole-stage-codegen'd.
+        timestamp), with each column mapped through its empirical CDF
+        first: one ``approxQuantile`` pass yields up to 255 cut points
+        per column, and a row's per-column coordinate is its RANK
+        BUCKET (count of cuts <= value — a short JVM-side codegen'd
+        array fold), not a linearly scaled value.
 
-        Per-column bit width is ``min(16, 63 // len(cols))`` (Delta's
-        interleaving does the same budget split): the interleaved value
-        must fit the 63 non-sign bits of a long. A fixed 16-bit width
-        would put 4 columns' MSB on bit 63 (the sign bit, inverting the
-        top-level ordering) and ≥5 columns past it, where Spark's
-        ``shiftleft`` wraps the shift mod 64 and different columns'
-        bits silently collide."""
+        Rank, not min/max scaling (r11, found by the relational
+        time-edge gate): under raw-range scaling a 2% tail of outlier
+        values (year-9999 placeholder dates, epoch-zero sentinels,
+        fat-finger amounts) owns virtually the whole scale, the real
+        distribution compresses into a few z-cells, and that
+        dimension's file pruning silently dies — at 100 TB exactly
+        the corpus shape (long-tailed, dirty) z-ordering exists for.
+        Rank buckets give every population decile the same share of
+        the curve regardless of magnitude — the same reason production
+        z-ordering (Delta OPTIMIZE ZORDER) interleaves range-partition
+        ids rather than raw values. Skewed/heavy-hitter columns are
+        fine too: duplicate cut points collapse (dedup below), a
+        heavy value simply spans fewer buckets.
+
+        Bit budget: per-column width is ``min(16, 63 // len(cols))``
+        capped at the 8 bits a 255-cut CDF can discriminate (the
+        interleaved value must fit the 63 non-sign bits of a long —
+        Delta's interleaving does the same budget split). 2^8 buckets
+        per dimension is orders of magnitude finer than any realistic
+        file count, so the cap costs pruning nothing. NULLs fold to
+        bucket 0 (they cluster at the curve origin and stay skippable
+        for every range predicate, which NULL never satisfies)."""
         def as_long(c: str) -> Column:
             dt = dict(df.dtypes)[c]
             col = F.col(c)
@@ -1100,31 +1120,32 @@ class CowTable:
                 return F.unix_micros(col.cast("timestamp"))
             return col.cast("long")
 
-        rng = df.agg(*[f for c in cols for f in
-                       (F.min(as_long(c)).alias(f"lo_{c}"),
-                        F.max(as_long(c)).alias(f"hi_{c}"))]).collect()[0]
         k = len(cols)
-        bits = min(self._Z_BITS, 63 // k)  # MSB at bits*k-1 <= 62
+        bits = min(self._Z_BITS, 63 // k, 8)
+        n_cuts = (1 << bits) - 1
+        probs = [(j + 1) / (n_cuts + 1) for j in range(n_cuts)]
+        # one pass over the projected columns; nulls are ignored by
+        # approxQuantile and an all-null column comes back empty
+        proj = df.select(*[as_long(c).alias(f"__zq_{i}")
+                           for i, c in enumerate(cols)])
+        quants = proj.stat.approxQuantile(
+            [f"__zq_{i}" for i in range(k)], probs, 0.001)
         z = F.lit(0).cast("long")
         for i, c in enumerate(cols):
-            lo, hi = rng[f"lo_{c}"], rng[f"hi_{c}"]
-            if lo is None or hi is None:
+            cuts = sorted({int(q) for q in quants[i]}) if quants[i] else []
+            if not cuts:
                 # all-NULL column (or empty table): no discriminating
                 # bits to contribute — constant 0, like a constant col
                 continue
-            span = max(int(hi) - int(lo), 0) + 1
-            # scale THROUGH double: (x-lo)*2^16 overflows int64 for
-            # epoch-micros spans, and int64 step-division would leave
-            # small spans in the low bits (no high-bit discrimination,
-            # no file pruning). double carries 53 mantissa bits — the
-            # quotient lands in [0, 2^16) with ~1e-11 relative error,
-            # far below one z-cell
-            scaled = ((as_long(c) - F.lit(int(lo))).cast("double")
-                      * F.lit(float(1 << bits)) / F.lit(float(span))
-                      ).cast("long")
+            xl = as_long(c)
+            arr = F.array(*[F.lit(v).cast("long") for v in cuts])
+            bucket = F.aggregate(
+                arr, F.lit(0).cast("long"),
+                lambda acc, cv: acc + F.when(xl >= cv, F.lit(1))
+                                       .otherwise(F.lit(0)).cast("long"))
             for b in range(bits):
                 z = z.bitwiseOR(
-                    F.shiftleft(F.shiftright(scaled, b).bitwiseAND(F.lit(1)),
+                    F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
                                 b * k + i))
         return z
 

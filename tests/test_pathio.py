@@ -160,3 +160,55 @@ def test_scheme_dispatch_and_unsupported_scheme_raises(spark):
     assert isinstance(P.pathio_for(spark, "file:///x"), P.LocalPathIO)
     with pytest.raises(NotImplementedError, match="maintenance"):
         P.pathio_for(spark, "definitelynotascheme://bucket/idx")
+
+
+def test_scheme_windows_drive_and_short_prefix_resolve_locally(spark):
+    """RFC-3986 scheme parsing (ADVICE r10): a Windows drive path or a
+    relative path containing 'x:/' must resolve to LocalPathIO, not
+    route to HadoopPathIO and die on connector resolution."""
+    assert P._scheme("C:/data/idx") is None
+    assert P._scheme("x:/weird/rel") is None
+    assert P._scheme("hdfs://nn/x") == "hdfs"
+    assert P._scheme("s3a://bucket/x") == "s3a"
+    assert P._scheme("file:/x") == "file"
+    assert isinstance(P.pathio_for(spark, "C:/data/idx"), P.LocalPathIO)
+
+
+def test_file_uri_authority_handling(tmp_path):
+    """file: URI parsing (ADVICE r10): an empty or 'localhost'
+    authority resolves to the local path; a REMOTE authority raises
+    instead of silently running against a wrong relative path."""
+    io = P.LocalPathIO()
+    assert io._strip(f"file://{tmp_path}/x") == f"{tmp_path}/x"
+    assert io._strip(f"file:{tmp_path}/x") == f"{tmp_path}/x"
+    assert io._strip(f"file://localhost{tmp_path}/x") == f"{tmp_path}/x"
+    with pytest.raises(ValueError, match="remote authority"):
+        io._strip("file://otherhost/tmp/x")
+
+
+def test_local_publish_if_absent_single_winner(tmp_path):
+    """The commit primitive: exactly one create-if-absent publish of a
+    given destination succeeds; the loser gets False (the local
+    spelling of an object store's 412 Precondition Failed), and the
+    winner's bytes are untouched by the losing attempt."""
+    io = P.LocalPathIO()
+    dst = str(tmp_path / "log" / "v1.json")
+    assert io.publish_if_absent(dst, b'{"v": 1, "writer": "a"}') is True
+    assert io.publish_if_absent(dst, b'{"v": 1, "writer": "b"}') is False
+    with open(dst, "rb") as fh:
+        assert fh.read() == b'{"v": 1, "writer": "a"}'
+    # no staging litter left behind
+    assert [f for f in os.listdir(tmp_path / "log")
+            if f.startswith(".tmp")] == []
+
+
+def test_hadoop_publish_if_absent_on_file_uri(spark, tmp_path):
+    """HadoopPathIO's publish drives FileSystem.create(path,
+    overwrite=false) — the call that maps to a conditional PUT on
+    object stores — and maps the AlreadyExists failure to False."""
+    io = P.HadoopPathIO(spark)
+    dst = f"file://{tmp_path}/log/v7.json"
+    assert io.publish_if_absent(dst, b"first") is True
+    assert io.publish_if_absent(dst, b"second") is False
+    with open(tmp_path / "log" / "v7.json", "rb") as fh:
+        assert fh.read() == b"first"

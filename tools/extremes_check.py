@@ -135,7 +135,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", dest="json_out")
     ap.add_argument("--gated", action="store_true",
-                    help="run the gated scope (raw-feed key families)")
+                    help="run the gated scope (whole registry minus "
+                         "documented exclusions)")
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
     if args.gated:

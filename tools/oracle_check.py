@@ -70,11 +70,63 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns)).reset_index(drop=True)
 
 
+#: Canonical temporal spelling, identical in Spark's date_format and
+#: DuckDB's strftime for every representable year (verified 0001 and
+#: 9999 inclusive): 4-digit zero-padded year, 6-digit microseconds.
+#: Matches canon()'s old strftime of an in-range pd.Timestamp exactly,
+#: so value hashes are unchanged for data inside the pandas ns range.
+_TS_FMT_SPARK = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+_TS_FMT_DUCK = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def spark_temporal_safe(df):
+    """Project DATE/TIMESTAMP columns to canonical strings BEFORE
+    toPandas: pandas ns-timestamps span only 1677–2262, so year-9999 /
+    0001 sentinels (the far-future/far-past placeholder class) would
+    overflow the COMPARATOR itself even when both engines agree
+    (VERDICT r10 ask #6). DATE formats with the full midnight time
+    part — the same string the old pandas path produced for dates —
+    so a Spark DATE still hashes equal to an oracle TIMESTAMP midnight
+    and vice versa."""
+    from pyspark.sql import functions as F, types as T
+
+    sel, changed = [], False
+    for f in df.schema.fields:
+        if isinstance(f.dataType,
+                      (T.TimestampType, T.TimestampNTZType, T.DateType)):
+            # strip a leading '+': a year past 9999 (date arithmetic
+            # overflow on a far-future placeholder) is spelled
+            # ISO-8601-expanded by Spark ('+10000-…') but plain by
+            # DuckDB's strftime — same value, different sign prefix
+            sel.append(F.regexp_replace(
+                F.date_format(F.col(f.name), _TS_FMT_SPARK),
+                r"^\+", "").alias(f.name))
+            changed = True
+        else:
+            sel.append(F.col(f.name))
+    return df.select(sel) if changed else df
+
+
+def duck_temporal_safe(rel):
+    """DuckDB side of the same projection (its .df() materializes
+    TIMESTAMP as datetime64[ns] too, with the same 1677–2262 bound)."""
+    cols, changed = [], False
+    for name, typ in zip(rel.columns, rel.types):
+        q = '"' + name.replace('"', '""') + '"'
+        t = str(typ).upper()
+        if t.startswith("TIMESTAMP") or t == "DATE":
+            cols.append(f"strftime({q}, '{_TS_FMT_DUCK}') AS {q}")
+            changed = True
+        else:
+            cols.append(q)
+    return rel.project(", ".join(cols)) if changed else rel
+
+
 def compare(key: str, spark_df, oracle: str | None, con) -> str:
-    spdf = spark_df.toPandas()
+    spdf = spark_temporal_safe(spark_df).toPandas()
     if oracle is None:
         return f"ROWS_ONLY rows={len(spdf)}"
-    odf = con.execute(oracle).df()
+    odf = duck_temporal_safe(con.sql(oracle)).df()
     a, b = normalize(spdf), normalize(odf)
     if list(a.columns) != list(b.columns):
         return f"COLS_MISMATCH spark={list(a.columns)} oracle={list(b.columns)}"

@@ -12,11 +12,21 @@ integer division of negative epochs: Spark's ``div`` truncates toward
 zero while DuckDB's ``//`` floors, so ``epoch_us div DAY`` puts
 1969-12-31 23:00 on day 0 in one engine and day -1 in the other.
 
-Injection: ~EDGE_RATE of events.ts rows, cycling through EDGES by row
-position, deterministic per run — same replica every time.
+Injection: ~EDGE_RATE of the target column's rows, cycling through
+EDGES by row position, deterministic per run — same replica every
+time. Two surfaces (VERDICT r10 ask #1 extended the gate beyond the
+event stream):
 
-  python tools/timeedge_check.py [--json FILE] [key ...]
-      # default keys: every registry key reading events.ts
+- ``events``     -> events.ts (the r10 tier)
+- ``relational`` -> lineitem.l_shipdate + orders.o_orderdate — the
+  DATE/TIMESTAMP surface where calendar math is densest (flagship
+  filter, partitioned sinks, DPP, monthly growth); probed keys are
+  discovered by scanning each registry entry's source + oracle for
+  the column names.
+
+  python tools/timeedge_check.py [--surface events|relational|all]
+                                 [--json FILE] [key ...]
+      # default keys: every registry key reading the surface's columns
 """
 
 from __future__ import annotations
@@ -41,14 +51,14 @@ SRC_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
 
 EDGE_RATE = 0.02
 
-# Scope note: the comparison harness round-trips results through
-# pandas (toPandas / duckdb .df()), whose timestamps are ns-backed —
-# representable range 1677-09-21 .. 2262-04-11. Year-9999/0001
-# sentinels cannot TRANSIT the comparator on either side (ArrowInvalid
-# before any engine semantics are reached), so the probe's edges stay
-# inside the ns window; that window still contains every
-# divergence-prone case (negative epochs = floor-vs-truncate division,
-# epoch zero, leap days, the 32-bit rollover, both ns extremes).
+# Range note: the comparator projects every DATE/TIMESTAMP result
+# column to a canonical string BEFORE pandas materialization
+# (tools/oracle_check.py spark_temporal_safe / duck_temporal_safe —
+# r11, closing VERDICT r10 ask #6), so the full representable range
+# 0001-01-01 .. 9999-12-31 transits the harness; the old pandas
+# ns-window bound (1677–2262) no longer applies to RESULT columns.
+# The ns-range ends stay in the edge set anyway — they are exactly
+# where a pandas-materializing USER pipeline would break.
 EDGES = (
     dt.datetime(1970, 1, 1, 0, 0, 0),              # epoch-zero sentinel
     dt.datetime(1969, 12, 31, 23, 59, 59, 999999),  # -1 us: floor-vs-trunc
@@ -58,9 +68,17 @@ EDGES = (
     dt.datetime(2038, 1, 19, 3, 14, 8),            # 32-bit rollover
     dt.datetime(2262, 4, 10, 0, 0, 0),             # ns-range max (pandas)
     dt.datetime(1677, 9, 22, 0, 0, 1),             # ns-range min (pandas)
+    dt.datetime(9999, 12, 31, 23, 59, 59, 999999),  # far-future placeholder
+    dt.datetime(1, 1, 1, 0, 0, 0),                 # min representable ts
 )
 
-# default probe scope: every key whose query reads events.ts
+#: surface name -> (table, column) injection targets
+SURFACES = {
+    "events": (("events", "ts"),),
+    "relational": (("lineitem", "l_shipdate"), ("orders", "o_orderdate")),
+}
+
+# events probe scope: every key whose query reads events.ts
 TS_FAMILIES = ("sessionize_", "event_", "ts_", "stream_", "win_pattern",
                "retention_cohort", "rfm_segments", "join_asof",
                "join_dpp_partition_pruned", "sink_partitioned",
@@ -74,27 +92,60 @@ def probe_keys() -> list[str]:
     return [k for k in REGISTRY if k.startswith(TS_FAMILIES)]
 
 
-def build_timeedge_replica(src: str, dst: str) -> int:
-    """Copy each table, replacing ~EDGE_RATE of events.ts with the
-    EDGES cycle; every other table/column passes through unchanged."""
+def relational_probe_keys() -> list[str]:
+    """Every registry key whose implementation OR oracle mentions one
+    of the relational surface's date columns — discovered by source
+    scan so the scope tracks the registry instead of a hand-list."""
+    import inspect
+
+    from lakehouse_automation_spark.queries import REGISTRY
+
+    cols = tuple(c for _, c in SURFACES["relational"])
+    out = []
+    for k, q in REGISTRY.items():
+        text = (q.oracle or "") + inspect.getsource(q.fn)
+        if any(c in text for c in cols):
+            out.append(k)
+    return out
+
+
+def surface_keys(surface: str) -> list[str]:
+    if surface == "events":
+        return probe_keys()
+    if surface == "relational":
+        return relational_probe_keys()
+    seen = dict.fromkeys(probe_keys() + relational_probe_keys())
+    return list(seen)
+
+
+def build_timeedge_replica(src: str, dst: str,
+                           targets=SURFACES["events"]) -> int:
+    """Copy each table, replacing ~EDGE_RATE of every targeted
+    (table, column) with the EDGES cycle; everything else passes
+    through unchanged."""
     import zlib
 
+    per_table: dict[str, list[str]] = {}
+    for tname, cname in targets:
+        per_table.setdefault(tname, []).append(cname)
     injected = 0
     for t in TABLES:
         tbl = pq.read_table(os.path.join(src, f"{t}.parquet"))
-        if t == "events" and tbl.num_rows:
-            seed = zlib.crc32(b"timeedge/events/ts")
+        for cname in per_table.get(t, ()):
+            if not tbl.num_rows:
+                continue
+            seed = zlib.crc32(f"timeedge/{t}/{cname}".encode())
             rng = np.random.Generator(np.random.PCG64(seed))
             pos = np.nonzero(rng.random(tbl.num_rows) < EDGE_RATE)[0]
-            col = tbl.column("ts").combine_chunks()
+            col = tbl.column(cname).combine_chunks()
             vals = col.to_pylist()
             for i, p in enumerate(pos):
                 vals[p] = EDGES[i % len(EDGES)]
             arr = pa.array(vals, type=col.type)
             tbl = tbl.set_column(
-                tbl.schema.get_field_index("ts"), tbl.schema.field("ts"),
+                tbl.schema.get_field_index(cname), tbl.schema.field(cname),
                 arr)
-            injected = len(pos)
+            injected += len(pos)
         pq.write_table(tbl, os.path.join(dst, f"{t}.parquet"))
     return injected
 
@@ -102,13 +153,18 @@ def build_timeedge_replica(src: str, dst: str) -> int:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json", dest="json_out")
+    ap.add_argument("--surface", choices=(*SURFACES, "all"),
+                    default="events")
     ap.add_argument("keys", nargs="*")
     args = ap.parse_args()
-    keys = args.keys or probe_keys()
+    keys = args.keys or surface_keys(args.surface)
+    targets = (tuple(c for s in SURFACES.values() for c in s)
+               if args.surface == "all" else SURFACES[args.surface])
 
     with tempfile.TemporaryDirectory(prefix="timeedge-") as dst:
-        n = build_timeedge_replica(SRC_SF_DIR, dst)
-        print(f"time-edge replica: {n} events.ts cells mutated")
+        n = build_timeedge_replica(SRC_SF_DIR, dst, targets)
+        cells = ", ".join(f"{t}.{c}" for t, c in targets)
+        print(f"time-edge replica: {n} cells mutated across {cells}")
         cmd = [sys.executable, os.path.join(REPO, "tools", "oracle_check.py")]
         if args.json_out:
             cmd += ["--json", args.json_out]
