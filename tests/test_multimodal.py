@@ -111,3 +111,34 @@ def test_real_decode_features_end_to_end(spark):
     assert (rows[0].width, rows[0].height) == (8, 4)
     assert (rows[1].width, rows[1].height) == (3, 9)
     assert rows[2].width is None  # NULL payload -> NULL features
+
+
+def test_real_decode_verification_tier_is_explicit(spark):
+    """ADVICE r10: the pixel-verification tier must be an explicit
+    opt-in, not an inherited downgrade. A PNG whose chunk CRCs are all
+    valid but whose deflate stream is semantically SHORT (inflates to
+    1 B where the IHDR promises 6 B) passes the default METADATA tier
+    — read_header never inflates pixels — but must raise executor-side
+    under decode_features_real(..., full=True), the round-9 contract."""
+    import io
+    import struct
+    import zlib
+
+    from lakehouse_automation_spark.operators import _png
+    from lakehouse_automation_spark.operators.multimodal import (
+        decode_features_real)
+
+    buf = io.BytesIO()
+    buf.write(b"\x89PNG\r\n\x1a\n")
+    _png._write_chunk(buf, b"IHDR",
+                      struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    _png._write_chunk(buf, b"IDAT", zlib.compress(b"\x00"))  # 1 B != 6 B
+    _png._write_chunk(buf, b"IEND", b"")
+    sly = buf.getvalue()
+
+    media = spark.createDataFrame([(0, sly)],
+                                  "doc_id bigint, payload binary")
+    rows = decode_features_real(media).collect()  # metadata tier: passes
+    assert (rows[0].width, rows[0].height) == (2, 2)
+    with pytest.raises(Exception, match="inflates|expected"):
+        decode_features_real(media, full=True).collect()
