@@ -162,8 +162,14 @@ def sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
         window = F.lit(False)
     else:
         hi = lo + dt.timedelta(days=7)
-        window = ((F.col("event_date") >= F.lit(lo))
-                  & (F.col("event_date") < F.lit(hi)))
+        # ISO strings cast engine-side, never python date objects in
+        # F.lit: py4j converts a date literal via strftime('%Y-%m-%d'),
+        # which does NOT zero-pad years < 1000 ('1-01-01'), and
+        # java.sql.Date.valueOf rejects that spelling — the year-0001
+        # far-past sentinel (r11 time-edge gate) crashed exactly here.
+        # isoformat() always pads to 4 digits.
+        window = ((F.col("event_date") >= F.lit(lo.isoformat()).cast("date"))
+                  & (F.col("event_date") < F.lit(hi.isoformat()).cast("date")))
     # predicate on the PARTITION column -> PartitionFilters (directory
     # pruning; plan-asserted): excluded days are never listed, let
     # alone read. Row-identical to a ts-range filter because every

@@ -32,6 +32,12 @@ KEYS = [
     "stream_tumbling_agg",      # window() bucketing at the range ends
     "join_asof",                # as-of ordering across the full span
     "retention_cohort",         # week-grain cohort on edge dates
+    # year-0001 partition bound: py4j date literals go through an
+    # unpadded strftime('%Y-%m-%d') that java.sql.Date.valueOf
+    # rejects — the r11 full-range sentinel found sink_partitioned
+    # crashing on exactly this; the key now builds its window bounds
+    # from isoformat() strings cast engine-side
+    "sink_partitioned",
 ]
 
 
