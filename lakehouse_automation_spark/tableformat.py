@@ -1105,6 +1105,17 @@ class CowTable:
         fine too: duplicate cut points collapse (dedup below), a
         heavy value simply spans fewer buckets.
 
+        The rank lookup is a BINARY-SEARCH when-tree (depth 8, pure
+        comparisons), not an array fold: the first cut of this change
+        used ``F.aggregate`` over a 255-literal array, which allocates
+        and folds the array PER ROW — measured 5.75 s vs 0.6 s for the
+        tree over sf0.1 orders, and the z expression is evaluated
+        multiple times per compact (range-partitioner sampling + the
+        sort itself), which turned a 1.4 s tf_zorder into 14 s.
+        Quantile relativeError is 0.01 (±2.5 buckets of 256 — curve
+        placement, not a correctness boundary), which halves the
+        sketch pass versus 0.001.
+
         Bit budget: per-column width is ``min(16, 63 // len(cols))``
         capped at the 8 bits a 255-cut CDF can discriminate (the
         interleaved value must fit the 63 non-sign bits of a long —
@@ -1129,7 +1140,22 @@ class CowTable:
         proj = df.select(*[as_long(c).alias(f"__zq_{i}")
                            for i, c in enumerate(cols)])
         quants = proj.stat.approxQuantile(
-            [f"__zq_{i}" for i in range(k)], probs, 0.001)
+            [f"__zq_{i}" for i in range(k)], probs, 0.01)
+
+        def bucket_tree(x: Column, cuts: list[int],
+                        lo: int, hi: int) -> Column:
+            # count of cuts <= x by binary search: cuts[lo:hi) still
+            # unresolved, everything below lo already known <= x. A
+            # NULL x fails every comparison and lands on the leftmost
+            # leaf — bucket 0, the curve origin (skippable by every
+            # range predicate, which NULL never satisfies anyway).
+            if lo >= hi:
+                return F.lit(lo).cast("long")
+            mid = (lo + hi) // 2
+            return (F.when(x >= F.lit(cuts[mid]).cast("long"),
+                           bucket_tree(x, cuts, mid + 1, hi))
+                    .otherwise(bucket_tree(x, cuts, lo, mid)))
+
         z = F.lit(0).cast("long")
         for i, c in enumerate(cols):
             cuts = sorted({int(q) for q in quants[i]}) if quants[i] else []
@@ -1137,12 +1163,7 @@ class CowTable:
                 # all-NULL column (or empty table): no discriminating
                 # bits to contribute — constant 0, like a constant col
                 continue
-            xl = as_long(c)
-            arr = F.array(*[F.lit(v).cast("long") for v in cuts])
-            bucket = F.aggregate(
-                arr, F.lit(0).cast("long"),
-                lambda acc, cv: acc + F.when(xl >= cv, F.lit(1))
-                                       .otherwise(F.lit(0)).cast("long"))
+            bucket = bucket_tree(as_long(c), cuts, 0, len(cuts))
             for b in range(bits):
                 z = z.bitwiseOR(
                     F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
