@@ -736,3 +736,30 @@ def test_ivf_refresh_compact_cadence_caps_files_and_preserves_search(
     pc, pp = parts(cadenced), parts(plain)
     assert all(v <= 3 for v in pc.values()), pc
     assert sum(pc.values()) < sum(pp.values()), (pc, pp)
+
+
+def test_refresh_compact_releases_cached_assignment(spark, emb, tmp_path):
+    """ADVICE r10: the compact-enabled refresh must not accumulate
+    executor storage across a long-running cadence. The batch
+    assignment is persist()ed for the write + touched-cell listing and
+    explicitly unpersisted before return (a localCheckpoint here would
+    be unreleasable while the caller holds the audit DataFrame), so
+    the JVM's persistent-RDD registry must end no larger than it
+    started — and the lazily re-evaluable audit return still works."""
+    from lakehouse_automation_spark.operators.vector import (
+        ivf_index_refresh, ivf_index_write)
+
+    split = max(8, int(emb.count() * 0.8))
+    idx = str(tmp_path / "idx")
+    ivf_index_write(emb.filter(F.col("vec_id") < split), idx,
+                    n_centroids=4)
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    touched = ivf_index_refresh(
+        spark, emb.filter(F.col("vec_id") >= split), idx,
+        compact_files_per_cell=1)  # force the compact branch
+    n_audit = touched.count()  # audit DF re-evaluates lazily post-release
+    assert n_audit == emb.filter(F.col("vec_id") >= split).count()
+    after = jsc.getPersistentRDDs().size()
+    assert after <= before, (
+        f"refresh leaked cached blocks: {before} -> {after}")
