@@ -54,13 +54,18 @@ class LocalPathIO:
         # local directory (ADVICE r10) — parse properly and refuse any
         # non-local authority instead.
         if p.startswith("file:"):
-            from urllib.parse import urlparse
+            from urllib.parse import unquote, urlparse
             u = urlparse(p)
             if u.netloc not in ("", "localhost"):
                 raise ValueError(
                     f"file: URI with remote authority {u.netloc!r} is "
                     f"not a local path: {p}")
-            return u.path
+            # percent-decode: a table path containing spaces arrives
+            # as %20 in a file: URI, and tableformat._local_path
+            # already decodes — the two file:-URI interpreters must
+            # agree or maintenance runs against a wrong dir (ADVICE
+            # r11)
+            return unquote(u.path)
         return p
 
     def join(self, *parts: str) -> str:
@@ -112,15 +117,22 @@ class LocalPathIO:
         d = _os.path.dirname(dst)
         _os.makedirs(d, exist_ok=True)
         tmp = _os.path.join(d, f".tmp-{_os.getpid()}-{id(data)}")
-        with open(tmp, "wb") as fh:
-            fh.write(data)
         try:
-            _os.link(tmp, dst)
-            return True
-        except FileExistsError:
-            return False
+            # staging inside the same try/finally as the link: a
+            # failed stage (disk full mid-write) must not leak the
+            # .tmp-* file into the log directory (ADVICE r11)
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            try:
+                _os.link(tmp, dst)
+                return True
+            except FileExistsError:
+                return False
         finally:
-            _os.unlink(tmp)
+            try:
+                _os.unlink(tmp)
+            except FileNotFoundError:
+                pass
 
 
 class HadoopPathIO:
@@ -131,6 +143,7 @@ class HadoopPathIO:
 
     def __init__(self, spark):
         self._jvm = spark._jvm
+        self._gw = spark._sc._gateway
         self._conf = spark._jsc.hadoopConfiguration()
 
     def _path(self, p: str):
@@ -187,35 +200,120 @@ class HadoopPathIO:
     def list_prefixed(self, p: str, prefix: str) -> list[str]:
         return [n for n in self.listdir(p) if n.startswith(prefix)]
 
+    #: Schemes whose FileSystem ``rename`` is a non-atomic copy+delete
+    #: (an unconditional overwrite on the store): the stage-then-rename
+    #: claim would lose exactly-one-winner there, so these publish
+    #: through conditional create instead. Every other scheme (hdfs,
+    #: file, viewfs, o3fs, ...) has a metadata-arbitrated rename and
+    #: claims via FileContext.rename (fails if dst exists).
+    _RENAME_IS_COPY = frozenset({
+        "s3", "s3a", "s3n", "gs", "abfs", "abfss", "wasb", "wasbs",
+        "oss", "cos", "swift"})
+
+    @staticmethod
+    def _lost_race(e: Exception) -> bool:
+        """True when a py4j exception is the create-if-absent race
+        being lost, in any of the spellings the stores use: HDFS/local
+        raise *AlreadyExists*/*FileExists* at create or rename time;
+        S3A's conditional PUT executes at close() and surfaces the
+        lost If-None-Match as a 412 Precondition Failed /
+        RemoteFileChangedException (ADVICE r11)."""
+        msg = f"{type(e).__name__}: {e}"
+        return any(m in msg for m in (
+            "AlreadyExists", "FileExists", "RemoteFileChanged",
+            "PreconditionFailed", "Precondition Failed", "412",
+            "If-None-Match"))
+
     def publish_if_absent(self, dst: str, data: bytes) -> bool:
-        """Create-if-absent publish via ``FileSystem.create(path,
-        overwrite=false)``. Atomic on HDFS (namenode-arbitrated); on
-        S3A this maps to a conditional PUT (``If-None-Match: *``) on
-        Hadoop builds with conditional-create support
-        (``fs.s3a.create.conditional.enabled``, Hadoop 3.4.1+) — on
-        older S3A builds the exists-check is NOT atomic, which is
-        exactly why the CowTable commit protocol keeps the optimistic
-        retry loop around this primitive rather than assuming the
-        primitive alone (tested against a mocked conditional-put
-        backend in tests/test_tableformat.py). An already-exists
-        failure is the lost race -> False; any other failure raises."""
+        """Atomic create-if-absent publish, scheme-adaptive:
+
+        - **rename-capable filesystems** (HDFS, local, viewfs, ...):
+          stage the full content to a unique temp name, then claim via
+          ``FileContext.rename`` WITHOUT the OVERWRITE option — atomic
+          at the namenode and fails if dst exists. The name is claimed
+          only once the content is complete; a plain
+          ``create(overwrite=false)`` would claim it BEFORE any bytes
+          land, so a writer crash between create and close left a
+          permanently claimed, unparseable manifest no retry could
+          reclaim (ADVICE r11 — the os.link path never had this gap
+          because it also stages first).
+        - **copy-rename object stores** (s3a, gs, abfs, ...): rename
+          there is an unconditional copy+delete, so stage-then-rename
+          would clobber a rival — publish via ``create(path,
+          overwrite=false)``, a conditional PUT (``If-None-Match: *``)
+          on Hadoop 3.4.1+ with ``fs.s3a.create.conditional.enabled``.
+          On S3A the PUT executes at ``close()`` (create is lazy and
+          never contacts S3), so the lost race can surface out of
+          write/close as a 412/RemoteFileChangedException — mapped to
+          False exactly like the create-time AlreadyExists. On older
+          S3A builds the exists check is NOT atomic, which is why the
+          CowTable commit protocol keeps the optimistic retry loop
+          around this primitive rather than assuming the primitive
+          alone (tested against a mocked conditional-put backend in
+          tests/test_tableformat.py).
+
+        A lost race returns False; any other failure raises (a silent
+        False on a transient I/O error would abort an append that
+        should have retried)."""
         fs = self._fs(dst)
-        jp = self._path(dst)
-        try:
-            out = fs.create(jp, False)
-        except Exception as e:  # noqa: BLE001 — py4j surfaces the Java
-            # class name in the message; map the lost race to False and
-            # re-raise everything else (silent False on a transient I/O
-            # error would abort an append that should have retried)
-            msg = f"{type(e).__name__}: {e}"
-            if "AlreadyExists" in msg or "FileExists" in msg:
-                return False
-            raise
+        scheme = (_scheme(dst)
+                  or str(fs.getUri().getScheme() or "")).lower()
+        if scheme in self._RENAME_IS_COPY:
+            return self._publish_conditional_create(fs, dst, data)
+        return self._publish_stage_rename(fs, dst, data)
+
+    def _publish_stage_rename(self, fs, dst: str, data: bytes) -> bool:
+        jdst = self._path(dst)
+        tmp = self._path(f"{dst}.tmp-{_os.getpid()}-{id(data)}")
+        out = fs.create(tmp, True)
         try:
             out.write(bytearray(data))
         finally:
             out.close()
-        return True
+        try:
+            fc = self._jvm.org.apache.hadoop.fs.FileContext \
+                .getFileContext(jdst.toUri(), self._conf)
+            # varargs Options.Rename... with NO options = fail if dst
+            # exists (FileAlreadyExistsException), unlike
+            # FileSystem.rename whose dst-exists behavior is
+            # scheme-dependent (RawLocal silently overwrites)
+            fc.rename(tmp, jdst,
+                      self._gw.new_array(
+                          self._jvm.org.apache.hadoop.fs.Options.Rename, 0))
+            return True
+        except Exception as e:  # noqa: BLE001 — py4j exception classes
+            if self._lost_race(e):
+                return False
+            raise OSError(
+                f"manifest publish rename failed: {dst}: {e}") from e
+        finally:
+            if fs.exists(tmp):
+                fs.delete(tmp, False)
+
+    def _publish_conditional_create(self, fs, dst: str,
+                                    data: bytes) -> bool:
+        jp = self._path(dst)
+        try:
+            out = fs.create(jp, False)
+        except Exception as e:  # noqa: BLE001 — py4j exception classes
+            if self._lost_race(e):
+                return False
+            raise
+        err = None
+        try:
+            out.write(bytearray(data))
+        except Exception as e:  # noqa: BLE001
+            err = e
+        try:
+            out.close()
+        except Exception as e:  # noqa: BLE001
+            err = err or e
+        if err is None:
+            return True
+        if self._lost_race(err):
+            # the conditional PUT executed at close() and lost
+            return False
+        raise err
 
 
 #: Test seam: map a URI scheme to a PathIO factory ``(spark) -> io``.

@@ -190,7 +190,23 @@ class CowTable:
                  constraints: dict[str, str] | None = None,
                  bloom_cols: list[str] | None = None):
         self.spark = spark
-        self.path = os.path.abspath(path)
+        # CowTable's data path and manifest READS are os.*-local: a
+        # remote table URI would publish commits through HadoopPathIO
+        # yet never read its own log back (ADVICE r11) — refuse it
+        # loudly here instead. The PathIO publish seam (_publish_io)
+        # exists as the object-store extension point and the
+        # mocked-conditional-put test seam; extending READS through
+        # the same backend is the remaining work for remote tables.
+        from .operators.pathio import LocalPathIO, _scheme
+        scheme = _scheme(path)
+        if scheme not in (None, "file"):
+            raise NotImplementedError(
+                f"CowTable supports local table paths only (got scheme "
+                f"{scheme!r}); manifest reads are os-local — see "
+                f"_publish_io for the object-store seam")
+        # _strip unquotes file: URIs and rejects remote authorities —
+        # the same interpretation the maintenance PathIO uses
+        self.path = os.path.abspath(LocalPathIO._strip(path))
         self._stats_cols_arg = list(stats_cols or [])
         self._bloom_cols_arg = list(bloom_cols or [])
         for arg in (self._stats_cols_arg, self._bloom_cols_arg):
@@ -207,6 +223,9 @@ class CowTable:
         # immutable (append/rewrite create NEW dirs) so entries never
         # go stale for this instance's lifetime
         self._chunk_schema_cache: dict[str, str] = {}
+        # versions whose manifest is known to parse — committed
+        # manifests are immutable, so the set only grows
+        self._parse_ok: set[int] = set()
 
     @property
     def stats_cols(self) -> list[str]:
@@ -276,14 +295,39 @@ class CowTable:
     def _log_dir(self) -> str:
         return os.path.join(self.path, _LOG)
 
+    def _parseable(self, v: int) -> bool:
+        """True if manifest ``v`` parses as JSON. Under every publish
+        path (os.link, stage-then-FileContext.rename, conditional PUT)
+        manifest content appears atomically-complete, so an
+        unparseable file is NOT a committed version — it is litter
+        from a crashed pre-protocol writer or external corruption.
+        Parse results are cached (manifests are immutable)."""
+        if v in self._parse_ok:
+            return True
+        try:
+            self.manifest(v)
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return False
+        self._parse_ok.add(v)
+        return True
+
     def version(self) -> int:
-        """Newest committed version, -1 when the table doesn't exist."""
+        """Newest committed version, -1 when the table doesn't exist.
+
+        Reader-side guard (ADVICE r11): a manifest file that exists
+        but does not parse is treated as UNCOMMITTED — readers step
+        back to the newest parseable snapshot instead of crashing in
+        ``manifest()``. Writers hitting such a blocker get a loud
+        error from ``_try_commit`` rather than an infinite retry."""
         try:
             vs = [int(f[1:-5]) for f in os.listdir(self._log_dir())
                   if f.startswith("v") and f.endswith(".json")]
         except FileNotFoundError:
             return -1
-        return max(vs, default=-1)
+        for v in sorted(vs, reverse=True):
+            if self._parseable(v):
+                return v
+        return -1
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.version() if version is None else version
@@ -298,7 +342,9 @@ class CowTable:
         for v in range(self.version() + 1):
             try:
                 out.append(self.manifest(v))
-            except FileNotFoundError:
+            except (FileNotFoundError, json.JSONDecodeError,
+                    UnicodeDecodeError):
+                # vacuumed-away or unparseable (uncommitted) manifest
                 continue
         return out
 
@@ -437,9 +483,10 @@ class CowTable:
     def _publish_io(self):
         """PathIO backend the manifest log publishes through — scheme-
         dispatched (operators/pathio.py): local paths get the os.link
-        create-if-absent protocol, remote URIs the Hadoop FileSystem's
+        create-if-absent protocol; remote URIs stage-then-
+        ``FileContext.rename`` on rename-capable filesystems (HDFS) or
         ``create(path, overwrite=false)`` (a conditional PUT —
-        ``If-None-Match: *`` — on object stores that support it). Also
+        ``If-None-Match: *``) on object stores that support it. Also
         the test seam: tests swap in a mocked conditional-put backend
         to drive the optimistic-retry loop through simulated 412
         conflicts without a real object store."""
@@ -464,9 +511,26 @@ class CowTable:
                "constraints": self.constraints,
                "committed_at": time.time()}
         io = self._publish_io()
-        return io.publish_if_absent(
-            io.join(self._log_dir(), _vname(v)),
-            json.dumps(doc).encode())
+        if io.publish_if_absent(
+                io.join(self._log_dir(), _vname(v)),
+                json.dumps(doc).encode()):
+            return True
+        try:
+            blocker_ok = self._parseable(v)
+        except FileNotFoundError:
+            # publish lost the race yet the rival file is already gone
+            # (vacuumed, or a simulated race): nothing blocks — retry
+            blocker_ok = True
+        if not blocker_ok:
+            # the blocker exists but is garbage (crashed pre-protocol
+            # writer / external corruption): version() skips it for
+            # readers, but retrying this publish would loop forever —
+            # surface it for operator intervention instead
+            raise ConcurrentWriteError(
+                f"manifest {_vname(v)} of {self.path} exists but is "
+                f"unparseable — a corrupt, uncommitted file is blocking "
+                f"version {v}; remove it to unblock writers")
+        return False
 
     def _commit(self, chunks: list[str], op: str,
                 stats: dict | None = None,

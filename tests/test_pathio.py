@@ -203,12 +203,127 @@ def test_local_publish_if_absent_single_winner(tmp_path):
 
 
 def test_hadoop_publish_if_absent_on_file_uri(spark, tmp_path):
-    """HadoopPathIO's publish drives FileSystem.create(path,
-    overwrite=false) — the call that maps to a conditional PUT on
-    object stores — and maps the AlreadyExists failure to False."""
+    """HadoopPathIO's publish on a rename-capable scheme stages the
+    full content then claims via FileContext.rename (fails if dst
+    exists) — the loser gets False, the winner's bytes are untouched,
+    and no staging litter survives (ADVICE r11: create(overwrite=
+    false) claimed the name BEFORE any bytes landed, so a writer crash
+    left a permanently claimed empty manifest)."""
     io = P.HadoopPathIO(spark)
     dst = f"file://{tmp_path}/log/v7.json"
     assert io.publish_if_absent(dst, b"first") is True
     assert io.publish_if_absent(dst, b"second") is False
     with open(tmp_path / "log" / "v7.json", "rb") as fh:
         assert fh.read() == b"first"
+    assert [f for f in os.listdir(tmp_path / "log")
+            if ".tmp-" in f] == [], "staging litter leaked"
+
+
+def test_hadoop_publish_conditional_create_maps_close_time_412(
+        spark, tmp_path, monkeypatch):
+    """Object-store tier (ADVICE r11): on S3A the conditional PUT
+    executes at close() — create() is lazy and never contacts S3 — so
+    a lost If-None-Match race surfaces as a 412/RemoteFileChanged out
+    of write/close. The mapping must catch it THERE and return False
+    (the optimistic-retry contract), not let it abort the commit."""
+    io = P.HadoopPathIO(spark)
+
+    class LazyPutStream:
+        """create() succeeded; the PUT fails at close, like S3A."""
+
+        def write(self, b):
+            pass
+
+        def close(self):
+            raise RuntimeError(
+                "org.apache.hadoop.fs.s3a.RemoteFileChangedException: "
+                "PUT ...: 412 Precondition Failed (If-None-Match)")
+
+    class FakeFS:
+        def create(self, jp, overwrite):
+            assert overwrite is False
+            return LazyPutStream()
+
+    assert io._publish_conditional_create(
+        FakeFS(), "s3a://bucket/log/v1.json", b"doc") is False
+
+    class BrokenStream(LazyPutStream):
+        def close(self):
+            raise RuntimeError("java.io.IOException: connection reset")
+
+    class BrokenFS(FakeFS):
+        def create(self, jp, overwrite):
+            return BrokenStream()
+
+    # a transient I/O failure must RAISE (silent False would abort an
+    # append that should have retried)
+    with pytest.raises(RuntimeError, match="connection reset"):
+        io._publish_conditional_create(
+            BrokenFS(), "s3a://bucket/log/v1.json", b"doc")
+
+
+def test_hadoop_publish_scheme_routing(spark):
+    """s3a-family schemes publish through conditional create (rename
+    there is a non-atomic copy); hdfs/file through stage-then-rename."""
+    io = P.HadoopPathIO(spark)
+    routed = {}
+    io._publish_conditional_create = (
+        lambda fs, dst, data: routed.setdefault("cond", dst) or True)
+    io._publish_stage_rename = (
+        lambda fs, dst, data: routed.setdefault("rename", dst) or True)
+    io._fs = lambda p: None  # routing decision only needs the scheme
+    io.publish_if_absent("s3a://b/log/v1.json", b"x")
+    io.publish_if_absent("file:///tmp/t/log/v1.json", b"x")
+    assert routed == {"cond": "s3a://b/log/v1.json",
+                      "rename": "file:///tmp/t/log/v1.json"}
+
+
+def test_local_publish_failed_stage_leaves_no_litter(tmp_path, monkeypatch):
+    """A stage-time failure (disk full mid-write) must not leak the
+    .tmp-* file into the log directory (ADVICE r11)."""
+    io = P.LocalPathIO()
+    dst = str(tmp_path / "log" / "v1.json")
+
+    class ExplodingBytes(bytes):
+        pass
+
+    real_open = open
+
+    def failing_open(path, mode="r", *a, **kw):
+        if "w" in mode and ".tmp-" in str(path):
+            fh = real_open(path, mode, *a, **kw)
+
+            class FailWrite:
+                def __enter__(self):
+                    return self
+
+                def __exit__(self, *exc):
+                    fh.close()
+                    return False
+
+                def write(self, data):
+                    raise OSError(28, "No space left on device")
+
+            return FailWrite()
+        return real_open(path, mode, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", failing_open)
+    with pytest.raises(OSError, match="No space left"):
+        io.publish_if_absent(dst, b"doc")
+    monkeypatch.undo()
+    assert [f for f in os.listdir(tmp_path / "log")
+            if f.startswith(".tmp")] == [], "staging litter leaked"
+    # the destination was never claimed: a retry can still win
+    assert io.publish_if_absent(dst, b"doc") is True
+
+
+def test_local_strip_percent_decodes_file_uris(tmp_path):
+    """file: URIs are percent-encoded (a path with spaces arrives as
+    %20); _strip must decode exactly like tableformat._local_path or
+    the two file:-URI interpreters disagree (ADVICE r11)."""
+    io = P.LocalPathIO()
+    assert io._strip("file:///tmp/a%20b/x") == "/tmp/a b/x"
+    d = tmp_path / "with space"
+    d.mkdir()
+    from urllib.parse import quote
+    assert io.isdir("file://" + quote(str(d)))

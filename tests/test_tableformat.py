@@ -906,3 +906,152 @@ def test_commit_retries_on_conditional_put_conflict(spark, tbl, monkeypatch):
         tbl._log_dir(), "v000000000001.json")))["op"] == "append"
     assert json.load(open(os.path.join(
         tbl._log_dir(), "v000000000002.json")))["op"] == "append"
+
+
+def test_unparseable_tip_manifest_treated_as_uncommitted(spark, tbl):
+    """Reader-side guard (ADVICE r11): a manifest file that exists but
+    does not parse is NOT a committed version — litter from a crashed
+    pre-protocol writer or external corruption. Readers step back to
+    the newest parseable snapshot; a writer hitting the blocker gets a
+    loud ConcurrentWriteError instead of an infinite publish-retry
+    loop (publish_if_absent would return False for that version
+    forever)."""
+    from lakehouse_automation_spark.tableformat import ConcurrentWriteError
+
+    v = tbl.version()
+    garbage = os.path.join(tbl._log_dir(), f"v{v + 1:012d}.json")
+    with open(garbage, "w") as fh:
+        fh.write('{"version": ')  # truncated mid-write
+    t2 = CowTable(spark, tbl.path)  # fresh handle, no parse cache
+    assert t2.version() == v, "unparseable tip must be skipped"
+    assert t2.read().count() == 10
+    assert [m["version"] for m in t2.history()] == [v]
+    with pytest.raises(ConcurrentWriteError, match="unparseable"):
+        t2.append(_df(spark, [(500, "z", 1)]))
+    os.unlink(garbage)
+    assert t2.append(_df(spark, [(501, "z", 1)])) == v + 1
+    assert t2.read().count() == 11
+
+
+def test_cowtable_rejects_remote_scheme_accepts_file_uri(spark, tmp_path):
+    """CowTable's manifest reads are os-local (ADVICE r11): a remote
+    table URI could publish through HadoopPathIO yet never read its
+    own log back — refuse it loudly at construction. file: URIs (incl.
+    percent-encoded) resolve like the maintenance PathIO does."""
+    with pytest.raises(NotImplementedError, match="local table paths"):
+        CowTable(spark, "s3a://bucket/tbl")
+    t = CowTable.create(spark, _df(spark, [(1, "a", 1)]),
+                        f"file://{tmp_path}/t")
+    assert t.path == str(tmp_path / "t")
+    assert t.read().count() == 1
+
+
+def test_publish_if_absent_multiprocess_exactly_one_winner(tmp_path):
+    """VERDICT r11 ask #6: N real OS processes racing os.link on the
+    same manifest version — exactly one True per version, every
+    published file is complete (parseable, names its winner), losers
+    observe False. The single-process mock argued this; this test
+    demonstrates it."""
+    import multiprocessing as mp
+
+    from lakehouse_automation_spark.operators.pathio import LocalPathIO
+
+    ctx = mp.get_context("fork")
+    log = tmp_path / "t" / "_log"
+    n_workers, n_versions = 6, 5
+    results = ctx.Queue()
+    barrier = ctx.Barrier(n_workers)
+
+    def worker(wid):
+        io = LocalPathIO()
+        wins = []
+        for v in range(n_versions):
+            barrier.wait()  # all workers attempt each version together
+            if io.publish_if_absent(
+                    str(log / f"v{v}.json"),
+                    json.dumps({"version": v, "writer": wid}).encode()):
+                wins.append(v)
+        results.put((wid, wins))
+
+    procs = [ctx.Process(target=worker, args=(i,))
+             for i in range(n_workers)]
+    for p in procs:
+        p.start()
+    got = [results.get(timeout=60) for _ in range(n_workers)]
+    for p in procs:
+        p.join(timeout=60)
+        assert p.exitcode == 0
+    winners = {}  # version -> [writer ids that won]
+    for wid, wins in got:
+        for v in wins:
+            winners.setdefault(v, []).append(wid)
+    assert sorted(winners) == list(range(n_versions))
+    for v, wids in winners.items():
+        assert len(wids) == 1, f"version {v} had {len(wids)} winners"
+        doc = json.load(open(log / f"v{v}.json"))  # complete + parseable
+        assert doc == {"version": v, "writer": wids[0]}
+    # no staging litter survives the stampede
+    assert [f for f in os.listdir(log) if f.startswith(".tmp")] == []
+
+
+def test_commit_retry_loop_multiprocess_all_appends_land(tmp_path):
+    """VERDICT r11 ask #6, commit-loop tier: N processes each drive 3
+    append-style commits through CowTable's publish primitive with the
+    real reconcile-and-retry loop (re-read tip, extend its chunk list,
+    claim tip+1). Every commit lands at a distinct version and the
+    final tip's chunk list contains every worker's chunks — no lost
+    update. Driver-side only (the data path is not under test), so no
+    SparkSession is needed in the children."""
+    import multiprocessing as mp
+
+    from lakehouse_automation_spark.operators.pathio import LocalPathIO
+
+    ctx = mp.get_context("fork")
+    path = tmp_path / "t"
+    io = LocalPathIO()
+    # seed v0 the way create() would (local path -> no spark needed)
+    assert io.publish_if_absent(
+        str(path / "_log" / f"v{0:012d}.json"),
+        json.dumps({"version": 0, "op": "create", "chunks": [],
+                    "stats": {}, "file_stats": {}, "stats_cols": [],
+                    "bloom_cols": [], "constraints": {}}).encode())
+    n_workers, n_commits = 5, 3
+    results = ctx.Queue()
+    start = ctx.Barrier(n_workers)
+
+    def worker(wid):
+        t = CowTable.__new__(CowTable)  # driver-side handle, no spark
+        t.spark = None
+        t.path = str(path)
+        t._chunk_schema_cache = {}
+        t._parse_ok = set()
+        landed = []
+        start.wait()
+        for i in range(n_commits):
+            while True:
+                man = t.manifest()  # tip: version + chunks, ONE read
+                if t._try_commit(man["version"] + 1,
+                                 man["chunks"] + [f"c-{wid}-{i}"],
+                                 "append", stats={}, file_stats={}):
+                    landed.append(man["version"] + 1)
+                    break
+        results.put((wid, landed))
+
+    procs = [ctx.Process(target=worker, args=(i,))
+             for i in range(n_workers)]
+    for p in procs:
+        p.start()
+    got = [results.get(timeout=120) for _ in range(n_workers)]
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+    all_versions = sorted(v for _, landed in got for v in landed)
+    assert all_versions == list(range(1, n_workers * n_commits + 1)), \
+        "every commit must land at a distinct consecutive version"
+    tip = CowTable.__new__(CowTable)
+    tip.spark, tip.path = None, str(path)
+    tip._chunk_schema_cache, tip._parse_ok = {}, set()
+    final = tip.manifest()
+    expect = {f"c-{w}-{i}"
+              for w in range(n_workers) for i in range(n_commits)}
+    assert set(final["chunks"]) == expect, "lost update: chunks missing"
