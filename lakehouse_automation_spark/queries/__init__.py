@@ -48,64 +48,33 @@ from . import graph           # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). Round-11 priority, in order
-# (VERDICT r10 ask #3: steady-state rotation, registry frozen):
+# derives it — never hand-count). Round-12 priority, in order
+# (VERDICT r11 ask #2: steady-state rotation, registry frozen):
 #
-#   1. The entire 46-key r6-gated cohort (round 10's
+#   1. The entire 47-key r7-gated cohort (round 11's
 #      _NEXT_SWEEP_QUEUE — every key whose newest official gate entry
-#      is round 6). After this round's sweep the oldest official
-#      entry is >= r7.
-#   2. The 4 spare slots go to changed-key re-confirmation (ask #2's
-#      guard-site edits first): flagship_pricing_summary and
-#      join_broadcast (the double domain-guard de-dup — idempotent,
-#      values cannot change, re-gated anyway), fn_datetime (due_date
-#      now ltrims the ISO-expanded '+' that year-10000 date-arithmetic
-#      overflow produces — found by the r11 relational time-edge
-#      gate), and tf_cdc_feed (the manifest publish now routes through
-#      PathIO publish_if_absent — ask #5's conditional-put commit
-#      seam, exercised by its create+append+merge commit sequence;
-#      also the r10 memory-flagged re-gate priority after its sf0.01
-#      oracle fix landed post-r9-gate). Note tf_zorder — the round's
-#      other changed-implementation key (rank-based z-values) — is
-#      already in the cohort above.
+#      is round 7). After this round's sweep the oldest official
+#      entry is >= r8.
+#   2. The 3 spare slots go to changed-key re-confirmation
+#      (changed-keys-first rule): tf_zorder (ask #4 — the zorder
+#      compact now persists the __z-augmented rows so the rank tree
+#      is evaluated once per row), tf_acid_append (the commit publish
+#      protocol changed: stage-then-FileContext.rename on HDFS-class
+#      schemes, close-time 412 mapping on object stores, and the
+#      unparseable-manifest reader guard — the append retry loop is
+#      this key's whole job), and vec_ivf_index_refresh (its module's
+#      PathIO dependency changed — percent-decoding _strip, staged
+#      publish — and it is the stalest changed-adjacent key, gated
+#      r8).
 #
-# Growth freeze: round 11 adds ZERO new keys.
+# Growth freeze: round 12 adds ZERO new keys.
 #
 # Wedge isolation: no live-stream key ({tf_stream_ingest,
 # lifecycle_daemon, stream_custom_state, stream_stream_join}) is in
-# this fold (all re-gated r9), so the rule holds vacuously;
-# stream_tws_state's stateful path is the batch-restatement form.
+# this fold (all re-gated r9), so the rule holds vacuously — the
+# stream_* keys below are batch-restatement forms.
 _SWEEP_ORDER = [
-    # --- 1: the 46-key r6 cohort ---
-    "agg_bitmap_distinct", "agg_collect", "agg_count_min_sketch",
-    "agg_cube", "agg_grouping_sets", "agg_mode", "agg_percentile",
-    "agg_pivot", "agg_sketch_setops", "dedup", "distinct_proj",
-    "event_attribution", "event_path_analysis", "filter_in_between_like",
-    "fn_string", "join_dpp_partition_pruned", "join_theta_range",
-    "sample", "sample_stratified_topk", "scan_text",
-    "sessionize_incremental", "sessionize_salted", "set_except",
-    "set_intersect", "set_union", "set_union_all", "sink_partitioned",
-    "sort_multi", "stream_tws_state", "text_substring_dedup",
-    "tf_bloom_index", "tf_cdc_updates", "tf_constraints",
-    "tf_delete_vacuum", "tf_merge_cow", "tf_stats_prune", "tf_zorder",
-    "topk", "ts_ewma", "ts_interpolate_linear", "ts_resample_ffill",
-    "ts_rolling_anomaly", "vec_binary_topk", "vec_int8_topk",
-    "win_analytic", "win_frame_range",
-    # --- 2: the 4 changed-key spares ---
-    "flagship_pricing_summary", "join_broadcast", "fn_datetime",
-    "tf_cdc_feed",
-    # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # The round-12 queue continues in _NEXT_SWEEP_QUEUE below.
-]
-
-# The round-12 fold front, machine-readable: the stalest official
-# greens once the r11 fold lands — the full 47-key r7-gated cohort
-# (none of its members is an r11 spare). tests/test_smoke.py
-# recomputes the cohort from the CORRECTNESS_r*.json files and
-# enforces that this list is exactly the stalest-not-in-fold set, so
-# the rotation cannot silently drop a stale key. Any NEW key must be
-# inserted into the fold itself (growth-freeze rule above), not here.
-_NEXT_SWEEP_QUEUE = [
+    # --- 1: the 47-key r7 cohort ---
     "analyze_stats", "bulk_load", "catalog_list", "ddl_exec",
     "event_markov_transitions", "exec_timing", "graph_components",
     "incremental_load", "jdbc_source", "ledger_insert", "ledger_topk",
@@ -121,6 +90,38 @@ _NEXT_SWEEP_QUEUE = [
     "text_tokenize_stats", "tfidf_keywords", "ts_autocorr",
     "udf_pandas_scalar", "udtf_lateral", "vec_cosine_topk",
     "vec_ivf_topk", "vec_neardup_cosine",
+    # --- 2: the 3 changed-key spares ---
+    "tf_zorder", "tf_acid_append", "vec_ivf_index_refresh",
+    # ---- fold: the driver sweep stops reading here (50 keys) ----
+    # The round-13 queue continues in _NEXT_SWEEP_QUEUE below.
+]
+
+# The round-13 fold front, machine-readable: the stalest official
+# greens once the r12 fold lands — the 50-key r8-gated cohort minus
+# vec_ivf_index_refresh (pulled forward into the r12 fold as a
+# changed-key spare). tests/test_smoke.py recomputes the cohort from
+# the CORRECTNESS_r*.json files and enforces that this list is
+# exactly the stalest-not-in-fold set, so the rotation cannot
+# silently drop a stale key. Any NEW key must be inserted into the
+# fold itself (growth-freeze rule above), not here.
+_NEXT_SWEEP_QUEUE = [
+    "agg_benford_digits", "agg_entropy", "agg_exact_deciles",
+    "agg_freq_histogram", "agg_gini", "agg_hhi", "agg_mad_outliers",
+    "agg_pareto_8020", "agg_sample_estimate", "agg_skew_kurt",
+    "agg_topk_share", "agg_weighted_median", "curate_pipeline",
+    "event_ab_test", "event_active_users", "event_attribution_first",
+    "event_attribution_linear", "event_conversion_lag",
+    "event_cooccurrence", "event_interarrival_stats",
+    "graph_assortativity", "graph_jaccard_neighbors", "graph_pagerank",
+    "graph_shortest_paths", "graph_triangles", "join_asof_nearest",
+    "join_cross", "mm_exact_dedup", "order_basket_lift",
+    "project_unpivot", "rfm_segments", "sink_json",
+    "text_collocations", "text_rake_keywords", "text_vocab_coverage",
+    "text_vocab_stats", "ts_changepoint", "ts_crosscorr",
+    "ts_linreg_trend", "ts_monthly_growth", "ts_seasonality",
+    "vec_centroid_drift", "vec_cluster_quality", "vec_dispersion",
+    "vec_label_outliers", "win_cumulative_distinct",
+    "win_intervals_overlap", "win_skyline", "win_streaks",
 ]
 
 

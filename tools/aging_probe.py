@@ -21,7 +21,8 @@ Both incremental paths were already shown corpus-independent PER BATCH
   over batch — the flat-cost claim, measured across k batches instead
   of one.
 
-Writes bench/AGING_r10.json and prints the SCALE.md tables.
+Writes the --json-out record (default bench/AGING_r12.json)
+and prints the SCALE.md tables.
 
   python tools/aging_probe.py [--json-out FILE]
 """
@@ -189,15 +190,32 @@ def ivf_probe(spark, record: dict) -> None:
             print(json.dumps({"cadence": cadence_steps[-1]}))
 
         checkpoint("build@50%", n0)
+        # storage-registry column (VERDICT r11 ask #7): the r11 swap
+        # from localCheckpoint to persist/unpersist is pytest-pinned
+        # single-refresh; here the SAME invariant is asserted at scale
+        # across the whole 8-refresh cadence — the JVM persistent-RDD
+        # registry must end each refresh no larger than it started, or
+        # a long-running maintenance daemon accumulates executor
+        # storage.
+        jsc = spark.sparkContext._jsc.sc()
+        storage_steps = []
         for b in range(8):
             lo, hi = n0 + b * batch_sz, n0 + (b + 1) * batch_sz
             if b == 7:
                 hi = total
             batch = emb.filter((F.col("vec_id") >= lo)
                                & (F.col("vec_id") < hi))
+            rdds_before = jsc.getPersistentRDDs().size()
             ivf_index_refresh(spark, batch, idx)
             ivf_index_refresh(spark, batch, idx2,
                               compact_files_per_cell=8)
+            rdds_after = jsc.getPersistentRDDs().size()
+            storage_steps.append({
+                "refresh": b + 1, "rdds_before": rdds_before,
+                "rdds_after": rdds_after})
+            assert rdds_after <= rdds_before, (
+                f"refresh#{b + 1} leaked cached blocks: "
+                f"{rdds_before} -> {rdds_after}")
             if b in (1, 3, 5, 7):
                 checkpoint(f"refresh#{b + 1}", hi)
                 cadence_checkpoint(f"refresh#{b + 1}", hi)
@@ -229,6 +247,7 @@ def ivf_probe(spark, record: dict) -> None:
             "cadence_files_final": len(glob.glob(
                 os.path.join(idx2, "cell_id=*", "*.parquet"))),
             "cadence_content_equal": a == b2,
+            "storage_registry": storage_steps,
         }
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
@@ -297,7 +316,7 @@ def text_probe(spark, record: dict) -> None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--json-out",
-                    default=os.path.join(REPO, "bench", "AGING_r10.json"))
+                    default=os.path.join(REPO, "bench", "AGING_r12.json"))
     args = ap.parse_args()
 
     from lakehouse_automation_spark.engine import get_spark
