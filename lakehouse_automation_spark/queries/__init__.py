@@ -62,10 +62,12 @@ from . import graph           # noqa: E402,F401
 #      protocol changed: stage-then-FileContext.rename on HDFS-class
 #      schemes, close-time 412 mapping on object stores, and the
 #      unparseable-manifest reader guard — the append retry loop is
-#      this key's whole job), and vec_ivf_index_refresh (its module's
-#      PathIO dependency changed — percent-decoding _strip, staged
-#      publish — and it is the stalest changed-adjacent key, gated
-#      r8).
+#      this key's whole job), and ts_monthly_growth (the r12 composed
+#      kitchen-sink found its zero-base growth divide: a sparse
+#      time-edge month whose only surviving price is an injected 0.0
+#      made prev_cents 0 and ANSI Spark raised DIVIDE_BY_ZERO — both
+#      engine and oracle now NULLIF the base; implementation + oracle
+#      changed, so it outranks the indirectly-touched candidates).
 #
 # Growth freeze: round 12 adds ZERO new keys.
 #
@@ -91,14 +93,14 @@ _SWEEP_ORDER = [
     "udf_pandas_scalar", "udtf_lateral", "vec_cosine_topk",
     "vec_ivf_topk", "vec_neardup_cosine",
     # --- 2: the 3 changed-key spares ---
-    "tf_zorder", "tf_acid_append", "vec_ivf_index_refresh",
+    "tf_zorder", "tf_acid_append", "ts_monthly_growth",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
     # The round-13 queue continues in _NEXT_SWEEP_QUEUE below.
 ]
 
 # The round-13 fold front, machine-readable: the stalest official
 # greens once the r12 fold lands — the 50-key r8-gated cohort minus
-# vec_ivf_index_refresh (pulled forward into the r12 fold as a
+# ts_monthly_growth (pulled forward into the r12 fold as a
 # changed-key spare). tests/test_smoke.py recomputes the cohort from
 # the CORRECTNESS_r*.json files and enforces that this list is
 # exactly the stalest-not-in-fold set, so the rotation cannot
@@ -118,9 +120,10 @@ _NEXT_SWEEP_QUEUE = [
     "project_unpivot", "rfm_segments", "sink_json",
     "text_collocations", "text_rake_keywords", "text_vocab_coverage",
     "text_vocab_stats", "ts_changepoint", "ts_crosscorr",
-    "ts_linreg_trend", "ts_monthly_growth", "ts_seasonality",
+    "ts_linreg_trend", "ts_seasonality",
     "vec_centroid_drift", "vec_cluster_quality", "vec_dispersion",
-    "vec_label_outliers", "win_cumulative_distinct",
+    "vec_ivf_index_refresh", "vec_label_outliers",
+    "win_cumulative_distinct",
     "win_intervals_overlap", "win_skyline", "win_streaks",
 ]
 

@@ -789,7 +789,7 @@ def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(cents AS DOUBLE) / 100 AS revenue,
            CAST(cents - prev_cents AS BIGINT) AS delta_cents,
            CAST(cents - prev_cents AS DOUBLE)
-             / CAST(prev_cents AS DOUBLE) AS growth
+             / CAST(NULLIF(prev_cents, 0) AS DOUBLE) AS growth
     FROM lagged
     """,
 )
@@ -830,5 +830,11 @@ def ts_monthly_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cents").cast("double") / F.lit(100)).alias("revenue"),
         (F.col("cents") - F.col("prev_cents")).cast("long")
         .alias("delta_cents"),
+        # growth from a ZERO base is undefined, not infinite: NULLIF
+        # folds it to NULL in both engines. Found by the r12 composed
+        # kitchen-sink — a sparse time-edge month whose only surviving
+        # price is an injected 0.0 makes prev_cents 0, and ANSI Spark
+        # raises DIVIDE_BY_ZERO where the clean corpus never could.
         ((F.col("cents") - F.col("prev_cents")).cast("double")
-         / F.col("prev_cents").cast("double")).alias("growth"))
+         / F.nullif(F.col("prev_cents"), F.lit(0)).cast("double"))
+        .alias("growth"))

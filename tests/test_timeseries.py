@@ -262,3 +262,29 @@ def test_ewma_all_null_window_is_null_not_divide_by_zero(spark, tmp_path):
     assert len(out) == 3
     assert all(r["ewma"] is None for r in out), out
     assert all(r["value"] is None for r in out)  # Inf folds out-of-domain
+
+
+def test_monthly_growth_zero_base_is_null_not_divide_by_zero(spark, tmp_path):
+    """A month whose revenue nets to exactly 0 cents has NO defined
+    month-over-month growth for its successor: under ANSI mode the
+    bare division aborted the job (surfaced by the r12 composed
+    kitchen-sink — a sparse time-edge month whose only surviving
+    price was an injected 0.0). The fixed form yields NULL, mirrored
+    by the oracle's NULLIF; delta_cents stays exact."""
+    li = spark.createDataFrame(
+        [(1, "1997-01-15", 0.0),        # month 199701 nets to 0 cents
+         (1, "1997-02-15", 50.0)],      # growth from a 0 base: NULL
+        "l_suppkey long, l_shipdate string, l_extendedprice double")
+    li.select("l_suppkey",
+              F.col("l_shipdate").cast("date").alias("l_shipdate"),
+              "l_extendedprice").write.parquet(
+        str(tmp_path / "lineitem.parquet"))
+    spark.createDataFrame(
+        [(1, 7)], "s_suppkey long, s_nationkey long").write.parquet(
+        str(tmp_path / "supplier.parquet"))
+    rows = {r["ym"]: r for r in
+            REGISTRY["ts_monthly_growth"].fn(spark, str(tmp_path))
+            .collect()}
+    assert rows[199701]["revenue"] == 0.0
+    assert rows[199702]["delta_cents"] == 5000
+    assert rows[199702]["growth"] is None, rows[199702]
