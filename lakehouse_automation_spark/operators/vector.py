@@ -316,7 +316,15 @@ def ivf_index_refresh(spark, batch: DataFrame, path: str,
 
     Returns the assigned batch (vec_id, cell_id) so callers can audit
     which cells were touched; the plan is one broadcast join + one
-    append write of batch-sized data."""
+    append write of batch-sized data. Caller contract on the audit:
+    with ``compact_files_per_cell`` set, the assignment cache is
+    released once the maintenance pass finishes, so CONSUMING the
+    returned DataFrame afterwards re-runs the batch-sized assignment
+    job once more — deterministic (frozen centroids), and the right
+    trade: the refresh cadence must not retain executor storage for an
+    audit most callers drop, so auditors pay, non-auditors don't.
+    Callers that always consume it can ``.persist()`` the return
+    themselves."""
     from .pathio import pathio_for
 
     io = pathio_for(spark, path)
