@@ -56,18 +56,22 @@ from . import graph           # noqa: E402,F401
 #      is round 7). After this round's sweep the oldest official
 #      entry is >= r8.
 #   2. The 3 spare slots go to changed-key re-confirmation
-#      (changed-keys-first rule): tf_zorder (ask #4 — the zorder
-#      compact now persists the __z-augmented rows so the rank tree
-#      is evaluated once per row), tf_acid_append (the commit publish
-#      protocol changed: stage-then-FileContext.rename on HDFS-class
-#      schemes, close-time 412 mapping on object stores, and the
-#      unparseable-manifest reader guard — the append retry loop is
-#      this key's whole job), and ts_monthly_growth (the r12 composed
-#      kitchen-sink found its zero-base growth divide: a sparse
-#      time-edge month whose only surviving price is an injected 0.0
-#      made prev_cents 0 and ANSI Spark raised DIVIDE_BY_ZERO — both
-#      engine and oracle now NULLIF the base; implementation + oracle
-#      changed, so it outranks the indirectly-touched candidates).
+#      (changed-keys-first rule), ranked by RESULT impact:
+#      ts_monthly_growth (the r12 composed kitchen-sink found its
+#      zero-base growth divide — both engine and oracle now NULLIF
+#      the base), win_frame_range (the r12 sf1 replica caught the
+#      engine's second-truncated frame key diverging from the
+#      oracle's fractional epoch on sub-second boundary pairs; both
+#      sides now order on exact epoch microseconds), and vec_knn_join
+#      (its SQL oracle now re-derives the LSH banding tier from
+#      count(*) like adaptive_banding, closing the fixed-tier replay
+#      gap the sf1 record had carried since r8 — vec_neardup_lsh, the
+#      other consumer of that CTE, is already in the r7 cohort above).
+#      Displaced from the spare list: tf_zorder and tf_acid_append —
+#      their r12 changes are performance/plumbing with semantics
+#      pinned by pytest (zorder persist; publish protocol), both carry
+#      fresh official gates (r11/r9), and both passed the full r12
+#      robustness matrix; result-changing keys outrank them.
 #
 # Growth freeze: round 12 adds ZERO new keys.
 #
@@ -93,7 +97,7 @@ _SWEEP_ORDER = [
     "udf_pandas_scalar", "udtf_lateral", "vec_cosine_topk",
     "vec_ivf_topk", "vec_neardup_cosine",
     # --- 2: the 3 changed-key spares ---
-    "tf_zorder", "tf_acid_append", "ts_monthly_growth",
+    "ts_monthly_growth", "win_frame_range", "vec_knn_join",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
     # The round-13 queue continues in _NEXT_SWEEP_QUEUE below.
 ]

@@ -271,15 +271,46 @@ def vec_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SQL-replayable: embed the 32x64 plane matrix as literals (repr()
 # round-trips doubles exactly), recompute the sign-bit buckets with
 # the same sequential fold, and the candidate sets match bit-for-bit.
+#
+# The (band, bit) grouping is NOT baked into the literals: the engine
+# resizes bands with the corpus (operators.vector.adaptive_banding —
+# candidates grow n²/2^bits per band, so fixed banding is a scale
+# bug), and a fixed-tier oracle silently replays the WRONG pipeline
+# the moment the gate runs above the floor tier. The r12 sf1 replica
+# caught exactly that: at 20k vectors the engine banded 4×8 while the
+# oracle still banded 8×4 — 74k candidate pairs vs 11k, a
+# ROWCOUNT_MISMATCH that had sat untriaged since r8 (and the blown-up
+# floor-tier candidate join is what OOM'd vec_knn_join's DuckDB side).
+# So the rows carry the RAW plane index and the tier is re-derived IN
+# SQL from count(*), replaying adaptive_banding's thresholds: both
+# small-sf tiers group the SAME 32 contract planes (band_id = idx //
+# bits, bit_pos = idx % bits — operators/vector.py lsh_bucket_table),
+# so the oracle now matches the engine at every oracle-gated scale.
+# The 16×16 scale tier needs the 256-plane extension matrix — ~40x
+# the literal payload for a tier no oracle corpus reaches — so it
+# raises loudly (error()) instead of diverging silently.
 _PLANES_ROWS = ",\n      ".join(
-    "({b}, {p}, [{vals}])".format(
-        b=i // BITS_PER_BAND, p=i % BITS_PER_BAND,
-        vals=", ".join(repr(x) for x in LSH_PLANES[i]))
+    "({i}, [{vals}])".format(
+        i=i, vals=", ".join(repr(x) for x in LSH_PLANES[i]))
     for i in range(N_PLANES))
 
 _LSH_BUCKETS = f"""
-    planes(band_id, bit_pos, pv) AS (VALUES
+    planes0(pidx, pv) AS (VALUES
       {_PLANES_ROWS}
+    ),
+    tier AS (
+      SELECT CASE
+               WHEN count(*) / {1 << BITS_PER_BAND}.0 <= 125.0
+                 THEN {BITS_PER_BAND}
+               WHEN count(*) / 256.0 <= 125.0 THEN 8
+               ELSE CAST(error('corpus exceeds the 32-plane SQL oracle tiers (adaptive_banding 16x16 needs the 256-plane extension)') AS INT)
+             END AS bpb
+      FROM n
+    ),
+    planes AS (
+      SELECT CAST(pidx // bpb AS INT) AS band_id,
+             CAST(pidx % bpb AS INT) AS bit_pos, pv
+      FROM planes0, tier
     ),
     bits AS (
       SELECT n.vec_id, p.band_id, p.bit_pos,
@@ -322,7 +353,11 @@ def vec_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality ground truth, with a pytest recall gate). The planes are
     fixed import-time constants, so the full pipeline — sign bits,
     band buckets, candidate join, exact verify — replays in SQL and
-    hash-matches (upgraded from the rows-only check of rounds 1-3)."""
+    hash-matches (upgraded from the rows-only check of rounds 1-3).
+    The SQL replay re-derives the banding TIER from count(*) exactly
+    like adaptive_banding, so the gate stays exact at every
+    oracle-gated scale (the r12 sf1 replica caught the fixed-tier
+    oracle diverging at 20k vectors — see _LSH_BUCKETS)."""
     return lsh_neardup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
@@ -499,7 +534,8 @@ def vec_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def vec_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate all-to-all kNN join via random-hyperplane LSH
-    (8 bands x 4 sign bits): candidates share >=1 band bucket, exact
+    (occupancy-adaptive banding; 8 bands x 4 sign bits at the floor
+    tier): candidates share >=1 band bucket, exact
     cosine rerank, top-5 per vector. Sublinear candidate generation —
     the 100 TB path for corpus-vs-corpus joins. The fixed planes make
     even this key SQL-replayable (see vec_neardup_lsh), so the gate

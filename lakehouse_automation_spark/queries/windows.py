@@ -103,19 +103,29 @@ def win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     "win_frame_range",
     oracle="""
     SELECT event_id, user_id,
-           COUNT(*) OVER (PARTITION BY user_id ORDER BY date_part('epoch', CAST(ts AS TIMESTAMP))
-                          RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_last_hour
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                          RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS n_last_hour
     FROM events
     """,
 )
 def win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-based RANGE frame: events per user in the trailing hour,
-    ordered by epoch seconds (the moving-rate query over the survey
-    stream)."""
+    ordered by epoch MICROSECONDS (the moving-rate query over the
+    survey stream). Microseconds, not seconds: second-truncated order
+    keys make the frame boundary depend on where each event falls
+    inside its second — an event 3600.9 s back counts as in-window —
+    and the engine's cast-to-long truncation silently disagreed with
+    the oracle's fractional date_part('epoch') on exactly the
+    sub-second boundary pairs a large corpus always has (the r12 sf1
+    replica caught the ±1 count divergence; no such pair exists at
+    the sf0.01/0.1 scales, so every smaller gate had passed). A
+    trailing hour now means 3600.000000 s in both engines at any
+    scale."""
     ev = t(spark, sf_dir, "events").withColumn(
-        "_epoch_s", F.col("ts").cast("timestamp").cast("long")
+        "_epoch_us", F.unix_micros(F.col("ts").cast("timestamp"))
     )
-    w = W.partitionBy("user_id").orderBy("_epoch_s").rangeBetween(-3600, 0)
+    w = (W.partitionBy("user_id").orderBy("_epoch_us")
+         .rangeBetween(-3_600_000_000, 0))
     return ev.select(
         "event_id", "user_id", F.count(F.lit(1)).over(w).alias("n_last_hour")
     )
