@@ -631,12 +631,21 @@ def lsh_bucket_table(emb: DataFrame,
     """(vec_id, band_id, bucket): sign-bit signatures over fixed
     hyperplanes, packed per band.
 
-    Banding defaults to :func:`adaptive_banding` of the corpus count
-    (one metadata-cheap count job per invocation — the signature
-    table is keyed-persisted by callers, so this never repeats per
-    query). The small-sf tiers group the same 32 oracle-contract
-    planes; the 256-plane scale tier draws the extension planes from
-    ``LSH_PLANES_EXT`` (first 32 = the contract, verbatim).
+    Banding defaults to :func:`adaptive_banding` of the NULL-FILTERED
+    corpus count — the rows that actually receive signatures (a NULL
+    embedding has no geometry; :func:`with_vnorm` drops it at the
+    funnel below). Tiering on the raw count instead would diverge
+    from the SQL oracles, whose tier CTE counts the same
+    null-filtered ``n`` CTE: with NULL embeddings present and the
+    corpus near a tier boundary (2000 or 32000 indexable vectors),
+    engine and oracle would band differently and silently replay
+    different pipelines — the fixed-tier bug class from the r12 sf1
+    triage, reintroduced on the null axis. One metadata-cheap count
+    job per invocation — the signature table is keyed-persisted by
+    callers, so this never repeats per query. The small-sf tiers
+    group the same 32 oracle-contract planes; the 256-plane scale
+    tier draws the extension planes from ``LSH_PLANES_EXT`` (first
+    32 = the contract, verbatim).
 
     The planes live in a broadcast ≤256-row DataFrame; each sign bit
     is ONE 64-term dot after the join, and packing is a small
@@ -645,8 +654,10 @@ def lsh_bucket_table(emb: DataFrame,
     multi-megabyte codegen unit that OOMs small driver heaps (the
     external harness runs a default-memory session)."""
     spark = emb.sparkSession
+    n = with_vnorm(emb)
     if bits_per_band is None:
-        bits_per_band, n_bands = adaptive_banding(emb.count())
+        # tier on the signed (null-filtered) count — see docstring
+        bits_per_band, n_bands = adaptive_banding(n.count())
     elif n_bands is None:
         # Legacy single-knob call. The 32-plane legacy derivation is
         # only safe up to 8-bit bands; feeding it a 16-bit width (e.g.
@@ -670,7 +681,6 @@ def lsh_bucket_table(emb: DataFrame,
          for i in range(n_used)],
         "band_id int, bit_pos int, pv array<double>",
     ))
-    n = with_vnorm(emb)
     # round before the sign decision (SIM_DECIMALS, like every other
     # cross-engine boundary here): an oracle replaying the plane dots
     # with a different summation order must flip the same bits

@@ -252,6 +252,61 @@ def test_adaptive_banding_never_leaves_runt_bands():
     assert len(LSH_PLANES_EXT) == N_PLANES_MAX
 
 
+def test_lsh_oracle_tier_case_matches_adaptive_banding():
+    """The SQL oracles' tier CASE must pick the SAME (bits, bands) as
+    adaptive_banding at every boundary — a drifted threshold silently
+    replays a different pipeline (the r12 sf1 bug class). Probes the
+    shared _TIER_SELECT fragment with synthetic counts straddling the
+    2000 and 32000 boundaries."""
+    import duckdb
+
+    from lakehouse_automation_spark.operators.vector import adaptive_banding
+    from lakehouse_automation_spark.queries.vector_pipeline import (
+        _TIER_SELECT)
+
+    con = duckdb.connect()
+    for n in [1, 1999, 2000, 2001, 31999, 32000, 32001, 60000, 10**6]:
+        got = con.sql(
+            f"WITH n AS (SELECT * FROM range({n})) {_TIER_SELECT}"
+        ).fetchone()
+        assert tuple(got) == adaptive_banding(n), (n, got)
+    con.close()
+
+
+def test_lsh_tiering_ignores_null_embeddings(spark, emb):
+    """lsh_bucket_table must tier on the INDEXABLE (null-filtered)
+    count — the rows that actually receive signatures and the count
+    the SQL oracle's tier CTE uses. A raw-count tier diverges from
+    the oracle whenever NULL embeddings push the raw count over a
+    banding boundary the filtered count stays under (ADVICE r12):
+    2100 raw / 2000 filtered must band 4x8 (floor), not 8x4."""
+    from lakehouse_automation_spark.operators.vector import (
+        adaptive_banding, lsh_bucket_table)
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    # inflate to exactly 2000 indexable rows + 100 NULL-embedding rows
+    n_base = base.count()
+    reps = 2000 // n_base
+    assert reps * n_base == 2000, "fixture size must divide 2000"
+    wide = base.crossJoin(spark.range(reps).select(F.col("id").alias("r"))) \
+        .select((F.col("vec_id") + F.col("r") * n_base).alias("vec_id"),
+                "embedding")
+    nulls = spark.range(2000, 2100).select(
+        F.col("id").alias("vec_id"),
+        F.lit(None).cast("array<double>").alias("embedding"))
+    dirty = wide.unionByName(nulls)
+    assert adaptive_banding(2100) != adaptive_banding(2000)  # boundary real
+    buckets = lsh_bucket_table(dirty)
+    bands = [r.band_id for r in
+             buckets.select("band_id").distinct().collect()]
+    assert sorted(bands) == list(range(8)), (
+        f"expected floor-tier 8 bands from the 2000-row indexable "
+        f"count, got bands {sorted(bands)}")
+    # and the NULL rows got no signatures at all
+    assert buckets.filter(F.col("vec_id") >= 2000).count() == 0
+
+
 def test_ivf_index_refresh_equals_full_rebuild(spark, emb, tmp_path):
     """Refreshing a persisted IVF index with a new batch (frozen
     build-time centroids, append-only) must yield the IDENTICAL index
