@@ -48,69 +48,32 @@ from . import graph           # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). Round-12 priority, in order
-# (VERDICT r11 ask #2: steady-state rotation, registry frozen):
+# derives it — never hand-count). Round-13 priority, in order
+# (VERDICT r12 ask #3: steady-state rotation, registry frozen):
 #
-#   1. The entire 47-key r7-gated cohort (round 11's
+#   1. 48 of the 49-key r8-gated cohort (round 12's
 #      _NEXT_SWEEP_QUEUE — every key whose newest official gate entry
-#      is round 7). After this round's sweep the oldest official
-#      entry is >= r8.
-#   2. The 3 spare slots go to changed-key re-confirmation
-#      (changed-keys-first rule), ranked by RESULT impact:
-#      ts_monthly_growth (the r12 composed kitchen-sink found its
-#      zero-base growth divide — both engine and oracle now NULLIF
-#      the base), win_frame_range (the r12 sf1 replica caught the
-#      engine's second-truncated frame key diverging from the
-#      oracle's fractional epoch on sub-second boundary pairs; both
-#      sides now order on exact epoch microseconds), and vec_knn_join
-#      (its SQL oracle now re-derives the LSH banding tier from
-#      count(*) like adaptive_banding, closing the fixed-tier replay
-#      gap the sf1 record had carried since r8 — vec_neardup_lsh, the
-#      other consumer of that CTE, is already in the r7 cohort above).
-#      Displaced from the spare list: tf_zorder and tf_acid_append —
-#      their r12 changes are performance/plumbing with semantics
-#      pinned by pytest (zorder persist; publish protocol), both carry
-#      fresh official gates (r11/r9), and both passed the full r12
-#      robustness matrix; result-changing keys outrank them.
+#      is round 8). After this round's sweep the oldest official
+#      entry is >= r9 for every key except the one displaced below.
+#   2. The 2 spare slots go to changed-key re-confirmation
+#      (changed-keys-first rule): vec_neardup_lsh and vec_knn_join —
+#      both their engine path (lsh_bucket_table now tiers on the
+#      null-filtered count, ADVICE r12) and their SQL oracle (the
+#      256-plane literals + two-knob tier CTE that make the 16x16
+#      scale tier replayable, VERDICT r12 ask #2) changed this round.
+#      Displaced to make room: sink_json — its r13 state is
+#      code-untouched, its semantics are pytest-pinned, and it passed
+#      every full-replica and sweep record since r8; result-changing
+#      keys outrank a stale-but-stable sink smoke. It fronts the r14
+#      queue below.
 #
-# Growth freeze: round 12 adds ZERO new keys.
+# Growth freeze: round 13 adds ZERO new keys.
 #
 # Wedge isolation: no live-stream key ({tf_stream_ingest,
 # lifecycle_daemon, stream_custom_state, stream_stream_join}) is in
-# this fold (all re-gated r9), so the rule holds vacuously — the
-# stream_* keys below are batch-restatement forms.
+# this fold (all re-gated r9), so the rule holds vacuously.
 _SWEEP_ORDER = [
-    # --- 1: the 47-key r7 cohort ---
-    "analyze_stats", "bulk_load", "catalog_list", "ddl_exec",
-    "event_markov_transitions", "exec_timing", "graph_components",
-    "incremental_load", "jdbc_source", "ledger_insert", "ledger_topk",
-    "mm_decode_features", "multi_stmt_exec", "retry_exec",
-    "sample_weighted", "scan_csv_schema", "scan_json",
-    "sink_csv_header", "sink_parquet", "sink_upsert", "sql_to_pandas",
-    "storage_mount", "stream_dedup_state", "stream_file_ingest",
-    "stream_foreach_batch", "stream_session", "stream_sliding_agg",
-    "stream_tumbling_agg", "stream_watermark_late", "table_compact",
-    "text_dedup_clusters", "text_fingerprint", "text_lang_id",
-    "text_minhash_dedup", "text_ngram_jaccard", "text_pii_redact",
-    "text_quality_score", "text_repetition", "text_simhash",
-    "text_tokenize_stats", "tfidf_keywords", "ts_autocorr",
-    "udf_pandas_scalar", "udtf_lateral", "vec_cosine_topk",
-    "vec_ivf_topk", "vec_neardup_cosine",
-    # --- 2: the 3 changed-key spares ---
-    "ts_monthly_growth", "win_frame_range", "vec_knn_join",
-    # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # The round-13 queue continues in _NEXT_SWEEP_QUEUE below.
-]
-
-# The round-13 fold front, machine-readable: the stalest official
-# greens once the r12 fold lands — the 50-key r8-gated cohort minus
-# ts_monthly_growth (pulled forward into the r12 fold as a
-# changed-key spare). tests/test_smoke.py recomputes the cohort from
-# the CORRECTNESS_r*.json files and enforces that this list is
-# exactly the stalest-not-in-fold set, so the rotation cannot
-# silently drop a stale key. Any NEW key must be inserted into the
-# fold itself (growth-freeze rule above), not here.
-_NEXT_SWEEP_QUEUE = [
+    # --- 1: 48 of the 49-key r8 cohort ---
     "agg_benford_digits", "agg_entropy", "agg_exact_deciles",
     "agg_freq_histogram", "agg_gini", "agg_hhi", "agg_mad_outliers",
     "agg_pareto_8020", "agg_sample_estimate", "agg_skew_kurt",
@@ -121,7 +84,7 @@ _NEXT_SWEEP_QUEUE = [
     "graph_assortativity", "graph_jaccard_neighbors", "graph_pagerank",
     "graph_shortest_paths", "graph_triangles", "join_asof_nearest",
     "join_cross", "mm_exact_dedup", "order_basket_lift",
-    "project_unpivot", "rfm_segments", "sink_json",
+    "project_unpivot", "rfm_segments",
     "text_collocations", "text_rake_keywords", "text_vocab_coverage",
     "text_vocab_stats", "ts_changepoint", "ts_crosscorr",
     "ts_linreg_trend", "ts_seasonality",
@@ -129,6 +92,24 @@ _NEXT_SWEEP_QUEUE = [
     "vec_ivf_index_refresh", "vec_label_outliers",
     "win_cumulative_distinct",
     "win_intervals_overlap", "win_skyline", "win_streaks",
+    # --- 2: the 2 changed-key spares ---
+    "vec_neardup_lsh", "vec_knn_join",
+    # ---- fold: the driver sweep stops reading here (50 keys) ----
+    # The round-14 queue continues in _NEXT_SWEEP_QUEUE below.
+]
+
+# The round-14 fold front, machine-readable: the stalest official
+# green once the r13 fold lands — sink_json, the single r8-gated key
+# displaced from the r13 fold by the two changed-key spares.
+# tests/test_smoke.py recomputes the cohort from the
+# CORRECTNESS_r*.json files and enforces that this list is exactly
+# the stalest-not-in-fold set, so the rotation cannot silently drop a
+# stale key. Any NEW key must be inserted into the fold itself
+# (growth-freeze rule above), not here. (Round 14 should extend this
+# with the r9-gated cohort once CORRECTNESS_r13 lands — the smoke
+# invariant will demand it then.)
+_NEXT_SWEEP_QUEUE = [
+    "sink_json",
 ]
 
 
