@@ -174,6 +174,93 @@ def _temporal_bound(lo, hi) -> bool:
         or isinstance(hi, (_dt.date, _dt.datetime))
 
 
+def _z_as_long_sql(df: DataFrame, c: str) -> str:
+    """SQL text of a z-order column as comparable long (timestamps →
+    epoch µs). A STRING, not a Column: the z expression is built as
+    one SQL literal and parsed JVM-side in a single call — the
+    Column-object tree cost ~4 s of py4j round-trips per compact at
+    255 cuts × 2 columns (the same driver-side plan-construction trap
+    operators/vector.py's `dot` documents)."""
+    dt = dict(df.dtypes)[c]
+    if dt.startswith("timestamp"):
+        return f"unix_micros(cast(`{c}` as timestamp))"
+    return f"cast(`{c}` as bigint)"
+
+
+def _z_spread(bucket: int, bits: int, k: int, i: int) -> int:
+    """Bucket index bit-spread to its interleaved z positions: bit b
+    of ``bucket`` lands at z bit b*k + i (column i of k)."""
+    z = 0
+    for b in range(bits):
+        z |= ((bucket >> b) & 1) << (b * k + i)
+    return z
+
+
+def _z_case_sql(x_sql: str, cuts: list[int], leaves: list[int],
+                lo: int, hi: int) -> str:
+    """Binary-search CASE tree over ``cuts`` whose leaves are the
+    PRE-SPREAD z contributions (count of cuts <= x, already
+    interleaved to this column's bit positions). Folding the spread
+    into the leaf literals means the whole per-column contribution is
+    ONE tree evaluation per row — the earlier shape (tree → bucket →
+    8 shift/mask references per bit) inlined the tree 8× per column
+    under CollapseProject, and with the >8 KB projection falling out
+    of whole-stage codegen each copy was evaluated interpreted,
+    per row. A NULL x fails every comparison and lands on the
+    leftmost leaf — bucket 0, the curve origin (skippable by every
+    range predicate, which NULL never satisfies anyway). A when-TREE,
+    not an array fold: F.aggregate over a 255-literal array allocates
+    and folds the array PER ROW (measured 5.75 s vs 0.6 s over sf0.1
+    orders)."""
+    if lo >= hi:
+        return f"{leaves[lo]}L"
+    mid = (lo + hi) // 2
+    return (f"(CASE WHEN {x_sql} >= {cuts[mid]}L "
+            f"THEN {_z_case_sql(x_sql, cuts, leaves, mid + 1, hi)} "
+            f"ELSE {_z_case_sql(x_sql, cuts, leaves, lo, mid)} END)")
+
+
+def _murmur3_int32(x: int, seed: int = 42) -> int:
+    """Spark's Murmur3Hash of one IntegerType value (x86_32, the
+    hashInt path) — what HashPartitioning computes for a single int
+    shuffle key, byte-for-byte. Re-implemented from the public
+    Murmur3 spec so the planner can choose hash-bucket TOKENS
+    driver-side with zero probe jobs; tests/test_zorder_sketch.py
+    pins it against F.hash on a value sweep, and a drift would also
+    fail tf_zorder's pruned-booleans oracle loudly (scrambled files
+    stop pruning)."""
+    m = 0xFFFFFFFF
+
+    def rotl(v: int, r: int) -> int:
+        return ((v << r) | (v >> (32 - r))) & m
+
+    k = (x & m) * 0xCC9E2D51 & m
+    k = rotl(k, 15) * 0x1B873593 & m
+    h = (seed ^ k) & m
+    h = (rotl(h, 13) * 5 + 0xE6546B64) & m
+    h ^= 4  # total bytes hashed
+    h = (h ^ (h >> 16)) * 0x85EBCA6B & m
+    h = (h ^ (h >> 13)) * 0xC2B2AE35 & m
+    h ^= h >> 16
+    # back to JVM signed int, as Pmod sees it
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _hash_bucket_tokens(n: int) -> list[int]:
+    """For each shuffle bucket b < n, the smallest non-negative int32
+    t with pmod(murmur3(t), n) == b — repartition(n, token_col) then
+    places token b's rows in partition b exactly, no collisions and
+    no empty buckets. Search cost is O(n·H_n) expected (~6n probes)."""
+    tokens: dict[int, int] = {}
+    t = 0
+    while len(tokens) < n:
+        b = _murmur3_int32(t) % n  # Python % is already pmod
+        if b not in tokens:
+            tokens[b] = t
+        t += 1
+    return [tokens[b] for b in range(n)]
+
+
 class CowTable:
     """Handle to a copy-on-write table rooted at ``path``.
 
@@ -1107,7 +1194,8 @@ class CowTable:
 
     def compact(self, n_files: int = 1,
                 sort_by: list[str] | None = None,
-                zorder_by: list[str] | None = None) -> int:
+                zorder_by: list[str] | None = None,
+                zorder_layout: str = "sampled") -> int:
         """OPTIMIZE analog: rewrite the live snapshot into one chunk of
         ``n_files`` files; readers of older manifests are unaffected.
 
@@ -1124,28 +1212,40 @@ class CowTable:
         predicate on any one of k columns prunes toward
         files^(1-1/k), the multi-dimensional OPTIMIZE ZORDER
         trade-off. The z-value is computed, clustered on, and dropped
-        — never persisted into the data files (Delta's behavior)."""
+        — never persisted into the data files (Delta's behavior).
+        ``zorder_layout`` picks the clustering strategy: "sampled"
+        (default — one data scan, driver-side sample supplies rank
+        cuts AND file boundaries, see :meth:`_zorder_layout`) or
+        "persist" (the r12 approxQuantile + cached-range-partition
+        path, kept for A/B reference)."""
         if sort_by and zorder_by:
             raise ValueError("sort_by and zorder_by are mutually exclusive")
+        if zorder_layout not in ("sampled", "persist"):
+            raise ValueError(f"unknown zorder_layout {zorder_layout!r}")
         man = self.manifest()
         df = self._read_chunks(man["chunks"])
         cached = None
         if sort_by:
             df = (df.repartitionByRange(n_files, *sort_by)
                   .sortWithinPartitions(*sort_by))
+        elif zorder_by and zorder_layout == "sampled":
+            df = self._zorder_layout(df, n_files, zorder_by, man)
         elif zorder_by:
             from pyspark import StorageLevel
 
-            # evaluate the z expression ONCE per row: without the
-            # persist, the range partitioner's sampling job and the
-            # sort job each recompute scan + rank tree (VERDICT r11).
-            # The sampling job reads every partition, so it populates
-            # the cache; the sort then reads cached rows. Scoped
-            # strictly to this compact (unpersist in finally). Note:
-            # persisting the BASE rows as well (to also dedup the
-            # approxQuantile pass's scan) was measured SLOWER at sf0.1
-            # (4.65 s vs 3.34 s min-of-6) — double cache
-            # materialization costs more than one columnar re-scan.
+            # The r12 layout, kept for A/B reference (see
+            # _zorder_layout for why "sampled" replaced it as the
+            # default): evaluate the z expression ONCE per row —
+            # without the persist, the range partitioner's sampling
+            # job and the sort job each recompute scan + rank tree
+            # (VERDICT r11). The sampling job reads every partition,
+            # so it populates the cache; the sort then reads cached
+            # rows. Scoped strictly to this compact (unpersist in
+            # finally). Note: persisting the BASE rows as well (to
+            # also dedup the approxQuantile pass's scan) was measured
+            # SLOWER at sf0.1 (4.65 s vs 3.34 s min-of-6) — double
+            # cache materialization costs more than one columnar
+            # re-scan.
             cached = (df.withColumn(
                 "__z", self._zorder_value(df, zorder_by))
                 .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1209,51 +1309,170 @@ class CowTable:
         file count, so the cap costs pruning nothing. NULLs fold to
         bucket 0 (they cluster at the curve origin and stay skippable
         for every range predicate, which NULL never satisfies)."""
-        def as_long(c: str) -> Column:
-            dt = dict(df.dtypes)[c]
-            col = F.col(c)
-            if dt.startswith("timestamp"):
-                return F.unix_micros(col.cast("timestamp"))
-            return col.cast("long")
-
         k = len(cols)
         bits = min(self._Z_BITS, 63 // k, 8)
         n_cuts = (1 << bits) - 1
         probs = [(j + 1) / (n_cuts + 1) for j in range(n_cuts)]
         # one pass over the projected columns; nulls are ignored by
         # approxQuantile and an all-null column comes back empty
-        proj = df.select(*[as_long(c).alias(f"__zq_{i}")
+        proj = df.select(*[F.expr(_z_as_long_sql(df, c)).alias(f"__zq_{i}")
                            for i, c in enumerate(cols)])
         quants = proj.stat.approxQuantile(
             [f"__zq_{i}" for i in range(k)], probs, 0.01)
+        col_cuts = [sorted({int(q) for q in quants[i]}) if quants[i] else []
+                    for i in range(k)]
+        return self._z_interleave(df, cols, col_cuts, bits)
 
-        def bucket_tree(x: Column, cuts: list[int],
-                        lo: int, hi: int) -> Column:
-            # count of cuts <= x by binary search: cuts[lo:hi) still
-            # unresolved, everything below lo already known <= x. A
-            # NULL x fails every comparison and lands on the leftmost
-            # leaf — bucket 0, the curve origin (skippable by every
-            # range predicate, which NULL never satisfies anyway).
-            if lo >= hi:
-                return F.lit(lo).cast("long")
-            mid = (lo + hi) // 2
-            return (F.when(x >= F.lit(cuts[mid]).cast("long"),
-                           bucket_tree(x, cuts, mid + 1, hi))
-                    .otherwise(bucket_tree(x, cuts, lo, mid)))
-
-        z = F.lit(0).cast("long")
+    def _z_interleave(self, df: DataFrame, cols: list[str],
+                      col_cuts: list[list[int]], bits: int) -> Column:
+        """The interleaved-bit z expression over rank buckets given
+        the per-column cut points (shared by both layout paths): one
+        pre-spread CASE tree per column, OR'd — exactly one tree
+        evaluation per column per row, built as a single SQL string
+        (see _z_case_sql / _z_as_long_sql for why both properties
+        are load-bearing)."""
+        k = len(cols)
+        terms = []
         for i, c in enumerate(cols):
-            cuts = sorted({int(q) for q in quants[i]}) if quants[i] else []
+            cuts = col_cuts[i]
             if not cuts:
                 # all-NULL column (or empty table): no discriminating
                 # bits to contribute — constant 0, like a constant col
                 continue
-            bucket = bucket_tree(as_long(c), cuts, 0, len(cuts))
+            leaves = [_z_spread(b, bits, k, i) for b in range(len(cuts) + 1)]
+            terms.append(_z_case_sql(_z_as_long_sql(df, c), cuts, leaves,
+                                     0, len(cuts)))
+        if not terms:
+            return F.lit(0).cast("long")
+        return F.expr("(" + " | ".join(terms) + ")")
+
+    def _snapshot_rows(self, man: dict) -> int | None:
+        """Live row count from the manifest's per-file stats —
+        driver-side metadata, no job. None if any file predates the
+        ROWS_KEY records (pre-r8 manifests)."""
+        total = 0
+        for chunk in man["chunks"]:
+            fs = man.get("file_stats", {}).get(chunk)
+            if not fs:
+                return None
+            for stats in fs.values():
+                n = stats.get(ROWS_KEY)
+                if n is None:
+                    return None
+                total += int(n)
+        return total
+
+    _Z_SAMPLE_ROWS = 65_536
+
+    def _zorder_layout(self, df: DataFrame, n_files: int,
+                       cols: list[str], man: dict) -> DataFrame:
+        """One-scan z-order clustering (r13, VERDICT r12 ask #6): the
+        r12 path cost three passes over the snapshot — approxQuantile,
+        the range partitioner's sampling job (persisting full-width
+        rows to dodge a re-scan), and the cached sort — because
+        repartitionByRange must sample ITS key, and the z key was only
+        knowable after a quantile pass. This path moves both rank cuts
+        AND partition boundaries to one driver-side sample, so the
+        full-width data is scanned exactly once, with no persist:
+
+        1. ONE cheap sample job over the projected z columns (seeded,
+           ~64k rows; the live row count comes free from the
+           manifest's per-file stats, so the fraction needs no count
+           job). Exact numpy quantiles of the sample replace
+           approxQuantile's full-scan sketch — at 64k rows the
+           sampling error (~0.2%) is under the 1/256 bucket width the
+           cuts feed.
+        2. The sample's own z-values (numpy searchsorted + interleave,
+           the same integer math as the column expression) yield an
+           equal-FREQUENCY assignment of 256 equal-width z CELLS to
+           files — the range split repartitionByRange would have
+           sampled a full pass for. Cells (top-8 z bits) rather than
+           exact boundaries because the file lookup must reference
+           __z exactly ONCE: a binary-search when-tree over z
+           boundaries inlines the whole rank tree at every comparison
+           under CollapseProject (measured: a 300 KB optimized plan
+           and a 2.6x SLOWDOWN vs the persist path), while
+           shiftright + element_at into a constant-folded 256-int
+           array is one reference and O(1) per row.
+        3. The write pass computes __z once per row, reads its file
+           token from the cell array, and routes through
+           repartition(n_files, token) where the TOKENS are
+           driver-chosen ints with pmod(murmur3(t), n_files) == file
+           id (_hash_bucket_tokens) — hash partitioning with
+           collision-free placement, i.e. range partitioning without
+           the sampling job. sortWithinPartitions("__z") then orders
+           each file. (Contiguous cell ranges per file keep every
+           file a narrow z interval even when the z-ordered columns
+           are correlated and mass concentrates in few cells.)
+
+        Same layout contract as the r12 path (each file covers one
+        narrow z range; every z-ordered dimension prunes), measured
+        A/B in bench/ZORDER_AB_r13.json. At 100 TB the win compounds:
+        the deleted passes were FULL-WIDTH scans (one of them a
+        cluster-memory persist), while the surviving extra job reads
+        only the z columns at sample fraction."""
+        import numpy as np
+
+        k = len(cols)
+        bits = min(self._Z_BITS, 63 // k, 8)
+        n_cuts = (1 << bits) - 1
+        proj = df.select(*[F.expr(_z_as_long_sql(df, c)).alias(f"__zq_{i}")
+                           for i, c in enumerate(cols)])
+        n_rows = self._snapshot_rows(man)
+        if n_rows is None:
+            n_rows = proj.count()  # pre-ROWS_KEY manifests only
+        if n_rows > self._Z_SAMPLE_ROWS:
+            # 1.3x oversample so the realized sample stays near target
+            frac = min(1.0, 1.3 * self._Z_SAMPLE_ROWS / n_rows)
+            proj = proj.sample(False, frac, seed=42)
+        pdf = proj.toPandas()
+
+        probs = [(j + 1) / (n_cuts + 1) for j in range(n_cuts)]
+        col_cuts: list[list[int]] = []
+        sample_z = np.zeros(len(pdf), dtype=np.int64)
+        for i in range(k):
+            vals = pdf[f"__zq_{i}"].dropna().to_numpy(dtype=np.int64)
+            if vals.size == 0:
+                col_cuts.append([])
+                continue
+            cuts = sorted({int(q) for q in
+                           np.quantile(vals, probs, method="lower")})
+            col_cuts.append(cuts)
+            # the sample's z coordinates, same integer math as the
+            # column expression (searchsorted 'right' == count of
+            # cuts <= x; NULL -> bucket 0, the curve origin)
+            filled = pdf[f"__zq_{i}"].fillna(0).to_numpy(dtype=np.int64)
+            bucket = np.searchsorted(cuts, filled, side="right")
+            bucket[pdf[f"__zq_{i}"].isna().to_numpy()] = 0
             for b in range(bits):
-                z = z.bitwiseOR(
-                    F.shiftleft(F.shiftright(bucket, b).bitwiseAND(F.lit(1)),
-                                b * k + i))
-        return z
+                sample_z |= ((bucket >> b) & 1) << (b * k + i)
+
+        z = self._z_interleave(df, cols, col_cuts, bits)
+        z_bits = bits * k
+        cell_bits = min(8, z_bits)
+        n_cells = 1 << cell_bits
+        # equal-frequency assignment of contiguous cell ranges to
+        # files, from the sample's cell histogram (cumulative greedy:
+        # file j takes cells until its share of sampled rows fills)
+        cell_file = [0] * n_cells
+        if len(pdf) and n_files > 1:
+            hist = np.bincount(sample_z >> (z_bits - cell_bits),
+                               minlength=n_cells)
+            cum = np.cumsum(hist)
+            total = int(cum[-1]) or 1
+            for c in range(n_cells):
+                f_id = min(n_files - 1, int(cum[c] * n_files // total)
+                           if cum[c] else 0)
+                cell_file[c] = f_id
+        tokens = _hash_bucket_tokens(n_files)
+        cell_tok = F.array(*[F.lit(tokens[cell_file[c]])
+                             for c in range(n_cells)])  # constant-folded
+        cell = F.shiftright(F.col("__z"), z_bits - cell_bits).cast("int")
+        return (df.withColumn("__z", z)
+                .withColumn("__zt", F.element_at(cell_tok, cell + F.lit(1)))
+                .repartition(n_files, "__zt")
+                .sortWithinPartitions("__z")
+                .drop("__z", "__zt"))
 
     def restore(self, version: int) -> int:
         """RESTORE TABLE ... TO VERSION (Delta's RESTORE): publish a

@@ -207,3 +207,64 @@ def test_cms_no_underestimate_and_mass_conservation(spark):
         for cell, n in part.items():
             merged[cell] = merged.get(cell, 0) + n
     assert merged == cms
+
+
+def test_murmur3_tokens_match_spark_hash_partitioning(spark):
+    """_murmur3_int32 must compute EXACTLY Spark's Murmur3Hash of an
+    IntegerType value (the HashPartitioning placement function): the
+    sampled z-order layout picks its file tokens driver-side with it,
+    and a drift scrambles files across partitions (pruning would
+    still fail loudly via tf_zorder's oracle booleans, but pin it at
+    the unit level too). Sweep negatives, boundaries, and the token
+    search range itself."""
+    from lakehouse_automation_spark.tableformat import (
+        _hash_bucket_tokens, _murmur3_int32)
+
+    vals = list(range(0, 512)) + [-1, -512, 2**31 - 1, -2**31, 123456789]
+    df = spark.createDataFrame([(v,) for v in vals], "t int")
+    got = {r.t: r.h for r in df.select("t", F.hash("t").alias("h")).collect()}
+    for v in vals:
+        assert _murmur3_int32(v) == got[v], v
+    # and the derived tokens place collision-free: bucket b's token
+    # must land in shuffle partition b for every n in the useful range
+    for n in (1, 2, 7, 16, 64):
+        toks = _hash_bucket_tokens(n)
+        assert len(set(toks)) == n
+        placed = (spark.createDataFrame([(t,) for t in toks], "t int")
+                  .repartition(n, "t")
+                  .select("t", F.spark_partition_id().alias("p")).collect())
+        assert {r.t: r.p for r in placed} == {toks[b]: b for b in range(n)}
+
+
+def test_sampled_layout_files_cover_disjoint_z_ranges(spark, tmp_path):
+    """The sampled layout's contract: every output file covers one
+    narrow, contiguous z range (cell ranges per file are contiguous
+    and collision-free), so min/max stats prune on each z-ordered
+    dimension. Check per-file custkey spans are narrow relative to
+    the domain — the physical property the pruning booleans
+    compress away."""
+    from lakehouse_automation_spark.queries.base import t as _t
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    orders = _t(spark, SF_CORRECT, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    tbl = CowTable.create(spark, orders, str(tmp_path / "z"),
+                          stats_cols=["o_custkey", "o_orderdate"])
+    tbl.compact(n_files=16, zorder_by=["o_custkey", "o_orderdate"],
+                zorder_layout="sampled")
+    man = tbl.manifest()
+    (chunk,) = man["chunks"]
+    fs = man["file_stats"][chunk]
+    spans = []
+    dom_lo = min(s["o_custkey"][0] for s in fs.values()
+                 if s["o_custkey"][0] is not None)
+    dom_hi = max(s["o_custkey"][1] for s in fs.values()
+                 if s["o_custkey"][1] is not None)
+    for s in fs.values():
+        lo, hi = s["o_custkey"]
+        if lo is not None:
+            spans.append(hi - lo)
+    # z-order trades exactness for multi-dim locality: each file's
+    # custkey span should sit well under the full domain (a random
+    # layout gives ~the whole domain per file)
+    assert sorted(spans)[len(spans) // 2] < 0.6 * (dom_hi - dom_lo), spans
