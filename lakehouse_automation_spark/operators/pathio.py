@@ -98,6 +98,15 @@ class LocalPathIO:
             return []
         return sorted(_os.listdir(p))
 
+    def read_bytes(self, p: str) -> bytes:
+        """Whole-file read (manifest-sized payloads — the CowTable log
+        reads route through this, mirroring publish_if_absent)."""
+        with open(self._strip(p), "rb") as fh:
+            return fh.read()
+
+    def getmtime(self, p: str) -> float:
+        return _os.path.getmtime(self._strip(p))
+
     # glob kept for parity with the pre-abstraction code; prefix-only
     def list_prefixed(self, p: str, prefix: str) -> list[str]:
         p = self._strip(p)
@@ -199,6 +208,30 @@ class HadoopPathIO:
 
     def list_prefixed(self, p: str, prefix: str) -> list[str]:
         return [n for n in self.listdir(p) if n.startswith(prefix)]
+
+    def read_bytes(self, p: str) -> bytes:
+        """Whole-file read through the FileSystem API (manifest-sized
+        payloads). Missing files map to FileNotFoundError so callers
+        see ONE exception type across backends."""
+        fs = self._fs(p)
+        jp = self._path(p)
+        if not fs.exists(jp):
+            raise FileNotFoundError(p)
+        stream = fs.open(jp)
+        try:
+            # commons-io ships with Hadoop; reads the full stream
+            data = self._jvm.org.apache.commons.io.IOUtils.toByteArray(
+                stream)
+        finally:
+            stream.close()
+        return bytes(data)
+
+    def getmtime(self, p: str) -> float:
+        fs = self._fs(p)
+        jp = self._path(p)
+        if not fs.exists(jp):
+            raise FileNotFoundError(p)
+        return fs.getFileStatus(jp).getModificationTime() / 1000.0
 
     #: Schemes whose FileSystem ``rename`` is a non-atomic copy+delete
     #: (an unconditional overwrite on the store): the stage-then-rename

@@ -275,25 +275,33 @@ class CowTable:
     def __init__(self, spark: SparkSession, path: str,
                  stats_cols: list[str] | None = None,
                  constraints: dict[str, str] | None = None,
-                 bloom_cols: list[str] | None = None):
+                 bloom_cols: list[str] | None = None,
+                 log_io=None):
         self.spark = spark
-        # CowTable's data path and manifest READS are os.*-local: a
-        # remote table URI would publish commits through HadoopPathIO
-        # yet never read its own log back (ADVICE r11) — refuse it
-        # loudly here instead. The PathIO publish seam (_publish_io)
-        # exists as the object-store extension point and the
-        # mocked-conditional-put test seam; extending READS through
-        # the same backend is the remaining work for remote tables.
+        # The manifest LOG — publish AND read — routes through one
+        # PathIO backend (_log_io): local paths get the os.link
+        # create-if-absent protocol, and the round-trip through the
+        # Hadoop FileSystem API is pinned by test
+        # (tests/test_tableformat.py, the log_io seam below). The DATA
+        # plane (chunk writes' mkdir claim, footer walks, vacuum's
+        # chunk reclaim ages) still uses os.* against a local dir, so
+        # construction refuses remote table URIs loudly; lifting that
+        # needs conditional-PUT chunk claims + FileSystem-walked
+        # footers, with _log_io as the pattern to follow.
         from .operators.pathio import LocalPathIO, _scheme
         scheme = _scheme(path)
         if scheme not in (None, "file"):
             raise NotImplementedError(
                 f"CowTable supports local table paths only (got scheme "
-                f"{scheme!r}); manifest reads are os-local — see "
-                f"_publish_io for the object-store seam")
+                f"{scheme!r}); the manifest log is backend-routed "
+                f"(_log_io) but the chunk data plane is os-local")
         # _strip unquotes file: URIs and rejects remote authorities —
         # the same interpretation the maintenance PathIO uses
         self.path = os.path.abspath(LocalPathIO._strip(path))
+        # test/extension seam: force the log backend (e.g. a real
+        # HadoopPathIO, or a mocked conditional-put store). None =
+        # scheme-dispatched per call, the production behavior.
+        self._log_io_override = log_io
         self._stats_cols_arg = list(stats_cols or [])
         self._bloom_cols_arg = list(bloom_cols or [])
         for arg in (self._stats_cols_arg, self._bloom_cols_arg):
@@ -405,12 +413,16 @@ class CowTable:
         but does not parse is treated as UNCOMMITTED — readers step
         back to the newest parseable snapshot instead of crashing in
         ``manifest()``. Writers hitting such a blocker get a loud
-        error from ``_try_commit`` rather than an infinite retry."""
+        error from ``_try_commit`` rather than an infinite retry.
+
+        Listed through the SAME PathIO backend the log publishes
+        through (both backends return [] for a missing log dir)."""
         try:
-            vs = [int(f[1:-5]) for f in os.listdir(self._log_dir())
-                  if f.startswith("v") and f.endswith(".json")]
+            names = self._log_io().listdir(self._log_dir())
         except FileNotFoundError:
             return -1
+        vs = [int(f[1:-5]) for f in names
+              if f.startswith("v") and f.endswith(".json")]
         for v in sorted(vs, reverse=True):
             if self._parseable(v):
                 return v
@@ -418,8 +430,9 @@ class CowTable:
 
     def manifest(self, version: int | None = None) -> dict:
         v = self.version() if version is None else version
-        with open(os.path.join(self._log_dir(), _vname(v))) as fh:
-            return json.load(fh)
+        io = self._log_io()
+        raw = io.read_bytes(io.join(self._log_dir(), _vname(v)))
+        return json.loads(raw.decode())
 
     def history(self) -> list[dict]:
         """Retained manifests, oldest first. Manifests older than the
@@ -567,16 +580,25 @@ class CowTable:
         tip = (man or self.manifest()).get(key, {})
         return {c: tip[c] for c in chunks if c in tip}
 
-    def _publish_io(self):
-        """PathIO backend the manifest log publishes through — scheme-
-        dispatched (operators/pathio.py): local paths get the os.link
-        create-if-absent protocol; remote URIs stage-then-
-        ``FileContext.rename`` on rename-capable filesystems (HDFS) or
-        ``create(path, overwrite=false)`` (a conditional PUT —
-        ``If-None-Match: *``) on object stores that support it. Also
-        the test seam: tests swap in a mocked conditional-put backend
-        to drive the optimistic-retry loop through simulated 412
-        conflicts without a real object store."""
+    def _log_io(self):
+        """PathIO backend the manifest log publishes through AND reads
+        back from (r13: version/manifest/history/vacuum log reads
+        routed here too, so a backend that can publish can always
+        read its own log) — scheme-dispatched (operators/pathio.py):
+        local paths get the os.link create-if-absent protocol; remote
+        URIs stage-then-``FileContext.rename`` on rename-capable
+        filesystems (HDFS) or ``create(path, overwrite=false)`` (a
+        conditional PUT — ``If-None-Match: *``) on object stores that
+        support it. Also the test seam: the ``log_io`` constructor
+        arg forces a backend (a real HadoopPathIO for the round-trip
+        pin, or a mocked conditional-put store to drive the
+        optimistic-retry loop through simulated 412 conflicts)."""
+        # getattr: driver-side bare handles (CowTable.__new__ in the
+        # multiprocess commit tests) skip __init__ — treat as no
+        # override rather than require every handle to carry the slot
+        override = getattr(self, "_log_io_override", None)
+        if override is not None:
+            return override
         from .operators.pathio import pathio_for
 
         return pathio_for(self.spark, self._log_dir())
@@ -597,7 +619,7 @@ class CowTable:
                "bloom_cols": self.bloom_cols,
                "constraints": self.constraints,
                "committed_at": time.time()}
-        io = self._publish_io()
+        io = self._log_io()
         if io.publish_if_absent(
                 io.join(self._log_dir(), _vname(v)),
                 json.dumps(doc).encode()):
@@ -1045,9 +1067,11 @@ class CowTable:
     def create(cls, spark: SparkSession, df: DataFrame, path: str,
                stats_cols: list[str] | None = None,
                constraints: dict[str, str] | None = None,
-               bloom_cols: list[str] | None = None) -> "CowTable":
+               bloom_cols: list[str] | None = None,
+               log_io=None) -> "CowTable":
         tbl = cls(spark, path, stats_cols=stats_cols,
-                  constraints=constraints, bloom_cols=bloom_cols)
+                  constraints=constraints, bloom_cols=bloom_cols,
+                  log_io=log_io)
         if tbl.version() >= 0:
             raise FileExistsError(f"table exists at {path}")
         tbl._enforce(df)
@@ -1658,7 +1682,6 @@ class CowTable:
         not yet published the manifest, and deleting it would make that
         commit reference missing data. This is Delta's retention-age
         check; tests pass 0 to exercise full reclamation."""
-        import shutil
         import time
 
         tip = self.version()
@@ -1673,26 +1696,25 @@ class CowTable:
                 # the tip advanced) — nothing to keep alive from it,
                 # same tolerance history() applies
                 continue
+        io = self._log_io()
         now = time.time()
         removed = 0
-        for entry in os.listdir(self.path):
+        for entry in io.listdir(self.path):
             if entry == _LOG or entry in live:
                 continue
-            full = os.path.join(self.path, entry)
-            if not (entry.startswith("d") and os.path.isdir(full)):
+            full = io.join(self.path, entry)
+            if not (entry.startswith("d") and io.isdir(full)):
                 continue
             try:
-                if now - os.path.getmtime(full) < grace_s:
+                if now - io.getmtime(full) < grace_s:
                     continue  # possibly an uncommitted in-flight chunk
             except FileNotFoundError:
                 continue
-            shutil.rmtree(full)
+            io.rmtree(full)
             removed += 1
         for v in range(0, max(0, tip - retain_versions + 1)):
-            try:
-                os.unlink(os.path.join(self._log_dir(), _vname(v)))
-            except FileNotFoundError:
-                pass
+            # both backends' unlink tolerates already-gone files
+            io.unlink(io.join(self._log_dir(), _vname(v)))
         return len(live), removed
 
     def verify(self, deep: bool = True,

@@ -894,7 +894,7 @@ def test_commit_retries_on_conditional_put_conflict(spark, tbl, monkeypatch):
                 return super().publish_if_absent(dst, data)
             return super().publish_if_absent(dst, data)
 
-    monkeypatch.setattr(CowTable, "_publish_io",
+    monkeypatch.setattr(CowTable, "_log_io",
                         lambda self: ConditionalPutIO())
     v = tbl.append(_df(spark, [(300, "z", 1)]))
     assert state["conflicts"] == 1
@@ -1055,3 +1055,60 @@ def test_commit_retry_loop_multiprocess_all_appends_land(tmp_path):
     expect = {f"c-{w}-{i}"
               for w in range(n_workers) for i in range(n_commits)}
     assert set(final["chunks"]) == expect, "lost update: chunks missing"
+
+
+def test_log_roundtrips_through_hadoop_backend(spark, tmp_path):
+    """VERDICT r12 ask #7: the manifest log must publish AND read
+    through one PathIO backend. Drive a full table lifecycle —
+    create, append, compact, time travel, history, vacuum — with the
+    log pinned to a REAL HadoopPathIO (the Hadoop FileSystem API on a
+    file: URI, the same code path hdfs/s3a resolve to), wrapped in a
+    counting proxy so a silently os-routed read shows up as a zero
+    counter. The data plane stays os-local by contract
+    (CowTable.__init__ refuses remote table URIs; this pins that the
+    LOG layer no longer shares that constraint)."""
+    from lakehouse_automation_spark.operators.pathio import HadoopPathIO
+
+    class CountingIO:
+        def __init__(self, inner):
+            self._inner = inner
+            self.calls: dict[str, int] = {}
+
+        def __getattr__(self, name):
+            attr = getattr(self._inner, name)
+            if not callable(attr):
+                return attr
+
+            def wrapped(*a, **kw):
+                self.calls[name] = self.calls.get(name, 0) + 1
+                return attr(*a, **kw)
+            return wrapped
+
+    io = CountingIO(HadoopPathIO(spark))
+    df = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    tbl = CowTable.create(spark, df, str(tmp_path / "t"),
+                          stats_cols=["k"], log_io=io)
+    tbl.append(spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")))
+    v_before_compact = tbl.version()
+    tbl.compact(n_files=2)
+    assert tbl.read().count() == 150
+    # time travel + history read OLD manifests through the backend
+    assert tbl.read(version=v_before_compact).count() == 150
+    assert [m["op"] for m in tbl.history()] == [
+        "create", "append", "compact"]
+    # vacuum lists/ages/reclaims through the backend
+    live, removed = tbl.vacuum(retain_versions=1, grace_s=0)
+    assert live == 1 and removed == 2
+    assert tbl.read().count() == 150
+    # the backend really carried the log: publishes AND reads
+    assert io.calls.get("publish_if_absent", 0) >= 3, io.calls
+    assert io.calls.get("read_bytes", 0) >= 4, io.calls
+    assert io.calls.get("listdir", 0) >= 4, io.calls
+    assert io.calls.get("getmtime", 0) >= 1, io.calls
+    # a fresh handle with NO override (scheme-dispatched LocalPathIO)
+    # reads the same log — the two backends interoperate on disk
+    reopened = CowTable(spark, str(tmp_path / "t"))
+    assert reopened.version() == tbl.version()
+    assert reopened.read().count() == 150
