@@ -647,13 +647,23 @@ def lsh_bucket_table(emb: DataFrame,
     tier draws the extension planes from ``LSH_PLANES_EXT`` (first
     32 = the contract, verbatim).
 
-    The planes live in a broadcast ≤256-row DataFrame; each sign bit
-    is ONE 64-term dot after the join, and packing is a small
-    (vec_id, band) aggregation with map-side partials. Inlining the
-    plane dots into a single projection instead generates a
-    multi-megabyte codegen unit that OOMs small driver heaps (the
-    external harness runs a default-memory session)."""
-    spark = emb.sparkSession
+    The dots run as an Arrow-batched ``mapInPandas`` with a
+    SEQUENTIAL-ORDER numpy loop (r13): the earlier pure-expression
+    shape (vector × 256-plane crossJoin, one 64-term dot per joined
+    row) materialized corpus×planes rows each carrying two 64-double
+    arrays — 51M × ~1 KB at sf10, measured 80 s for what is a
+    200k×64 @ 64×256 matrix product. numpy does it in seconds, and
+    the bit contract survives EXACTLY because the loop accumulates
+    dimension-by-dimension, left to right: ``acc += v[:, i] * p[i]``
+    is IEEE-double bit-identical to Spark's left-deep unrolled sum
+    AND DuckDB's sequential ``list_sum`` fold, so the rounded sign
+    decision matches the SQL oracles bit-for-bit (the rounding only
+    matters for |dot| < 5e-10 in the first place). This is the
+    documented "drop to pandas only where built-ins genuinely can't
+    express it" case — Catalyst has no batched matmul."""
+    import numpy as np
+    import pandas as pd
+
     n = with_vnorm(emb)
     if bits_per_band is None:
         # tier on the signed (null-filtered) count — see docstring
@@ -676,60 +686,99 @@ def lsh_bucket_table(emb: DataFrame,
         # plane budget is fixed — raise rather than silently truncate
         raise ValueError(f"banding {bits_per_band}x{n_bands} exceeds "
                          f"the 16-bit/{N_PLANES_MAX}-plane budget")
-    planes = F.broadcast(spark.createDataFrame(
-        [(i // bits_per_band, i % bits_per_band, LSH_PLANES_EXT[i])
-         for i in range(n_used)],
-        "band_id int, bit_pos int, pv array<double>",
-    ))
-    # round before the sign decision (SIM_DECIMALS, like every other
-    # cross-engine boundary here): an oracle replaying the plane dots
-    # with a different summation order must flip the same bits
-    bit = F.when(F.round(dot("v", "pv", LSH_DIM), SIM_DECIMALS) >= 0,
-                 1).otherwise(0)
-    return (
-        n.select("vec_id", "v").crossJoin(planes)
-        .select("vec_id", "band_id", "bit_pos", bit.alias("bit"))
-        .groupBy("vec_id", "band_id")
-        # F.shiftleft() only accepts a Python int for numBits; the SQL
-        # form takes a column expression for the shift amount.
-        .agg(F.sum(F.expr("shiftleft(bit, bit_pos)"))
-             .cast("int").alias("bucket"))
-    )
+    # planes matrix (64 × n_used), closed over — executors get it via
+    # task serialization (~128 KB max, metadata-sized)
+    planes_t = np.array(LSH_PLANES_EXT[:n_used], dtype=np.float64).T
+    bpb, nb = bits_per_band, n_bands
+    # bucket = sum_j bit[band*bpb + j] << j, vectorized as a matmul
+    # against a power-of-two weight matrix per band
+    weights = np.zeros((n_used, nb), dtype=np.int64)
+    for band in range(nb):
+        for j in range(bpb):
+            weights[band * bpb + j, band] = 1 << j
+
+    def signatures(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vec_ids = pdf["vec_id"].to_numpy()
+            v = np.array(list(pdf["v"]), dtype=np.float64)
+            # SEQUENTIAL fold over dimensions: bit-identical to the
+            # engine's previous left-deep expression sum and to the
+            # oracle's list_sum (see docstring) — np.dot would
+            # pairwise-sum in a different order
+            acc = np.zeros((len(pdf), n_used), dtype=np.float64)
+            for i in range(planes_t.shape[0]):
+                acc += v[:, i:i + 1] * planes_t[i]
+            # round before the sign decision (SIM_DECIMALS, like every
+            # other cross-engine boundary here)
+            bits = (np.round(acc, SIM_DECIMALS) >= 0).astype(np.int64)
+            buckets = bits @ weights  # (rows × n_bands) int64
+            yield pd.DataFrame({
+                "vec_id": np.repeat(vec_ids, nb),
+                "band_id": np.tile(np.arange(nb, dtype=np.int32),
+                                   len(pdf)),
+                "bucket": buckets.reshape(-1).astype(np.int32),
+            })
+
+    return n.select("vec_id", "v").mapInPandas(
+        signatures, "vec_id long, band_id int, bucket int")
+
+
+def _lsh_enriched(emb: DataFrame) -> DataFrame:
+    """(vec_id, band_id, bucket, v, nrm): the signature table with the
+    vector riding along — the block-local verify input shared by
+    :func:`lsh_neardup_pairs` and :func:`knn_join_lsh`.
+
+    Carrying the vector THROUGH the (band, bucket) shuffle is the
+    100-TB shape (r13, found by the sf10 band record): the previous
+    ids-only candidate join re-attached vectors to the PAIR table via
+    two more shuffle joins, and the pair table is the biggest thing in
+    the pipeline (~10M rows × two 64-dim arrays at sf10 ≈ several GB
+    re-shuffled twice — measured 74–92 s per key). Enriched rows are
+    corpus×bands-sized (far smaller than pairs), each pair's exact
+    cosine is computed AT the join output, and only skinny
+    (id, id, sim) rows shuffle afterward: sf10 fell to ~16–18 s.
+
+    Keyed persist: the enriched table feeds both self-join sides (AQE
+    broadcast conversion would re-execute it per side), and the key
+    dedupes repeat invocations on the same corpus — the plane
+    LocalRelation defeats CacheManager's own plan matching. At corpus
+    scale this persist is a checkpoint to storage."""
+    return tracked_persist_keyed(
+        ("lsh_enriched", _plan_key(emb)),
+        lambda: lsh_bucket_table(emb)
+        .select("vec_id", "band_id", "bucket")
+        .join(with_vnorm(emb), "vec_id"))
 
 
 def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     """Embedding near-duplicate pairs, the 100-TB shape: LSH band-bucket
     candidate generation (sublinear — pairs only materialize for
-    vectors sharing >=1 band bucket), then EXACT cosine verification of
-    candidates only. Same output contract as
-    :func:`cosine_neardup_pairs` (id_a < id_b, sim_r >= threshold)
-    restricted to LSH candidates; recall vs the exact all-pairs tier is
-    asserted in tests. Vectors re-attach via shuffle equi-joins — both
-    sides are corpus-sized, nothing is broadcast."""
-    # keyed persist: the signature table feeds both self-join sides
-    # (AQE broadcast conversion would re-execute it per side), and the
-    # key dedupes repeat invocations on the same corpus — the plane
-    # LocalRelation defeats CacheManager's own plan matching.
-    b = tracked_persist_keyed(
-        ("lsh_buckets", _plan_key(emb)),
-        lambda: lsh_bucket_table(emb).select("vec_id", "band_id", "bucket"))
-    cand = (
-        b.select(F.col("vec_id").alias("id_a"), "band_id", "bucket")
-        .join(b, ["band_id", "bucket"])
-        .filter(F.col("id_a") < F.col("vec_id"))
-        .dropDuplicates(["id_a", "vec_id"])
-        .select("id_a", F.col("vec_id").alias("id_b"))
-    )
-    n = with_vnorm(emb)
-    a = n.select(F.col("vec_id").alias("id_a"),
+    vectors sharing >=1 band bucket), with EXACT cosine verification
+    computed block-locally at the bucket join (see
+    :func:`_lsh_enriched` for why vectors ride the bucket shuffle
+    instead of re-attaching to the pair table). A pair sharing several
+    band buckets is scored per collision and deduped by a first-agg on
+    the skinny (id_a, id_b, sim) rows — the sim is identical across
+    collisions (same rounded expression), so the dedup is exact. Same
+    output contract as :func:`cosine_neardup_pairs` (id_a < id_b,
+    sim_r >= threshold) restricted to LSH candidates; recall vs the
+    exact all-pairs tier is asserted in tests."""
+    e = _lsh_enriched(emb)
+    a = e.select("band_id", "bucket", F.col("vec_id").alias("id_a"),
                  F.col("v").alias("va"), F.col("nrm").alias("na"))
-    c = n.select(F.col("vec_id").alias("id_b"),
+    b = e.select("band_id", "bucket", F.col("vec_id").alias("id_b"),
                  F.col("v").alias("vb"), F.col("nrm").alias("nb"))
     sim = cosine_sim("va", "vb", "na", "nb")
     return (
-        cand.join(a, "id_a").join(c, "id_b")
+        a.join(b, ["band_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", sim.alias("sim_r"))
+        # threshold BEFORE the dedup shuffle: only passing pairs (a
+        # tiny fraction of candidates) pay the exchange
         .filter(F.col("sim_r") >= threshold)
+        .groupBy("id_a", "id_b").agg(F.first("sim_r").alias("sim_r"))
     )
 
 
@@ -741,38 +790,27 @@ def knn_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
     never all-pairs. Recall is tunable via N_LSH_BANDS/BITS_PER_BAND
     (tests assert recall vs the exact scan).
 
-    Scale shape: candidate generation carries IDS ONLY; vectors
-    re-attach via SHUFFLE equi-joins on the id (both sides of an
-    all-to-all kNN are corpus-sized, so nothing here is broadcastable
-    — a broadcast re-attach would OOM at 100 TB). The self-join's two
-    scans of the bucket table share one physical exchange via Spark's
-    ReuseExchange rule, so the 32-plane signature projection computes
-    once; the keyed persist covers the AQE broadcast-side re-execution
-    that plain exchange reuse misses and dedupes repeat invocations."""
-    b = tracked_persist_keyed(
-        ("lsh_buckets", _plan_key(emb)),
-        lambda: lsh_bucket_table(emb).select("vec_id", "band_id", "bucket"))
-    cand = (
-        b.select(F.col("vec_id").alias("q_id"), "band_id", "bucket")
-        .join(b, ["band_id", "bucket"])
-        .filter(F.col("q_id") != F.col("vec_id"))
-        .dropDuplicates(["q_id", "vec_id"])
-        .select("q_id", "vec_id")
-    )
-    n = with_vnorm(emb)
-    q = n.select(F.col("vec_id").alias("q_id"),
+    Scale shape: vectors ride the bucket shuffle once
+    (:func:`_lsh_enriched`) and every candidate's exact cosine is
+    computed block-locally at the join output; only skinny
+    (q_id, vec_id, sim) rows reach the dedup aggregation and the
+    top-k window. Nothing is broadcast — both sides of an all-to-all
+    kNN are corpus-sized. The dedup groupBy keys on q_id first, so
+    its exchange leaves rows hash-partitioned exactly as the window
+    requires — the window adds a sort, not another shuffle."""
+    e = _lsh_enriched(emb)
+    q = e.select("band_id", "bucket", F.col("vec_id").alias("q_id"),
                  F.col("v").alias("qv"), F.col("nrm").alias("qn"))
-    c = n.select("vec_id", "v", "nrm")
-    # corpus side (vec_id) attaches FIRST, query side (q_id) last: the
-    # final join leaves the rows hash-partitioned on q_id, which is
-    # exactly what the top-k window requires — joining in the opposite
-    # order ends partitioned on vec_id and pays one more full exchange
-    # of the scored candidate table before the window.
-    cand = cand.join(c, "vec_id").join(q, "q_id")
+    c = e.select("band_id", "bucket", "vec_id", "v", "nrm")
     sim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
-        cand.select("q_id", "vec_id", sim.alias("sim_r"))
+        q.join(c, ["band_id", "bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "vec_id", sim.alias("sim_r"))
+        # a pair colliding in several bands scores identically each
+        # time (same rounded expression) — first() dedups exactly
+        .groupBy("q_id", "vec_id").agg(F.first("sim_r").alias("sim_r"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
     )
