@@ -725,26 +725,65 @@ def lsh_bucket_table(emb: DataFrame,
         signatures, "vec_id long, band_id int, bucket int")
 
 
+#: Corpora up to this many vectors verify through the broadcast-attach
+#: shape (~64 MB of 64-dim doubles + row overhead — the session's
+#: autoBroadcastJoinThreshold); beyond it, block-local. See
+#: _lsh_verify_shape.
+LSH_BROADCAST_VECS = 120_000
+
+
+def _lsh_verify_shape(n_vec: int, override: str | None = None) -> str:
+    """Which exact-verify shape a corpus of ``n_vec`` vectors gets —
+    the r13 A/B measured a clean CROSSOVER, so the choice adapts like
+    the banding does:
+
+    - ``broadcast`` (small corpora): candidate pairs are generated
+      ids-only, deduped skinny, and vectors re-attach via joins whose
+      build side (the whole vector table) BROADCASTS — the pair table
+      itself never shuffles. Wins while the corpus fits the broadcast
+      threshold: sf1 (20k vecs, occupancy-heavy 8x4 tier) measured
+      6.3 s vs 22.2 s block-local.
+    - ``blocklocal`` (everything bigger — the 100 TB shape): vectors
+      ride the (band, bucket) shuffle once, each pair's cosine is
+      computed AT the bucket-join output, and only skinny
+      (id, id, sim) rows shuffle afterward. Once the vector table
+      exceeds the broadcast threshold the attach joins become full
+      shuffles of the PAIR table (the biggest thing in the pipeline)
+      and the old shape inverts: sf10 (200k vecs) measured 10.8 s
+      block-local vs 21.5 s attach-by-shuffle.
+
+    ``override`` forces a shape (the tier-gate tool uses it to
+    oracle-gate the block-local path on a corpus small enough for
+    DuckDB to replay)."""
+    if override is not None:
+        if override not in ("broadcast", "blocklocal"):
+            raise ValueError(f"unknown verify shape {override!r}")
+        return override
+    return "broadcast" if n_vec <= LSH_BROADCAST_VECS else "blocklocal"
+
+
+def _lsh_signatures(emb: DataFrame) -> tuple[int, DataFrame]:
+    """(null-filtered corpus count, keyed-persisted signature table).
+    The count feeds both the banding tier and the verify-shape choice;
+    passing the derived banding into lsh_bucket_table explicitly keeps
+    it to ONE count job. Keyed persist: the signature table feeds both
+    self-join sides (AQE broadcast conversion would re-execute it per
+    side), and the key dedupes repeat invocations on the same corpus —
+    the plane LocalRelation defeats CacheManager's own plan matching."""
+    n_vec = with_vnorm(emb).count()
+    bits, bands = adaptive_banding(n_vec)
+    sig = tracked_persist_keyed(
+        ("lsh_buckets", _plan_key(emb)),
+        lambda: lsh_bucket_table(emb, bits, bands)
+        .select("vec_id", "band_id", "bucket"))
+    return n_vec, sig
+
+
 def _lsh_enriched(emb: DataFrame) -> DataFrame:
     """(vec_id, band_id, bucket, v, nrm): the signature table with the
-    vector riding along — the block-local verify input shared by
-    :func:`lsh_neardup_pairs` and :func:`knn_join_lsh`.
-
-    Carrying the vector THROUGH the (band, bucket) shuffle is the
-    100-TB shape (r13, found by the sf10 band record): the previous
-    ids-only candidate join re-attached vectors to the PAIR table via
-    two more shuffle joins, and the pair table is the biggest thing in
-    the pipeline (~10M rows × two 64-dim arrays at sf10 ≈ several GB
-    re-shuffled twice — measured 74–92 s per key). Enriched rows are
-    corpus×bands-sized (far smaller than pairs), each pair's exact
-    cosine is computed AT the join output, and only skinny
-    (id, id, sim) rows shuffle afterward: sf10 fell to ~16–18 s.
-
-    Keyed persist: the enriched table feeds both self-join sides (AQE
-    broadcast conversion would re-execute it per side), and the key
-    dedupes repeat invocations on the same corpus — the plane
-    LocalRelation defeats CacheManager's own plan matching. At corpus
-    scale this persist is a checkpoint to storage."""
+    vector riding along — the block-local verify input (see
+    :func:`_lsh_verify_shape`). At corpus scale this keyed persist is
+    a checkpoint to storage."""
     return tracked_persist_keyed(
         ("lsh_enriched", _plan_key(emb)),
         lambda: lsh_bucket_table(emb)
@@ -752,19 +791,44 @@ def _lsh_enriched(emb: DataFrame) -> DataFrame:
         .join(with_vnorm(emb), "vec_id"))
 
 
-def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
-    """Embedding near-duplicate pairs, the 100-TB shape: LSH band-bucket
+def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
+                      verify_shape: str | None = None) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: LSH band-bucket
     candidate generation (sublinear — pairs only materialize for
-    vectors sharing >=1 band bucket), with EXACT cosine verification
-    computed block-locally at the bucket join (see
-    :func:`_lsh_enriched` for why vectors ride the bucket shuffle
-    instead of re-attaching to the pair table). A pair sharing several
-    band buckets is scored per collision and deduped by a first-agg on
-    the skinny (id_a, id_b, sim) rows — the sim is identical across
-    collisions (same rounded expression), so the dedup is exact. Same
-    output contract as :func:`cosine_neardup_pairs` (id_a < id_b,
-    sim_r >= threshold) restricted to LSH candidates; recall vs the
-    exact all-pairs tier is asserted in tests."""
+    vectors sharing >=1 band bucket), then EXACT cosine verification
+    of candidates only, through the size-adaptive shape of
+    :func:`_lsh_verify_shape`. A pair sharing several band buckets
+    scores identically per collision (same rounded expression), so
+    the dedup — dropDuplicates before attach in the broadcast shape,
+    first-agg after scoring in the block-local one — is exact either
+    way. Same output contract as :func:`cosine_neardup_pairs`
+    (id_a < id_b, sim_r >= threshold) restricted to LSH candidates;
+    recall vs the exact all-pairs tier is asserted in tests, and the
+    tier-gate tool oracle-gates BOTH shapes."""
+    if verify_shape is None or verify_shape == "broadcast":
+        n_vec, sig = _lsh_signatures(emb)
+        shape = _lsh_verify_shape(n_vec, verify_shape)
+    else:
+        shape = _lsh_verify_shape(0, verify_shape)
+    if shape == "broadcast":
+        cand = (
+            sig.select(F.col("vec_id").alias("id_a"), "band_id", "bucket")
+            .join(sig, ["band_id", "bucket"])
+            .filter(F.col("id_a") < F.col("vec_id"))
+            .dropDuplicates(["id_a", "vec_id"])
+            .select("id_a", F.col("vec_id").alias("id_b"))
+        )
+        n = with_vnorm(emb)
+        a = n.select(F.col("vec_id").alias("id_a"),
+                     F.col("v").alias("va"), F.col("nrm").alias("na"))
+        c = n.select(F.col("vec_id").alias("id_b"),
+                     F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+        sim = cosine_sim("va", "vb", "na", "nb")
+        return (
+            cand.join(a, "id_a").join(c, "id_b")
+            .select("id_a", "id_b", sim.alias("sim_r"))
+            .filter(F.col("sim_r") >= threshold)
+        )
     e = _lsh_enriched(emb)
     a = e.select("band_id", "bucket", F.col("vec_id").alias("id_a"),
                  F.col("v").alias("va"), F.col("nrm").alias("na"))
@@ -782,28 +846,50 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4) -> DataFrame:
     )
 
 
-def knn_join_lsh(emb: DataFrame, k: int = 5) -> DataFrame:
+def knn_join_lsh(emb: DataFrame, k: int = 5,
+                 verify_shape: str | None = None) -> DataFrame:
     """Approximate all-to-all kNN join: candidates share >=1 LSH band
     bucket, exact cosine rerank within candidates, top-k per query.
 
     The bucket join shuffles on (band_id, bucket) — bounded fanout,
     never all-pairs. Recall is tunable via N_LSH_BANDS/BITS_PER_BAND
-    (tests assert recall vs the exact scan).
-
-    Scale shape: vectors ride the bucket shuffle once
-    (:func:`_lsh_enriched`) and every candidate's exact cosine is
-    computed block-locally at the join output; only skinny
-    (q_id, vec_id, sim) rows reach the dedup aggregation and the
-    top-k window. Nothing is broadcast — both sides of an all-to-all
-    kNN are corpus-sized. The dedup groupBy keys on q_id first, so
-    its exchange leaves rows hash-partitioned exactly as the window
-    requires — the window adds a sort, not another shuffle."""
+    (tests assert recall vs the exact scan). Exact verification goes
+    through the size-adaptive shape of :func:`_lsh_verify_shape`; in
+    the block-local branch the dedup groupBy keys on q_id first, so
+    its exchange leaves rows hash-partitioned exactly as the top-k
+    window requires — the window adds a sort, not another shuffle."""
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
+    if verify_shape is None or verify_shape == "broadcast":
+        n_vec, sig = _lsh_signatures(emb)
+        shape = _lsh_verify_shape(n_vec, verify_shape)
+    else:
+        shape = _lsh_verify_shape(0, verify_shape)
+    if shape == "broadcast":
+        cand = (
+            sig.select(F.col("vec_id").alias("q_id"), "band_id", "bucket")
+            .join(sig, ["band_id", "bucket"])
+            .filter(F.col("q_id") != F.col("vec_id"))
+            .dropDuplicates(["q_id", "vec_id"])
+            .select("q_id", "vec_id")
+        )
+        n = with_vnorm(emb)
+        q = n.select(F.col("vec_id").alias("q_id"),
+                     F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+        c = n.select("vec_id", "v", "nrm")
+        # corpus side (vec_id) attaches FIRST, query side (q_id) last:
+        # the final join leaves the rows partitioned for the window
+        cand = cand.join(c, "vec_id").join(q, "q_id")
+        sim = cosine_sim("qv", "v", "qn", "nrm")
+        return (
+            cand.select("q_id", "vec_id", sim.alias("sim_r"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+        )
     e = _lsh_enriched(emb)
     q = e.select("band_id", "bucket", F.col("vec_id").alias("q_id"),
                  F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     c = e.select("band_id", "bucket", "vec_id", "v", "nrm")
     sim = cosine_sim("qv", "v", "qn", "nrm")
-    w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
         q.join(c, ["band_id", "bucket"])
         .filter(F.col("q_id") != F.col("vec_id"))

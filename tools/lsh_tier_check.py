@@ -56,15 +56,36 @@ from tools.gen_scale_data import _replicate  # noqa: E402 — one replication sc
 
 DEFAULT_SRC = "/root/testdata/sf0.1"
 
-# (name, replicas, appended NULL rows, keys to gate, why)
+# (name, replicas, appended NULL rows, keys to gate, verify_shape, why)
+# verify_shape None = the key's size-adaptive choice; "blocklocal"
+# forces the beyond-broadcast-threshold pipeline onto a corpus small
+# enough for DuckDB to replay (the shapes are output-identical by
+# contract — this gate PROVES it instead of trusting it).
 CASES = [
-    ("floor_boundary_null", 1, 100, ["vec_neardup_lsh"],
+    ("floor_boundary_null", 1, 100, ["vec_neardup_lsh"], None,
      "raw 2100 / filtered 2000: raw-count tiering would band 8x4 "
      "while the oracle (and the ingest contract) band 4x8"),
-    ("scale_16x16", 17, 0, ["vec_neardup_lsh", "vec_knn_join"],
+    ("scale_16x16", 17, 0, ["vec_neardup_lsh", "vec_knn_join"], None,
      "34000 vectors > the 32000-vector occupancy bound: the 256-plane "
      "16x16 tier, previously unreplayable by the SQL oracle"),
+    ("scale_16x16_blocklocal", 17, 0,
+     ["vec_neardup_lsh", "vec_knn_join"], "blocklocal",
+     "same corpus, verify forced to the block-local (100 TB) shape "
+     "the >120k-vector regime runs — oracle proves shape equivalence"),
 ]
+
+# operator entry points for forced-shape runs (the registry fns use
+# the automatic choice)
+_SHAPED = {
+    "vec_neardup_lsh": lambda emb, shape: __import__(
+        "lakehouse_automation_spark.operators.vector",
+        fromlist=["lsh_neardup_pairs"]).lsh_neardup_pairs(
+            emb, threshold=0.4, verify_shape=shape),
+    "vec_knn_join": lambda emb, shape: __import__(
+        "lakehouse_automation_spark.operators.vector",
+        fromlist=["knn_join_lsh"]).knn_join_lsh(
+            emb, k=5, verify_shape=shape),
+}
 
 
 def build_tier_corpus(src: str, dst: str, reps: int,
@@ -108,7 +129,7 @@ def main() -> int:
     root = args.keep or tempfile.mkdtemp(prefix="lshtier_")
     record: dict[str, dict] = {}
     failures = 0
-    for name, reps, n_nulls, keys, why in CASES:
+    for name, reps, n_nulls, keys, shape, why in CASES:
         d = os.path.join(root, name)
         raw = build_tier_corpus(args.src, d, reps, n_nulls)
         indexable = raw - n_nulls
@@ -117,11 +138,17 @@ def main() -> int:
         con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
                     f"'{d}/embeddings.parquet'")
         entry = {"why": why, "raw_rows": raw, "indexable": indexable,
-                 "engine_tier": f"{bpb}x{nbands}", "keys": {}}
+                 "engine_tier": f"{bpb}x{nbands}",
+                 "verify_shape": shape or "auto", "keys": {}}
         for key in keys:
             reg = REGISTRY[key]
             try:
-                verdict = compare(key, reg.fn(spark, d), reg.oracle, con)
+                if shape is None:
+                    df = reg.fn(spark, d)
+                else:
+                    emb = spark.read.parquet(f"{d}/embeddings.parquet")
+                    df = _SHAPED[key](emb, shape)
+                verdict = compare(key, df, reg.oracle, con)
             except Exception as e:  # noqa: BLE001 — record, keep sweeping
                 verdict = f"ERROR {type(e).__name__}: {e}"
             finally:
@@ -129,8 +156,8 @@ def main() -> int:
             entry["keys"][key] = verdict
             ok = verdict.startswith("OK")
             failures += 0 if ok else 1
-            print(f"{name:24s} {key:20s} tier={bpb}x{nbands} {verdict}",
-                  flush=True)
+            print(f"{name:24s} {key:20s} tier={bpb}x{nbands} "
+                  f"shape={shape or 'auto'} {verdict}", flush=True)
         con.close()
         record[name] = entry
 
