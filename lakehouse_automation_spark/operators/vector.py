@@ -656,11 +656,19 @@ def lsh_bucket_table(emb: DataFrame,
     the bit contract survives EXACTLY because the loop accumulates
     dimension-by-dimension, left to right: ``acc += v[:, i] * p[i]``
     is IEEE-double bit-identical to Spark's left-deep unrolled sum
-    AND DuckDB's sequential ``list_sum`` fold, so the rounded sign
-    decision matches the SQL oracles bit-for-bit (the rounding only
-    matters for |dot| < 5e-10 in the first place). This is the
-    documented "drop to pandas only where built-ins genuinely can't
-    express it" case — Catalyst has no batched matmul."""
+    AND DuckDB's sequential ``list_sum`` fold, so engine and oracle
+    round the SAME double. One residual tie-break window remains:
+    ``np.round`` is half-even via fp scaling while ``F.round`` is
+    BigDecimal HALF_UP and DuckDB rounds half away from zero, so a
+    dot within ~1 ulp of exactly ±5e-10 could round to a different
+    SIGN across engines. That set is measure-zero for real-valued
+    embeddings (a 64-term double sum landing within 1 ulp of a
+    decimal tie) and has never been observed across the oracle
+    replicas; the rounding exists to stabilize the generic
+    |dot| < 5e-10 noise band, which it does identically in all three
+    engines. This is the documented "drop to pandas only where
+    built-ins genuinely can't express it" case — Catalyst has no
+    batched matmul."""
     import numpy as np
     import pandas as pd
 
@@ -779,16 +787,20 @@ def _lsh_signatures(emb: DataFrame) -> tuple[int, DataFrame]:
     return n_vec, sig
 
 
-def _lsh_enriched(emb: DataFrame) -> DataFrame:
+def _lsh_enriched(emb: DataFrame, sig: DataFrame) -> DataFrame:
     """(vec_id, band_id, bucket, v, nrm): the signature table with the
     vector riding along — the block-local verify input (see
-    :func:`_lsh_verify_shape`). At corpus scale this keyed persist is
-    a checkpoint to storage."""
+    :func:`_lsh_verify_shape`). Built by JOINING the already-persisted
+    signature table with the vector table, so the block-local path
+    re-uses :func:`_lsh_signatures`'s one count job and one signature
+    computation instead of re-deriving the banding (a second corpus
+    count) and re-running the mapInPandas matmul — two redundant
+    corpus scans at exactly the tier where scans are most expensive
+    (r14, ADVICE). At corpus scale this keyed persist is a checkpoint
+    to storage."""
     return tracked_persist_keyed(
         ("lsh_enriched", _plan_key(emb)),
-        lambda: lsh_bucket_table(emb)
-        .select("vec_id", "band_id", "bucket")
-        .join(with_vnorm(emb), "vec_id"))
+        lambda: sig.join(with_vnorm(emb), "vec_id"))
 
 
 def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
@@ -805,11 +817,8 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
     (id_a < id_b, sim_r >= threshold) restricted to LSH candidates;
     recall vs the exact all-pairs tier is asserted in tests, and the
     tier-gate tool oracle-gates BOTH shapes."""
-    if verify_shape is None or verify_shape == "broadcast":
-        n_vec, sig = _lsh_signatures(emb)
-        shape = _lsh_verify_shape(n_vec, verify_shape)
-    else:
-        shape = _lsh_verify_shape(0, verify_shape)
+    n_vec, sig = _lsh_signatures(emb)
+    shape = _lsh_verify_shape(n_vec, verify_shape)
     if shape == "broadcast":
         cand = (
             sig.select(F.col("vec_id").alias("id_a"), "band_id", "bucket")
@@ -829,7 +838,7 @@ def lsh_neardup_pairs(emb: DataFrame, threshold: float = 0.4,
             .select("id_a", "id_b", sim.alias("sim_r"))
             .filter(F.col("sim_r") >= threshold)
         )
-    e = _lsh_enriched(emb)
+    e = _lsh_enriched(emb, sig)
     a = e.select("band_id", "bucket", F.col("vec_id").alias("id_a"),
                  F.col("v").alias("va"), F.col("nrm").alias("na"))
     b = e.select("band_id", "bucket", F.col("vec_id").alias("id_b"),
@@ -855,15 +864,16 @@ def knn_join_lsh(emb: DataFrame, k: int = 5,
     never all-pairs. Recall is tunable via N_LSH_BANDS/BITS_PER_BAND
     (tests assert recall vs the exact scan). Exact verification goes
     through the size-adaptive shape of :func:`_lsh_verify_shape`; in
-    the block-local branch the dedup groupBy keys on q_id first, so
-    its exchange leaves rows hash-partitioned exactly as the top-k
-    window requires — the window adds a sort, not another shuffle."""
+    the block-local branch the scored pairs repartition on q_id ONCE:
+    HashPartitioning(q_id) satisfies both the (q_id, vec_id) dedup
+    aggregate (a subset of clustering keys co-locates every group)
+    and the top-k window's ClusteredDistribution(q_id), so the dedup
+    and the window share a single exchange — partitioning on the full
+    (q_id, vec_id) group key instead would NOT satisfy the window and
+    a second q_id exchange would follow it (r14, ADVICE)."""
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
-    if verify_shape is None or verify_shape == "broadcast":
-        n_vec, sig = _lsh_signatures(emb)
-        shape = _lsh_verify_shape(n_vec, verify_shape)
-    else:
-        shape = _lsh_verify_shape(0, verify_shape)
+    n_vec, sig = _lsh_signatures(emb)
+    shape = _lsh_verify_shape(n_vec, verify_shape)
     if shape == "broadcast":
         cand = (
             sig.select(F.col("vec_id").alias("q_id"), "band_id", "bucket")
@@ -885,7 +895,7 @@ def knn_join_lsh(emb: DataFrame, k: int = 5,
             .withColumn("rk", F.row_number().over(w))
             .filter(F.col("rk") <= k)
         )
-    e = _lsh_enriched(emb)
+    e = _lsh_enriched(emb, sig)
     q = e.select("band_id", "bucket", F.col("vec_id").alias("q_id"),
                  F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     c = e.select("band_id", "bucket", "vec_id", "v", "nrm")
@@ -894,8 +904,11 @@ def knn_join_lsh(emb: DataFrame, k: int = 5,
         q.join(c, ["band_id", "bucket"])
         .filter(F.col("q_id") != F.col("vec_id"))
         .select("q_id", "vec_id", sim.alias("sim_r"))
-        # a pair colliding in several bands scores identically each
-        # time (same rounded expression) — first() dedups exactly
+        # one q_id exchange serves BOTH the dedup agg and the window
+        # (see docstring) — a pair colliding in several bands scores
+        # identically each time (same rounded expression), first()
+        # dedups exactly
+        .repartition("q_id")
         .groupBy("q_id", "vec_id").agg(F.first("sim_r").alias("sim_r"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)

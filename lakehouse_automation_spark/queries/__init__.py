@@ -48,68 +48,81 @@ from . import graph           # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). Round-13 priority, in order
-# (VERDICT r12 ask #3: steady-state rotation, registry frozen):
+# derives it — never hand-count). Round-14 priority, in order
+# (VERDICT r13 ask #4: sink_json + the r9 cohort + changed-key
+# spares; registry frozen):
 #
-#   1. 48 of the 49-key r8-gated cohort (round 12's
-#      _NEXT_SWEEP_QUEUE — every key whose newest official gate entry
-#      is round 8). After this round's sweep the oldest official
-#      entry is >= r9 for every key except the one displaced below.
-#   2. The 2 spare slots go to changed-key re-confirmation
+#   1. sink_json — the single r8-gated key, displaced from the r13
+#      fold by that round's changed-key spares; the stalest official
+#      entry in the registry and therefore first.
+#   2. 42 of the 46-key r9-gated cohort (every key whose newest
+#      official gate entry is round 9, minus the 4 live-stream keys
+#      that must close the block — see wedge isolation below).
+#   3. The 3 spare slots go to changed-key re-confirmation
 #      (changed-keys-first rule): vec_neardup_lsh and vec_knn_join —
-#      both their engine path (lsh_bucket_table now tiers on the
-#      null-filtered count, ADVICE r12) and their SQL oracle (the
-#      256-plane literals + two-knob tier CTE that make the 16x16
-#      scale tier replayable, VERDICT r12 ask #2) changed this round.
-#      Displaced to make room: sink_json — its r13 state is
-#      code-untouched, its semantics are pytest-pinned, and it passed
-#      every full-replica and sweep record since r8; result-changing
-#      keys outrank a stale-but-stable sink smoke. It fronts the r14
-#      queue below.
+#      their block-local verify path changed this round (the enriched
+#      table now builds from the persisted signature table so the
+#      auto block-local shape counts the corpus ONCE, and the knn
+#      dedup+window share a single q_id exchange; ADVICE r13) — and
+#      tf_cdc_feed, whose commit-timestamp fallback now routes
+#      through the manifest-log PathIO backend (ADVICE r13).
+#   4. The 4 live-stream r9 keys ({tf_stream_ingest, lifecycle_daemon,
+#      stream_custom_state, stream_stream_join}) close the block:
+#      wedge isolation — a hung stream must not starve batch results.
 #
-# Growth freeze: round 13 adds ZERO new keys.
-#
-# Wedge isolation: no live-stream key ({tf_stream_ingest,
-# lifecycle_daemon, stream_custom_state, stream_stream_join}) is in
-# this fold (all re-gated r9), so the rule holds vacuously.
+# After this round's sweep the oldest official entry is >= r10 for
+# every key. Growth freeze: round 14 adds ZERO new keys.
 _SWEEP_ORDER = [
-    # --- 1: 48 of the 49-key r8 cohort ---
-    "agg_benford_digits", "agg_entropy", "agg_exact_deciles",
-    "agg_freq_histogram", "agg_gini", "agg_hhi", "agg_mad_outliers",
-    "agg_pareto_8020", "agg_sample_estimate", "agg_skew_kurt",
-    "agg_topk_share", "agg_weighted_median", "curate_pipeline",
-    "event_ab_test", "event_active_users", "event_attribution_first",
-    "event_attribution_linear", "event_conversion_lag",
-    "event_cooccurrence", "event_interarrival_stats",
-    "graph_assortativity", "graph_jaccard_neighbors", "graph_pagerank",
-    "graph_shortest_paths", "graph_triangles", "join_asof_nearest",
-    "join_cross", "mm_exact_dedup", "order_basket_lift",
-    "project_unpivot", "rfm_segments",
-    "text_collocations", "text_rake_keywords", "text_vocab_coverage",
-    "text_vocab_stats", "ts_changepoint", "ts_crosscorr",
-    "ts_linreg_trend", "ts_seasonality",
-    "vec_centroid_drift", "vec_cluster_quality", "vec_dispersion",
-    "vec_ivf_index_refresh", "vec_label_outliers",
-    "win_cumulative_distinct",
-    "win_intervals_overlap", "win_skyline", "win_streaks",
-    # --- 2: the 2 changed-key spares ---
-    "vec_neardup_lsh", "vec_knn_join",
+    # --- 1: the r8 straggler ---
+    "sink_json",
+    # --- 2: the 42 non-live r9-cohort keys ---
+    "agg_approx_distinct", "agg_median", "agg_percentile_approx",
+    "cte_recursive", "flagship_regional_revenue", "fn_array_map",
+    "fn_bitwise", "fn_cond_null", "fn_explode", "fn_hash", "fn_json",
+    "fn_levenshtein", "fn_math", "gen_rows", "join_asof",
+    "join_bucketed", "join_interval_bucketed", "join_skew_salted",
+    "mm_audio_resample", "mm_frame_sample", "mm_resize",
+    "poll_new_files", "retention_delete", "sample_hash_split",
+    "schedule_microbatch", "sink_orc", "subq_exists_correlated",
+    "subq_in", "subq_scalar", "text_bm25_rank", "text_exact_dedup",
+    "text_incremental_dedup", "text_minhash_pairs", "tf_acid_append",
+    "tf_schema_evolve", "tf_time_travel", "udf_sql_register",
+    "vec_ivf_kmeans_topk", "vec_ivf_pq_topk", "vec_pq_topk",
+    "vec_semantic_doc_dedup", "win_rank_pct",
+    # --- 3: the 3 changed-key spares ---
+    "vec_neardup_lsh", "vec_knn_join", "tf_cdc_feed",
+    # --- 4: live-stream keys close the block (wedge isolation) ---
+    "tf_stream_ingest", "lifecycle_daemon", "stream_custom_state",
+    "stream_stream_join",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # The round-14 queue continues in _NEXT_SWEEP_QUEUE below.
+    # The round-15 queue continues in _NEXT_SWEEP_QUEUE below.
 ]
 
-# The round-14 fold front, machine-readable: the stalest official
-# green once the r13 fold lands — sink_json, the single r8-gated key
-# displaced from the r13 fold by the two changed-key spares.
-# tests/test_smoke.py recomputes the cohort from the
+# The round-15 fold front, machine-readable: once the r14 fold lands,
+# the stalest official cohort is the 48 r10-gated keys — queued here
+# completely. tests/test_smoke.py recomputes the cohort from the
 # CORRECTNESS_r*.json files and enforces that this list is exactly
 # the stalest-not-in-fold set, so the rotation cannot silently drop a
 # stale key. Any NEW key must be inserted into the fold itself
-# (growth-freeze rule above), not here. (Round 14 should extend this
-# with the r9-gated cohort once CORRECTNESS_r13 lands — the smoke
-# invariant will demand it then.)
+# (growth-freeze rule above), not here. The cohort is 48 keys for 50
+# slots, so round 15 has 2 spare slots for changed-key
+# re-confirmation.
 _NEXT_SWEEP_QUEUE = [
-    "sink_json",
+    "agg_approx_topk", "agg_distinct", "agg_hash_basic", "agg_having",
+    "agg_hist_bins", "agg_rollup", "agg_sketch_rollup",
+    "agg_stddev_corr", "call_proc", "case_when", "event_funnel",
+    "filter_pred", "fn_try_arith", "join_anti", "join_asof_forward",
+    "join_asof_tolerance", "join_bloom_filtered", "join_inner_equi",
+    "join_null_safe", "join_outer", "join_self", "join_semi",
+    "mixture_sample", "mv_incremental_refresh", "pack_sequences",
+    "profile_table", "project_rename_cast", "retention_cohort",
+    "scan_parquet", "sessionize_events", "set_except_all",
+    "set_intersect_all", "sink_dynamic_overwrite", "stream_static_join",
+    "text_chunk_split", "text_decontaminate", "text_unigram_logprob",
+    "tf_clone", "tf_history", "tf_restore", "tf_verify",
+    "udf_grouped_agg", "udf_grouped_map", "vec_ivf_index_persisted",
+    "vec_matryoshka_topk", "win_frame_rows", "win_pattern_detect",
+    "win_rank",
 ]
 
 

@@ -1050,10 +1050,15 @@ class CowTable:
         # committed_at is recorded INSIDE the manifest at publish time,
         # so it survives rsync/cp/object-store gateways that rewrite
         # file mtimes; mtime is only the fallback for pre-committed_at
-        # manifests
+        # manifests. The fallback routes through _log_io like every
+        # other log read — os.path.getmtime here would be the one
+        # os-routed log access left and would break for pre-
+        # committed_at manifests under a non-local log backend.
         man_v_to = self.manifest(v_to)
-        epoch = man_v_to.get("committed_at") or os.path.getmtime(
-            os.path.join(self._log_dir(), _vname(v_to)))
+        epoch = man_v_to.get("committed_at")
+        if not epoch:
+            io = self._log_io()
+            epoch = io.getmtime(io.join(self._log_dir(), _vname(v_to)))
         # naive UTC, because the session timezone is pinned to UTC
         # (engine/session.py): a host-local naive datetime would be
         # reinterpreted as UTC and shift the stamp by the host offset
@@ -1278,6 +1283,12 @@ class CowTable:
                   .drop("__z"))  # projection after sort: order survives
         else:
             df = df.repartition(n_files)
+        # publish the write-side plan for the plan report / pins (the
+        # committed chunk hides it): the "sampled" z layout must show
+        # NO InMemoryRelation — its one-scan guarantee — while the
+        # "persist" reference layout shows the cache by design
+        from .operators.plancapture import capture_plan
+        df = capture_plan("cowtable:compact_write", df)
         try:
             chunk = self._write_chunk(df, "compact")
         finally:

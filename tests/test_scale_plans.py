@@ -511,6 +511,111 @@ def test_checkpointed_keys_capture_their_real_plans(spark, sf_dir):
         release_persisted()
 
 
+def test_lsh_signature_stage_is_map_in_pandas(spark, sf_dir):
+    """The LSH signature stage must plan as ONE Arrow-batched
+    MapInPandas over the corpus (the r13 numpy matmul), never the old
+    vector x plane crossJoin — that shape materialized corpus x 256
+    rows each carrying two 64-double arrays (51M x ~1 KB at sf10,
+    measured 80 s for a 200k x 64 matrix product). Pins both LSH keys'
+    executed plans (VERDICT r13 ask #3)."""
+    from lakehouse_automation_spark.operators.cache import release_persisted
+
+    try:
+        for key in ("vec_neardup_lsh", "vec_knn_join"):
+            plan = _plan(REGISTRY[key].fn(spark, sf_dir))
+            assert "MapInPandas" in plan, f"{key}: no MapInPandas stage"
+            # the plane table must not enter as a join side at all
+            assert "CartesianProduct" not in plan, key
+            assert "BroadcastNestedLoopJoin" not in plan, key
+    finally:
+        release_persisted()
+
+
+def test_knn_blocklocal_dedup_and_window_share_one_exchange(spark, sf_dir):
+    """In the block-local verify shape the scored pairs repartition on
+    q_id ONCE: HashPartitioning(q_id) satisfies both the (q_id, vec_id)
+    dedup aggregate (subset of clustering keys) and the top-k window —
+    exactly one q_id exchange in the plan. Partitioning on the full
+    group key instead would NOT satisfy the window and a second q_id
+    exchange would follow (ADVICE r13; the 100 TB shape pays shuffles
+    in pair-table units)."""
+    from lakehouse_automation_spark.operators.cache import release_persisted
+    from lakehouse_automation_spark.operators.vector import knn_join_lsh
+    from lakehouse_automation_spark.queries.base import t as _t
+
+    try:
+        df = knn_join_lsh(_t(spark, sf_dir, "embeddings"), k=5,
+                          verify_shape="blocklocal")
+        plan = _plan(df)
+        n_qid = len(re.findall(r"Exchange hashpartitioning\(q_id", plan))
+        assert n_qid == 1, f"{n_qid} q_id exchanges:\n{plan[:1200]}"
+        # and none keyed on the full (q_id, vec_id) group key
+        assert not re.search(
+            r"Exchange hashpartitioning\(q_id[^)]*vec_id", plan), plan[:1200]
+    finally:
+        release_persisted()
+
+
+def test_zorder_sampled_compact_write_is_one_scan_no_cache(spark, sf_dir):
+    """The default ("sampled") z-order compact must write from a plan
+    with NO InMemoryRelation and NO approxQuantile machinery — the
+    one-scan guarantee _zorder_layout exists for (r13: the deleted
+    passes were full-width scans, one a cluster-memory persist). The
+    "persist" reference layout must show the cache, proving the pin
+    discriminates. Job accounting confirms the deleted passes stay
+    deleted: the sampled path runs strictly fewer jobs."""
+    import os
+
+    from lakehouse_automation_spark.operators import plancapture as PC
+    from lakehouse_automation_spark.queries.base import t as _t
+    from lakehouse_automation_spark.tableformat import CowTable
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    os.environ["LAS_CAPTURE_PLANS"] = "1"
+    sc = spark.sparkContext
+    try:
+        plans = {}
+        jobs = {}
+        for layout in ("sampled", "persist"):
+            import shutil
+            import tempfile
+
+            root = tempfile.mkdtemp(prefix=f"las_zpin_{layout}_")
+            try:
+                tbl = CowTable.create(
+                    spark, orders, os.path.join(root, "t"),
+                    stats_cols=["o_custkey", "o_orderdate"])
+                PC.clear_captured()
+                sc.setJobGroup(f"zpin_{layout}", "zorder pin", False)
+                tbl.compact(n_files=4,
+                            zorder_by=["o_custkey", "o_orderdate"],
+                            zorder_layout=layout)
+                sc.setJobGroup("", "", False)
+                plans[layout] = PC.captured_plans()[
+                    "cowtable:compact_write"]
+                jobs[layout] = len(
+                    sc.statusTracker().getJobIdsForGroup(
+                        f"zpin_{layout}"))
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
+        assert "InMemoryRelation" not in plans["sampled"], \
+            plans["sampled"][:1200]
+        assert "InMemoryTableScan" not in plans["sampled"]
+        # discriminator: the reference layout DOES cache
+        assert ("InMemoryRelation" in plans["persist"]
+                or "InMemoryTableScan" in plans["persist"])
+        # the job COUNT per layout floats with AQE stage splits and
+        # stats reads, but the deleted passes are the GAP: persist
+        # runs approxQuantile + the range partitioner's sampling job
+        # on top of everything the sampled path runs (measured 10 vs
+        # 7 at sf0.001)
+        assert jobs["persist"] - jobs["sampled"] >= 2, jobs
+    finally:
+        os.environ.pop("LAS_CAPTURE_PLANS", None)
+        PC.clear_captured()
+
+
 def test_capture_plan_is_identity_when_disabled(spark, sf_dir):
     """With LAS_CAPTURE_PLANS unset the helper must record nothing and
     return the same DataFrame object — the bench/driver path pays no

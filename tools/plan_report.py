@@ -85,6 +85,7 @@ NOTES = {
     "tf_cdc_feed": "post-checkpoint Scan ExistingRDD; the captured pre-checkpoint plan below is the real manifest-diff CDC: only the rewritten chunk and its predecessor are scanned, exceptAll cancels carried rows.",
     "tf_cdc_updates": "post-checkpoint Scan ExistingRDD; the captured plan is the update-pairing layer (semi/anti joins on the small diff) over the same manifest-diff CDC.",
     "mv_incremental_refresh": "post-checkpoint Scan ExistingRDD; the captured plan is the signed-delta refresh: change-feed groupBy + null-safe full-outer fold into the 3-row MV — historical base rows never rescanned.",
+    "tf_zorder": "the captured compact-write plan is the sampled z layout (r13): NO InMemoryRelation and no approxQuantile job — one driver-side sample of the z columns supplies rank cuts + murmur-token file placement, the data scans once (plan-pinned in tests/test_scale_plans.py).",
 }
 
 # informative non-HEADLINE plans appended to the report
@@ -115,7 +116,10 @@ EXTRAS = ["vec_pq_topk", "stream_stream_join", "join_interval_bucketed",
           # checkpointed CDC/MV keys: published for their captured
           # pre-checkpoint plans (the post-checkpoint plan is only
           # `Scan ExistingRDD`)
-          "tf_cdc_feed", "tf_cdc_updates", "mv_incremental_refresh"]
+          "tf_cdc_feed", "tf_cdc_updates", "mv_incremental_refresh",
+          # compact publishes its write-side plan the same way — the
+          # one-scan sampled z layout is otherwise invisible post-commit
+          "tf_zorder"]
 
 
 def main() -> int:
