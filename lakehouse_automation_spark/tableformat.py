@@ -284,10 +284,13 @@ class CowTable:
         # Hadoop FileSystem API is pinned by test
         # (tests/test_tableformat.py, the log_io seam below). The DATA
         # plane (chunk writes' mkdir claim, footer walks, vacuum's
-        # chunk reclaim ages) still uses os.* against a local dir, so
-        # construction refuses remote table URIs loudly; lifting that
-        # needs conditional-PUT chunk claims + FileSystem-walked
-        # footers, with _log_io as the pattern to follow.
+        # chunk reclaim ages) uses os.* against a local dir and is
+        # DECLARED local-scoped (SURVEY §2 tf_* row, r14 final):
+        # construction refuses remote table URIs loudly, and the
+        # remote/object-store story is the Delta export
+        # (to_delta_manifest) — Delta's data plane already speaks
+        # every Hadoop filesystem, so conditional-PUT chunk claims
+        # here would duplicate what the export buys.
         from .operators.pathio import LocalPathIO, _scheme
         scheme = _scheme(path)
         if scheme not in (None, "file"):
