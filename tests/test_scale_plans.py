@@ -556,6 +556,45 @@ def test_knn_blocklocal_dedup_and_window_share_one_exchange(spark, sf_dir):
         release_persisted()
 
 
+def test_lsh_blocklocal_counts_corpus_once(spark, sf_dir):
+    """The auto-resolved AND forced block-local paths must run exactly
+    ONE corpus-count job per fresh corpus: r13 shipped the signature
+    persist discarded and the banding re-derived by a second count
+    inside the enriched build — two redundant corpus scans at exactly
+    the tier where scans cost most (ADVICE r13). Pinned structurally
+    via the keyed-persist registry: the signature table must be
+    registered AND consumed (the enriched table is built from it, so
+    a discarded-signature regression would need a new keyed entry),
+    and a second LSH operator on the same corpus must add ZERO new
+    persists — which rules out a second corpus count or signature
+    materialization by construction."""
+    from lakehouse_automation_spark.operators import cache as C
+    from lakehouse_automation_spark.operators.cache import release_persisted
+    from lakehouse_automation_spark.operators.vector import (
+        knn_join_lsh, lsh_neardup_pairs)
+    from lakehouse_automation_spark.queries.base import t as _t
+
+    emb = _t(spark, sf_dir, "embeddings")
+    try:
+        lsh_neardup_pairs(emb, verify_shape="blocklocal").count()
+        keyed = {k[0] for k in C._KEYED}
+        # the signature table is persisted AND used (it feeds the
+        # enriched build — the r13 version registered it then threw
+        # it away), and the enriched table is keyed alongside it
+        assert {"lsh_buckets", "lsh_enriched"} <= keyed, keyed
+        n_persisted = len(C._PERSISTED)
+        # the second operator on the same corpus must reuse ALL
+        # shared state: no new persist, no new keyed entry — which
+        # structurally rules out a second corpus count or a second
+        # signature materialization
+        knn_join_lsh(emb, k=5, verify_shape="blocklocal").count()
+        assert len(C._PERSISTED) == n_persisted, (
+            n_persisted, len(C._PERSISTED))
+        assert {k[0] for k in C._KEYED} == keyed
+    finally:
+        release_persisted()
+
+
 def test_zorder_sampled_compact_write_is_one_scan_no_cache(spark, sf_dir):
     """The default ("sampled") z-order compact must write from a plan
     with NO InMemoryRelation and NO approxQuantile machinery — the
