@@ -31,6 +31,22 @@ from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
 _KEYED: dict[tuple, DataFrame] = {}
+_SCALARS: dict[tuple, object] = {}
+
+
+def memo_scalar(key: tuple, compute: Callable[[], object]) -> object:
+    """Memoize a driver-side scalar derived from a persisted table's
+    input (e.g. the LSH corpus count that sizes the banding tier) under
+    the SAME lifecycle as the keyed persists: cleared together by
+    :func:`release_persisted`, so a scalar can never outlive the cached
+    table it describes. Exists because an action like ``count()`` is a
+    full corpus scan that ``tracked_persist_keyed`` alone cannot dedupe
+    — the r14 forced-blocklocal path paid it on every invocation."""
+    if key in _SCALARS:
+        return _SCALARS[key]
+    val = compute()
+    _SCALARS[key] = val
+    return val
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
@@ -72,4 +88,5 @@ def release_persisted(blocking: bool = True) -> int:
             pass
     _PERSISTED.clear()
     _KEYED.clear()
+    _SCALARS.clear()
     return n

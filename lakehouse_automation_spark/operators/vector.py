@@ -28,7 +28,7 @@ import pandas as pd
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from .cache import tracked_persist_keyed
+from .cache import memo_scalar, tracked_persist_keyed
 
 
 def _plan_key(df: DataFrame) -> tuple:
@@ -774,14 +774,20 @@ def _lsh_signatures(emb: DataFrame) -> tuple[int, DataFrame]:
     """(null-filtered corpus count, keyed-persisted signature table).
     The count feeds both the banding tier and the verify-shape choice;
     passing the derived banding into lsh_bucket_table explicitly keeps
-    it to ONE count job. Keyed persist: the signature table feeds both
+    it to ONE count job, and the count itself is memoized under the
+    SAME plan key as the signature persist (r14 ADVICE: the forced
+    block-local path, which skips no stage, paid a fresh corpus-count
+    action on every invocation even when the signature table was a
+    keyed-cache hit). Keyed persist: the signature table feeds both
     self-join sides (AQE broadcast conversion would re-execute it per
     side), and the key dedupes repeat invocations on the same corpus —
     the plane LocalRelation defeats CacheManager's own plan matching."""
-    n_vec = with_vnorm(emb).count()
+    pk = _plan_key(emb)
+    n_vec = memo_scalar(("lsh_nvec", pk),
+                        lambda: with_vnorm(emb).count())
     bits, bands = adaptive_banding(n_vec)
     sig = tracked_persist_keyed(
-        ("lsh_buckets", _plan_key(emb)),
+        ("lsh_buckets", pk),
         lambda: lsh_bucket_table(emb, bits, bands)
         .select("vec_id", "band_id", "bucket"))
     return n_vec, sig

@@ -48,66 +48,27 @@ from . import graph           # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). Round-14 priority, in order
-# (VERDICT r13 ask #4: sink_json + the r9 cohort + changed-key
-# spares; registry frozen):
+# derives it — never hand-count). Round-15 priority, in order
+# (VERDICT r14 ask #2: the r10 cohort + changed-key spares; registry
+# frozen):
 #
-#   1. sink_json — the single r8-gated key, displaced from the r13
-#      fold by that round's changed-key spares; the stalest official
-#      entry in the registry and therefore first.
-#   2. 42 of the 46-key r9-gated cohort (every key whose newest
-#      official gate entry is round 9, minus the 4 live-stream keys
-#      that must close the block — see wedge isolation below).
-#   3. The 3 spare slots go to changed-key re-confirmation
+#   1. The complete 48-key r10-gated cohort (every key whose newest
+#      official gate entry is round 10), exactly as round 14's
+#      _NEXT_SWEEP_QUEUE pinned it. The cohort includes
+#      join_bloom_filtered, whose baseline entry was re-merged this
+#      round (BASELINE.md §15) — the official re-gate rides along.
+#   2. The 2 spare slots go to changed-key re-confirmation
 #      (changed-keys-first rule): vec_neardup_lsh and vec_knn_join —
-#      their block-local verify path changed this round (the enriched
-#      table now builds from the persisted signature table so the
-#      auto block-local shape counts the corpus ONCE, and the knn
-#      dedup+window share a single q_id exchange; ADVICE r13) — and
-#      tf_cdc_feed, whose commit-timestamp fallback now routes
-#      through the manifest-log PathIO backend (ADVICE r13).
-#   4. The 4 live-stream r9 keys ({tf_stream_ingest, lifecycle_daemon,
-#      stream_custom_state, stream_stream_join}) close the block:
-#      wedge isolation — a hung stream must not starve batch results.
+#      their shared signature stage changed this round (the corpus
+#      count is now memoized under the signature plan key instead of
+#      re-running per invocation; ADVICE r14).
 #
-# After this round's sweep the oldest official entry is >= r10 for
-# every key. Growth freeze: round 14 adds ZERO new keys.
+# No live-stream key sits in this fold (all four were swept r14), so
+# the wedge-isolation block constraint is satisfied vacuously.
+# After this round's sweep the oldest official entry is >= r11 for
+# every key. Growth freeze: round 15 adds ZERO new keys.
 _SWEEP_ORDER = [
-    # --- 1: the r8 straggler ---
-    "sink_json",
-    # --- 2: the 42 non-live r9-cohort keys ---
-    "agg_approx_distinct", "agg_median", "agg_percentile_approx",
-    "cte_recursive", "flagship_regional_revenue", "fn_array_map",
-    "fn_bitwise", "fn_cond_null", "fn_explode", "fn_hash", "fn_json",
-    "fn_levenshtein", "fn_math", "gen_rows", "join_asof",
-    "join_bucketed", "join_interval_bucketed", "join_skew_salted",
-    "mm_audio_resample", "mm_frame_sample", "mm_resize",
-    "poll_new_files", "retention_delete", "sample_hash_split",
-    "schedule_microbatch", "sink_orc", "subq_exists_correlated",
-    "subq_in", "subq_scalar", "text_bm25_rank", "text_exact_dedup",
-    "text_incremental_dedup", "text_minhash_pairs", "tf_acid_append",
-    "tf_schema_evolve", "tf_time_travel", "udf_sql_register",
-    "vec_ivf_kmeans_topk", "vec_ivf_pq_topk", "vec_pq_topk",
-    "vec_semantic_doc_dedup", "win_rank_pct",
-    # --- 3: the 3 changed-key spares ---
-    "vec_neardup_lsh", "vec_knn_join", "tf_cdc_feed",
-    # --- 4: live-stream keys close the block (wedge isolation) ---
-    "tf_stream_ingest", "lifecycle_daemon", "stream_custom_state",
-    "stream_stream_join",
-    # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # The round-15 queue continues in _NEXT_SWEEP_QUEUE below.
-]
-
-# The round-15 fold front, machine-readable: once the r14 fold lands,
-# the stalest official cohort is the 48 r10-gated keys — queued here
-# completely. tests/test_smoke.py recomputes the cohort from the
-# CORRECTNESS_r*.json files and enforces that this list is exactly
-# the stalest-not-in-fold set, so the rotation cannot silently drop a
-# stale key. Any NEW key must be inserted into the fold itself
-# (growth-freeze rule above), not here. The cohort is 48 keys for 50
-# slots, so round 15 has 2 spare slots for changed-key
-# re-confirmation.
-_NEXT_SWEEP_QUEUE = [
+    # --- 1: the complete r10 cohort (48 keys) ---
     "agg_approx_topk", "agg_distinct", "agg_hash_basic", "agg_having",
     "agg_hist_bins", "agg_rollup", "agg_sketch_rollup",
     "agg_stddev_corr", "call_proc", "case_when", "event_funnel",
@@ -117,12 +78,43 @@ _NEXT_SWEEP_QUEUE = [
     "mixture_sample", "mv_incremental_refresh", "pack_sequences",
     "profile_table", "project_rename_cast", "retention_cohort",
     "scan_parquet", "sessionize_events", "set_except_all",
-    "set_intersect_all", "sink_dynamic_overwrite", "stream_static_join",
-    "text_chunk_split", "text_decontaminate", "text_unigram_logprob",
-    "tf_clone", "tf_history", "tf_restore", "tf_verify",
-    "udf_grouped_agg", "udf_grouped_map", "vec_ivf_index_persisted",
-    "vec_matryoshka_topk", "win_frame_rows", "win_pattern_detect",
-    "win_rank",
+    "set_intersect_all", "sink_dynamic_overwrite",
+    "stream_static_join", "text_chunk_split", "text_decontaminate",
+    "text_unigram_logprob", "tf_clone", "tf_history", "tf_restore",
+    "tf_verify", "udf_grouped_agg", "udf_grouped_map",
+    "vec_ivf_index_persisted", "vec_matryoshka_topk", "win_frame_rows",
+    "win_pattern_detect", "win_rank",
+    # --- 2: the 2 changed-key spares ---
+    "vec_neardup_lsh", "vec_knn_join",
+    # ---- fold: the driver sweep stops reading here (50 keys) ----
+    # The round-16 queue continues in _NEXT_SWEEP_QUEUE below.
+]
+
+# The round-16 fold front, machine-readable: once the r15 fold lands,
+# the stalest official cohort is the 48 r11-gated keys — queued here
+# completely. tests/test_smoke.py recomputes the cohort from the
+# CORRECTNESS_r*.json files and enforces that this list is exactly
+# the stalest-not-in-fold set, so the rotation cannot silently drop a
+# stale key. Any NEW key must be inserted into the fold itself
+# (growth-freeze rule above), not here. The cohort is 48 keys for 50
+# slots, so round 16 has 2 spare slots for changed-key
+# re-confirmation.
+_NEXT_SWEEP_QUEUE = [
+    "agg_bitmap_distinct", "agg_collect", "agg_count_min_sketch",
+    "agg_cube", "agg_grouping_sets", "agg_mode", "agg_percentile",
+    "agg_pivot", "agg_sketch_setops", "dedup", "distinct_proj",
+    "event_attribution", "event_path_analysis",
+    "filter_in_between_like", "flagship_pricing_summary",
+    "fn_datetime", "fn_string", "join_broadcast",
+    "join_dpp_partition_pruned", "join_theta_range", "sample",
+    "sample_stratified_topk", "scan_text", "sessionize_incremental",
+    "sessionize_salted", "set_except", "set_intersect", "set_union",
+    "set_union_all", "sink_partitioned", "sort_multi",
+    "stream_tws_state", "text_substring_dedup", "tf_bloom_index",
+    "tf_cdc_updates", "tf_constraints", "tf_delete_vacuum",
+    "tf_merge_cow", "tf_stats_prune", "tf_zorder", "topk", "ts_ewma",
+    "ts_interpolate_linear", "ts_resample_ffill", "ts_rolling_anomaly",
+    "vec_binary_topk", "vec_int8_topk", "win_analytic",
 ]
 
 

@@ -562,12 +562,15 @@ def test_lsh_blocklocal_counts_corpus_once(spark, sf_dir):
     persist discarded and the banding re-derived by a second count
     inside the enriched build — two redundant corpus scans at exactly
     the tier where scans cost most (ADVICE r13). Pinned structurally
-    via the keyed-persist registry: the signature table must be
-    registered AND consumed (the enriched table is built from it, so
-    a discarded-signature regression would need a new keyed entry),
-    and a second LSH operator on the same corpus must add ZERO new
-    persists — which rules out a second corpus count or signature
-    materialization by construction."""
+    via the keyed-persist registry (the signature table must be
+    registered AND consumed — a discarded-signature regression would
+    need a new keyed entry; a second LSH operator on the same corpus
+    must add ZERO new persists) plus, since r15, the count action
+    itself: the corpus count is memoized in cache._SCALARS under the
+    signature plan key (r14 ADVICE — zero-new-persists alone rules out
+    re-materialization but not a repeated count() action, which the
+    forced-blocklocal path was paying per invocation), so we assert
+    the memo holds exactly one lsh_nvec entry after BOTH operators."""
     from lakehouse_automation_spark.operators import cache as C
     from lakehouse_automation_spark.operators.cache import release_persisted
     from lakehouse_automation_spark.operators.vector import (
@@ -591,6 +594,12 @@ def test_lsh_blocklocal_counts_corpus_once(spark, sf_dir):
         assert len(C._PERSISTED) == n_persisted, (
             n_persisted, len(C._PERSISTED))
         assert {k[0] for k in C._KEYED} == keyed
+        # the corpus-count action ran once and was memoized: both
+        # operators resolved their banding/verify-shape from the SAME
+        # single lsh_nvec entry (a second count would key identically,
+        # so a re-count can only mean the memo was bypassed)
+        nvec_keys = [k for k in C._SCALARS if k[0] == "lsh_nvec"]
+        assert len(nvec_keys) == 1, sorted(C._SCALARS)
     finally:
         release_persisted()
 
@@ -645,11 +654,13 @@ def test_zorder_sampled_compact_write_is_one_scan_no_cache(spark, sf_dir):
         assert ("InMemoryRelation" in plans["persist"]
                 or "InMemoryTableScan" in plans["persist"])
         # the job COUNT per layout floats with AQE stage splits and
-        # stats reads, but the deleted passes are the GAP: persist
-        # runs approxQuantile + the range partitioner's sampling job
-        # on top of everything the sampled path runs (measured 10 vs
-        # 7 at sf0.001)
-        assert jobs["persist"] - jobs["sampled"] >= 2, jobs
+        # stats reads (r14 ADVICE: a >=2 delta was fragile across
+        # Spark upgrades), so the plan-string assertions above are the
+        # primary pin; the job gap only confirms the persist layout
+        # still pays at least one extra pass (approxQuantile / range-
+        # partitioner sampling) that the sampled path does not
+        # (measured 10 vs 7 on Spark 4.1.2 at sf0.001)
+        assert jobs["persist"] - jobs["sampled"] >= 1, jobs
     finally:
         os.environ.pop("LAS_CAPTURE_PLANS", None)
         PC.clear_captured()

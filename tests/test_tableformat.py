@@ -1112,3 +1112,79 @@ def test_log_roundtrips_through_hadoop_backend(spark, tmp_path):
     reopened = CowTable(spark, str(tmp_path / "t"))
     assert reopened.version() == tbl.version()
     assert reopened.read().count() == 150
+
+
+def test_log_seam_no_python_os_call_touches_log_dir(
+        spark, tmp_path, monkeypatch):
+    """VERDICT r14 ask #5: end-to-end proof that with the log pinned
+    to a non-local backend (HadoopPathIO on the LocalFileSystem — the
+    exact code path hdfs/s3a resolve to), NO Python-side os/open call
+    ever touches the log directory. The counting-proxy test above
+    proves the backend carried log traffic; this one proves nothing
+    ELSE did — tripwires on builtins.open and the os entry points
+    (stat covers getmtime/exists/isdir; listdir/scandir cover
+    enumeration; link/rename/remove cover the POSIX publish protocol)
+    raise on any log-dir path while the full lifecycle runs: create,
+    append, time travel, history, changes_with_updates — including
+    the CDC commit-timestamp mtime FALLBACK (fb54f9f, the last log
+    read that was os-routed), forced here by republishing the tip
+    manifest without committed_at through the backend itself."""
+    import builtins
+
+    from lakehouse_automation_spark.operators.pathio import HadoopPathIO
+    from lakehouse_automation_spark.tableformat import _vname
+
+    io = HadoopPathIO(spark)
+    df = spark.range(60).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v"))
+    tbl = CowTable.create(spark, df, str(tmp_path / "t"),
+                          stats_cols=["k"], log_io=io)
+    log_dir = os.path.realpath(tbl._log_dir())
+
+    def _guard(fn, name):
+        def wrapped(p, *a, **kw):
+            if isinstance(p, (str, bytes, os.PathLike)):
+                s = os.fspath(p)
+                if isinstance(s, bytes):
+                    s = s.decode(errors="replace")
+                # realpath WITHOUT the wrapped stat (avoid recursion):
+                # normpath+abspath is enough — the log dir is not
+                # reached through symlinks in this layout
+                if os.path.normpath(os.path.abspath(s)).startswith(
+                        log_dir):
+                    raise AssertionError(
+                        f"os-routed log access: {name}({s!r})")
+            return fn(p, *a, **kw)
+        return wrapped
+
+    # everything LocalPathIO (or a bare os.* regression) would use to
+    # read or publish the log; the data plane (outside log_dir) passes
+    # through untouched
+    monkeypatch.setattr(builtins, "open", _guard(builtins.open, "open"))
+    for mod, name in ((os, "stat"), (os, "lstat"), (os, "listdir"),
+                      (os, "scandir"), (os, "link"), (os, "rename"),
+                      (os, "replace"), (os, "remove"), (os, "unlink"),
+                      (os, "makedirs"), (os, "mkdir")):
+        monkeypatch.setattr(mod, name, _guard(getattr(mod, name), name))
+
+    tbl.append(spark.range(60, 90).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("v")))
+    assert tbl.version() == 1
+    assert tbl.read().count() == 90
+    assert tbl.read(version=0).count() == 60
+    assert [m["op"] for m in tbl.history()] == ["create", "append"]
+
+    # force the CDC mtime fallback: republish v1 WITHOUT committed_at,
+    # through the backend (unlink + publish_if_absent), so the
+    # _commit_timestamp must come from io.getmtime — the one log read
+    # fb54f9f moved off os.path.getmtime
+    tip_path = io.join(tbl._log_dir(), _vname(1))
+    doc = json.loads(io.read_bytes(tip_path).decode())
+    assert doc.pop("committed_at", None) is not None
+    io.unlink(tip_path)
+    assert io.publish_if_absent(tip_path, json.dumps(doc).encode())
+    cdc = tbl.changes_with_updates("k", v_from=0, v_to=1)
+    rows = cdc.select("_change_type", "_commit_timestamp").collect()
+    assert len(rows) == 30
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    assert all(r["_commit_timestamp"] is not None for r in rows)

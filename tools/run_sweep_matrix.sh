@@ -8,13 +8,27 @@
 set -eu
 R="${1:?usage: run_sweep_matrix.sh rNN}"
 cd "$(dirname "$0")/.."
-SF001=/root/testdata/sf0.001
+# Historical naming note: the `_sf001_` suffix on starred-tier records
+# denotes the sf0.01 DIRECTORY below (the suffix predates the second
+# tier and was kept so round-over-round records diff cleanly).
 SF01=/root/testdata/sf0.01
 
 run() { # tool, record, extra args...
   tool="$1"; rec="$2"; shift 2
   echo "=== $tool -> $rec"
-  python "tools/$tool" "$@" 2>&1 | tail -2
+  # Capture to a temp file and tail AFTER checking the exit status:
+  # piping the tool through `| tail` would make the pipeline's status
+  # tail's, so `set -eu` would never see a crashed sweep and the
+  # matrix would print 'complete' over a missing/stale record.
+  tmp="$(mktemp)"
+  if ! python "tools/$tool" "$@" > "$tmp" 2>&1; then
+    echo "FAILED: $tool ($rec) — last output:" >&2
+    tail -20 "$tmp" >&2
+    rm -f "$tmp"
+    exit 1
+  fi
+  tail -2 "$tmp"
+  rm -f "$tmp"
 }
 
 # sf0.001 tier (the default SRC_SF_DIR for every tool)
