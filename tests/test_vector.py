@@ -818,3 +818,34 @@ def test_refresh_compact_releases_cached_assignment(spark, emb, tmp_path):
     after = jsc.getPersistentRDDs().size()
     assert after <= before, (
         f"refresh leaked cached blocks: {before} -> {after}")
+
+
+def test_memo_scalar_lifecycle_matches_keyed_persists(spark):
+    """memo_scalar (the LSH corpus-count cache, ADVICE r14) must share
+    the keyed-persist lifecycle exactly: hit on the same key without
+    recomputing, miss on a different key, and be CLEARED by
+    release_persisted — a scalar outliving the cached table it
+    describes would serve a stale banding tier to the next corpus
+    that happens to reuse the key tuple."""
+    from lakehouse_automation_spark.operators import cache as C
+    from lakehouse_automation_spark.operators.cache import (
+        memo_scalar, release_persisted)
+
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return 42
+
+    release_persisted()
+    assert memo_scalar(("k", "a"), compute) == 42
+    assert memo_scalar(("k", "a"), compute) == 42  # hit: no recompute
+    assert calls["n"] == 1
+    assert memo_scalar(("k", "b"), compute) == 42  # different key: miss
+    assert calls["n"] == 2
+    assert len(C._SCALARS) == 2
+    release_persisted()
+    assert C._SCALARS == {}  # cleared WITH the persists
+    assert memo_scalar(("k", "a"), compute) == 42  # fresh epoch: miss
+    assert calls["n"] == 3
+    release_persisted()
