@@ -58,10 +58,16 @@ from . import graph           # noqa: E402,F401
 #      join_bloom_filtered, whose baseline entry was re-merged this
 #      round (BASELINE.md §15) — the official re-gate rides along.
 #   2. The 2 spare slots go to changed-key re-confirmation
-#      (changed-keys-first rule): vec_neardup_lsh and vec_knn_join —
-#      their shared signature stage changed this round (the corpus
-#      count is now memoized under the signature plan key instead of
-#      re-running per invocation; ADVICE r14).
+#      (changed-keys-first rule). Three keys changed this round for
+#      two slots: vec_neardup_lsh and vec_knn_join share ONE changed
+#      stage (_lsh_signatures: the corpus count is now memoized under
+#      the signature plan key; ADVICE r14), so officially re-gating
+#      vec_neardup_lsh covers the shared path and the second slot
+#      goes to tfidf_keywords, whose plan changed outright (single
+#      corpus scan + persisted tf mid-table instead of two
+#      scan+explode passes). vec_knn_join keeps its two-tier local
+#      green trail (ORACLE_local_r15 + the sf1 replica + LSHTIER_r15)
+#      and its official entry is r14-fresh.
 #
 # No live-stream key sits in this fold (all four were swept r14), so
 # the wedge-isolation block constraint is satisfied vacuously.
@@ -85,7 +91,7 @@ _SWEEP_ORDER = [
     "vec_ivf_index_persisted", "vec_matryoshka_topk", "win_frame_rows",
     "win_pattern_detect", "win_rank",
     # --- 2: the 2 changed-key spares ---
-    "vec_neardup_lsh", "vec_knn_join",
+    "vec_neardup_lsh", "tfidf_keywords",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
     # The round-16 queue continues in _NEXT_SWEEP_QUEUE below.
 ]

@@ -671,11 +671,29 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 keywords per doc by tf * (N/df) — a linear idf variant
     chosen because tf*N is integer-exact and one double division
     matches the oracle bit-for-bit (ln-based idf differs in last-ulp
-    between libm builds). term-asc tiebreak makes ranks deterministic."""
+    between libm builds). term-asc tiebreak makes ranks deterministic.
+
+    Plan shape (r15): the corpus is scanned and tokenized ONCE. The
+    original plan fed the exploded token table into two different
+    aggregations (tf and a count_distinct df), which cannot share an
+    exchange — two full scan+explode passes over the corpus, the
+    dominant cost at scale. Since tf holds exactly one row per
+    distinct (doc, term), df is just count(*) of tf per term, so tf
+    is persisted (the standard multi-consumer mid-table checkpoint,
+    cf. text_ngram_jaccard's shingle table) and df derives from it
+    with a map-side-partial agg. A count-over-window(term) variant
+    avoids the join entirely but puts every row of a hot (stopword)
+    term into one unsplittable window partition; the join shape keeps
+    AQE's skew-split available, so it wins at 100 TB even though the
+    two measure within noise of each other locally."""
+    from ..operators.cache import tracked_persist
+
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    tf = tracked_persist(
+        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    # one row per (doc, term) in tf => count(*) == count_distinct(doc)
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.count()  # scalar: one job over parquet footers; fine at any scale
     scored = (
         tf.join(df, "term")

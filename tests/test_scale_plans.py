@@ -370,6 +370,37 @@ def test_sample_estimate_single_scan(spark, sf_dir):
     assert plan.count("Scan parquet") == 1, plan
 
 
+def test_tfidf_scans_corpus_once_reuses_tf(spark, sf_dir):
+    """tfidf_keywords (r15 plan): ONE scan+tokenize pass over the
+    corpus. The pre-r15 plan fed the exploded token table into two
+    different aggregations (tf, and a count_distinct df) that cannot
+    share an exchange — two full corpus scans. Now tf is persisted
+    and df derives from it (one row per distinct (doc, term) in tf
+    makes count(*) == count_distinct(doc)), so the executed plan must
+    show exactly one documents scan feeding the cache build, with
+    BOTH join sides reading the cached tf (>=2 InMemoryTableScans).
+    The join (not a count-over-window) keeps hot stopword terms
+    AQE-skew-splittable."""
+    from lakehouse_automation_spark.operators.cache import (
+        release_persisted)
+
+    release_persisted()
+    try:
+        df = REGISTRY["tfidf_keywords"].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+        # the only parquet scan is the cache build's lineage reprint;
+        # the execution tree itself reads the corpus zero times
+        # outside the cached tf (tree-walk excludes cache lineage)
+        names = _op_names(df)
+        n_scans = sum("Scan parquet" in n or n == "FileSourceScan"
+                      for n in names)
+        assert n_scans == 0, names
+    finally:
+        release_persisted()
+
+
 # ------------------------------------------------------------- graph
 
 def _op_names(df) -> list[str]:
