@@ -747,29 +747,52 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 (k1=1.2, b=0.75) document ranking for a fixed query — the
     lexical-retrieval complement to tfidf_keywords and the vector
-    top-k tiers. All corpus statistics stay in the plan: doc lengths
-    and term frequencies are one explode + two grouped aggs, N/avgdl
-    ride along as a broadcast 1-row cross join, nothing is collected.
-    Scores round to 6 dp before ranking so Spark's Math.log and
-    DuckDB's libm ln cannot flip the order on a last-ulp difference;
-    ties break on doc_id in both engines."""
+    top-k tiers. All corpus statistics stay in the plan; nothing is
+    collected. Scores round to 6 dp before ranking so Spark's
+    Math.log and DuckDB's libm ln cannot flip the order on a last-ulp
+    difference; ties break on doc_id in both engines.
+
+    Plan shape (r15): ONE scan+tokenize pass. The original plan fed
+    the exploded token table into two aggregations (doc lengths and
+    per-term tf) and then re-executed both subtrees for their
+    downstream aggs (n_docs/avgdl from dl, df from tf) — up to four
+    corpus tokenize passes in the executed plan. Because the query is
+    a FIXED term list, doclen AND the per-term tfs pivot into one
+    groupBy(doc_id) aggregation, persisted doc-sized (narrow ints —
+    unlike tfidf's tf table this checkpoint is cheap even locally);
+    the global stats (n_docs, avgdl, each term's df) fold into a
+    single 1-row agg over it, broadcast back, and the score is a sum
+    of per-term guarded contributions — no joins at all. Measured
+    faster at bench scale AND ~4x less scan work at cluster scale."""
+    from ..operators.cache import tracked_persist
+
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("doclen"))
-    g = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl"))
-    tf = (toks.filter(F.col("tok").isin(*_BM25_TERMS))
-          .groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf")))
-    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = tracked_persist(toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("doclen"),
+        *[F.sum(F.when(F.col("tok") == term, 1).otherwise(0)).alias(f"tf_{i}")
+          for i, term in enumerate(_BM25_TERMS)]))
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl"),
+        *[F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+          for i in range(len(_BM25_TERMS))])
     k1, b = _BM25_K1, _BM25_B
-    contrib = (
-        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-        * F.col("tf") * (k1 + 1)
-        / (F.col("tf") + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl")))
-    )
+    contribs = [
+        F.when(
+            F.col(f"tf_{i}") > 0,
+            F.log((F.col("n_docs") - F.col(f"df_{i}") + 0.5)
+                  / (F.col(f"df_{i}") + 0.5) + 1)
+            * F.col(f"tf_{i}") * (k1 + 1)
+            / (F.col(f"tf_{i}")
+               + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl"))))
+        .otherwise(F.lit(0.0))
+        for i in range(len(_BM25_TERMS))]
+    # every contribution is strictly positive when its tf > 0, so
+    # s > 0 selects exactly the docs the old tf-join produced rows for
     scored = (
-        tf.join(F.broadcast(df), "tok").join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .groupBy("doc_id").agg(F.sum(contrib).alias("s"))
+        per_doc.crossJoin(F.broadcast(stats))
+        .select("doc_id", sum(contribs[1:], contribs[0]).alias("s"))
+        .filter(F.col("s") > 0)
     )
     # global top-k the scale-safe way: orderBy+limit plans as
     # TakeOrderedAndProject (per-partition heaps + driver merge of 20

@@ -401,6 +401,31 @@ def test_tfidf_scans_corpus_once_reuses_tf(spark, sf_dir):
         release_persisted()
 
 
+def test_bm25_scans_corpus_once_pivots_stats(spark, sf_dir):
+    """text_bm25_rank (r15 plan): ONE scan+tokenize pass. The old plan
+    re-executed the exploded-token subtree up to four times (dl, tf,
+    and their downstream n_docs/avgdl and df aggs). Now doclen and the
+    fixed query terms' tfs pivot into one persisted doc-sized
+    aggregation, consumed by both the broadcast stats agg and the
+    scoring pass — so the execution tree must read the cache at least
+    twice and touch parquet zero times outside the cache build."""
+    from lakehouse_automation_spark.operators.cache import (
+        release_persisted)
+
+    release_persisted()
+    try:
+        df = REGISTRY["text_bm25_rank"].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = _plan(df)
+        assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+        names = _op_names(df)
+        n_scans = sum("Scan parquet" in n or n == "FileSourceScan"
+                      for n in names)
+        assert n_scans == 0, names
+    finally:
+        release_persisted()
+
+
 # ------------------------------------------------------------- graph
 
 def _op_names(df) -> list[str]:
