@@ -15,8 +15,40 @@ SparkSession per process. Scale posture (100 TB / 1000 executors):
 from __future__ import annotations
 
 import os
+import tempfile
 
 from pyspark.sql import SparkSession
+
+_cleanup_registered = False
+
+
+def scratch_base() -> str:
+    """Root for every FIXED-NAME scratch path the engine writes
+    (sink round-trips, the bulk-load dest, the managed-table
+    warehouse). PID-keyed by default so concurrent gate batteries
+    (two oracle_check.py runs, a sweep beside a bench) cannot race
+    each other's overwrite-then-reread cycles — the r15 battery hit
+    exactly that twice (one process's ``mode("overwrite")`` deletes
+    another's ``_temporary`` mid-write). ``$SPARK_GRAFT_SCRATCH``
+    overrides for a caller-owned location (no cleanup — the caller
+    owns it); the PID default is removed at interpreter exit so
+    repeated runs don't accumulate in /tmp. Paths that are already
+    per-call-unique (``mkdtemp`` cow/ivf roots) don't route through
+    here."""
+    override = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if override:
+        return override
+    base = os.path.join(tempfile.gettempdir(),
+                        f"lakehouse_spark_scratch.{os.getpid()}")
+    global _cleanup_registered
+    if not _cleanup_registered:
+        _cleanup_registered = True
+        import atexit
+        import shutil
+
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+    return base
+
 
 def _extra_confs() -> dict[str, str]:
     """$SPARK_GRAFT_EXTRA_CONFS as ``k=v;k=v`` — the robustness sweeps
@@ -151,6 +183,11 @@ def get_spark(app_name: str = "lakehouse_automation_spark",
         .config("spark.driver.maxResultSize", "8g")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # managed tables (bucketed join copies, ANALYZE stats copies)
+        # land under the process-keyed scratch, not a shared cwd
+        # spark-warehouse — see scratch_base() for the race this kills
+        .config("spark.sql.warehouse.dir",
+                os.path.join(scratch_base(), "warehouse"))
         # NB: no -XX:-DontCompileHugeMethods here. The former approach
         # (force C2 onto >8 KB codegen megamethods) traded interpreted
         # execution for multi-second C2 compiles on every fresh query;

@@ -9,17 +9,19 @@ oracle validates the full write->read path.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
+from ..engine.session import scratch_base
 from .base import register, t, dec
-
-SCRATCH = os.path.join(tempfile.gettempdir(), "lakehouse_spark_scratch")
 
 
 def _scratch(sf_dir: str, name: str) -> str:
-    return os.path.join(SCRATCH, os.path.basename(sf_dir.rstrip("/")), name)
+    # resolved lazily (not a module constant) so a test or harness can
+    # set $SPARK_GRAFT_SCRATCH after import; PID-keyed by default —
+    # parallel batteries get disjoint sink round-trip dirs
+    return os.path.join(scratch_base(), "sinks",
+                        os.path.basename(sf_dir.rstrip("/")), name)
 
 
 NATION_SCHEMA = T.StructType([

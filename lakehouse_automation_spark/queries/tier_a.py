@@ -318,11 +318,12 @@ def bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet (partition-parallel, replacing thread-count tuning); the
     result reports loaded row counts from the WRITTEN copies."""
     import os
-    import tempfile
 
     from ..engine.catalog import table
+    from ..engine.session import scratch_base
 
-    dest = os.path.join(tempfile.gettempdir(), "lakehouse_spark_bulk", os.path.basename(sf_dir.rstrip("/")))
+    dest = os.path.join(scratch_base(), "bulk",
+                        os.path.basename(sf_dir.rstrip("/")))
     names = ["customer", "nation", "orders", "region", "supplier"]
     for name in names:
         table(spark, sf_dir, name).write.mode("overwrite").parquet(os.path.join(dest, name))
