@@ -25,6 +25,7 @@ from multiple Python threads must serialize around these helpers.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
@@ -32,6 +33,25 @@ from pyspark.sql import DataFrame
 _PERSISTED: list[DataFrame] = []
 _KEYED: dict[tuple, DataFrame] = {}
 _SCALARS: dict[tuple, object] = {}
+
+
+def plan_key(df: DataFrame) -> tuple:
+    """Memoization key for a keyed persist. ``semanticHash`` alone is a
+    32-bit plan hash — two different corpora (or a rewritten file
+    behind an identical-looking plan) could collide and silently serve
+    the wrong cached table. Pair it with the analyzed plan string,
+    which names the concrete input paths, so aliasing requires a
+    same-plan same-path collision. Expression ids (``#123``) are
+    stripped first: they are allocated fresh for every plan BUILD, so
+    leaving them in turns every repeat invocation into a cache miss
+    (measured: the two LSH bench keys doubled when the raw string went
+    into the key)."""
+    try:
+        plan = re.sub(r"#\d+", "#",
+                      df._jdf.queryExecution().analyzed().toString())
+    except Exception:  # Connect or API drift: fall back to schema
+        plan = df.schema.json()
+    return (df.semanticHash(), plan)
 
 
 def memo_scalar(key: tuple, compute: Callable[[], object]) -> object:

@@ -29,26 +29,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .cache import memo_scalar, tracked_persist_keyed
-
-
-def _plan_key(df: DataFrame) -> tuple:
-    """Memoization key for a keyed persist. ``semanticHash`` alone is a
-    32-bit plan hash — two different corpora (or a rewritten file
-    behind an identical-looking plan) could collide and silently serve
-    the wrong cached table. Pair it with the analyzed plan string,
-    which names the concrete input paths, so aliasing requires a
-    same-plan same-path collision. Expression ids (``#123``) are
-    stripped first: they are allocated fresh for every plan BUILD, so
-    leaving them in turns every repeat invocation into a cache miss
-    (measured: the two LSH bench keys doubled when the raw string went
-    into the key)."""
-    import re
-
-    try:
-        plan = re.sub(r"#\d+", "#", df._jdf.queryExecution().analyzed().toString())
-    except Exception:  # Connect or API drift: fall back to schema
-        plan = df.schema.json()
-    return (df.semanticHash(), plan)
+from .cache import plan_key as _plan_key  # shared with text_pipeline
 
 
 SIM_DECIMALS = 9

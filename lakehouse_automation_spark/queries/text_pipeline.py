@@ -17,6 +17,8 @@ shingle Jaccard >= 0.5); the fuzzy-dedup keys surface exactly those.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..operators.dedup import (
@@ -685,13 +687,20 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoids the join entirely but puts every row of a hot (stopword)
     term into one unsplittable window partition; the join shape keeps
     AQE's skew-split available, so it wins at 100 TB even though the
-    two measure within noise of each other locally."""
-    from ..operators.cache import tracked_persist
+    two measure within noise of each other locally.
+
+    The tf persist is KEYED on the corpus plan (r16, ADVICE r15): an
+    unkeyed tracked_persist caches a fresh copy per invocation, so a
+    harness looping this key without an intervening release_persisted
+    degrades to LRU eviction pressure — the same leak the LSH
+    operators closed with keyed persists."""
+    from ..operators.cache import plan_key, tracked_persist_keyed
 
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
-    tf = tracked_persist(
-        tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    tf = tracked_persist_keyed(
+        ("tfidf_tf", plan_key(d)),
+        lambda: tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
     # one row per (doc, term) in tf => count(*) == count_distinct(doc)
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.count()  # scalar: one job over parquet footers; fine at any scale
@@ -763,15 +772,20 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     the global stats (n_docs, avgdl, each term's df) fold into a
     single 1-row agg over it, broadcast back, and the score is a sum
     of per-term guarded contributions — no joins at all. Measured
-    faster at bench scale AND ~4x less scan work at cluster scale."""
-    from ..operators.cache import tracked_persist
+    faster at bench scale AND ~4x less scan work at cluster scale.
+    The per_doc persist is keyed on the corpus plan (r16, same
+    rationale as tfidf_keywords above)."""
+    from ..operators.cache import plan_key, tracked_persist_keyed
 
     d = t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
-    per_doc = tracked_persist(toks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("doclen"),
-        *[F.sum(F.when(F.col("tok") == term, 1).otherwise(0)).alias(f"tf_{i}")
-          for i, term in enumerate(_BM25_TERMS)]))
+    per_doc = tracked_persist_keyed(
+        ("bm25_per_doc", plan_key(d)),
+        lambda: toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("doclen"),
+            *[F.sum(F.when(F.col("tok") == term, 1).otherwise(0))
+              .alias(f"tf_{i}")
+              for i, term in enumerate(_BM25_TERMS)]))
     stats = per_doc.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("doclen").alias("avgdl"),
         *[F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
@@ -787,12 +801,20 @@ def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                + k1 * (1 - b + b * F.col("doclen") / F.col("avgdl"))))
         .otherwise(F.lit(0.0))
         for i in range(len(_BM25_TERMS))]
-    # every contribution is strictly positive when its tf > 0, so
-    # s > 0 selects exactly the docs the old tf-join produced rows for
+    # doc-set selection is an EXPLICIT match predicate (any query term
+    # present), not the sign of the summed score: the log(x+1) idf
+    # variant happens to be strictly positive, but classic BM25 idf
+    # goes negative for df > n_docs/2, and coupling selection to the
+    # formula's sign would silently drop matching docs on a formula
+    # swap (ADVICE r15). Filtering per_doc BEFORE the broadcast join
+    # also keeps non-matching docs out of the scoring projection.
+    matches = functools.reduce(
+        lambda a, b: a | b,
+        [F.col(f"tf_{i}") > 0 for i in range(len(_BM25_TERMS))])
     scored = (
-        per_doc.crossJoin(F.broadcast(stats))
+        per_doc.filter(matches)
+        .crossJoin(F.broadcast(stats))
         .select("doc_id", sum(contribs[1:], contribs[0]).alias("s"))
-        .filter(F.col("s") > 0)
     )
     # global top-k the scale-safe way: orderBy+limit plans as
     # TakeOrderedAndProject (per-partition heaps + driver merge of 20
@@ -1149,18 +1171,33 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     still CORPUS-PROPORTIONAL (every replica of a template repeats its
     cross-doc spans — measured 5.9k hashes at sf0.1 -> 257k at sf3),
     and the planner kept broadcasting it at 30x data for a measured
-    1.4x slowdown; at 100 TB that broadcast is an OOM. The shuffle
-    join keys on the same h the dup agg exchanged on, so ReuseExchange
-    covers the wins side."""
-    docs = (t(spark, sf_dir, "documents")
-            .filter(F.length("text") >= 40))
-    wins = (docs
-            .select("doc_id", "text",
-                    F.explode(F.sequence(F.lit(1),
-                                         F.length("text") - 39,
-                                         F.lit(10))).alias("off"))
-            .select("doc_id",
-                    F.md5(F.expr("substring(text, off, 40)")).alias("h")))
+    1.4x slowdown; at 100 TB that broadcast is an OOM.
+
+    Plan shape (r16): the window table is derived ONCE and persisted
+    (keyed on the corpus plan). The previous plan counted on
+    ReuseExchange to cover the wins side of the re-attach join, but
+    the executed plan showed TWO full scan+explode+md5 passes — the
+    dup side exchanges count-distinct PARTIAL-AGG rows, not raw
+    (doc_id, h) rows, so the exchanges never canonicalize equal and
+    nothing was reused. Caught by tools/plan_lint.py (the mechanized
+    r15 multi-scan audit rule) on the published sf0.1 plan; the same
+    defect class as r15's tfidf_keywords. The cached (doc_id, h)
+    mid-table is narrower than the re-derivation it replaces; at
+    100 TB it checkpoints to storage per the cache.py contract."""
+    from ..operators.cache import plan_key, tracked_persist_keyed
+
+    d0 = t(spark, sf_dir, "documents")
+    docs = d0.filter(F.length("text") >= 40)
+    wins = tracked_persist_keyed(
+        ("subdup_wins", plan_key(d0)),
+        lambda: (docs
+                 .select("doc_id", "text",
+                         F.explode(F.sequence(F.lit(1),
+                                              F.length("text") - 39,
+                                              F.lit(10))).alias("off"))
+                 .select("doc_id",
+                         F.md5(F.expr("substring(text, off, 40)"))
+                         .alias("h"))))
     dup = (wins.groupBy("h")
            .agg(F.countDistinct("doc_id").alias("nd"))
            .filter(F.col("nd") >= 2)

@@ -408,7 +408,13 @@ def test_bm25_scans_corpus_once_pivots_stats(spark, sf_dir):
     fixed query terms' tfs pivot into one persisted doc-sized
     aggregation, consumed by both the broadcast stats agg and the
     scoring pass — so the execution tree must read the cache at least
-    twice and touch parquet zero times outside the cache build."""
+    twice and touch parquet zero times outside the cache build.
+
+    r16 addition (ADVICE r15): doc-set selection must be the EXPLICIT
+    match disjunction (tf_i > 0 for any query term), never the sign of
+    the summed score — classic BM25 idf goes negative for
+    df > n_docs/2, so a score-sign filter would silently couple the
+    doc set to the idf formula."""
     from lakehouse_automation_spark.operators.cache import (
         release_persisted)
 
@@ -418,10 +424,41 @@ def test_bm25_scans_corpus_once_pivots_stats(spark, sf_dir):
         df.write.format("noop").mode("overwrite").save()
         plan = _plan(df)
         assert plan.count("InMemoryTableScan") >= 2, plan[:2000]
+        # selection = explicit term-match disjunction on the tf cols...
+        assert re.search(r"\(tf_0#\d+L > 0\) OR \(tf_1#\d+L > 0\)", plan), \
+            plan[:2000]
+        # ...never a filter on the summed score's sign
+        assert not re.search(r"Filter \(s#\d+ > 0", plan), plan[:2000]
         names = _op_names(df)
         n_scans = sum("Scan parquet" in n or n == "FileSourceScan"
                       for n in names)
         assert n_scans == 0, names
+    finally:
+        release_persisted()
+
+
+def test_text_midtable_persists_are_keyed(spark, sf_dir):
+    """tfidf_keywords and text_bm25_rank key their mid-table persists
+    on the corpus plan (r16, ADVICE r15): a second invocation on the
+    SAME corpus must add ZERO new persisted tables — the unkeyed
+    version cached a fresh copy per call, degrading looping harnesses
+    to LRU eviction pressure (the leak class the LSH keyed persists
+    closed in r13)."""
+    from lakehouse_automation_spark.operators import cache as C
+    from lakehouse_automation_spark.operators.cache import (
+        release_persisted)
+
+    release_persisted()
+    try:
+        for key, cache_tag in (("tfidf_keywords", "tfidf_tf"),
+                               ("text_bm25_rank", "bm25_per_doc")):
+            REGISTRY[key].fn(spark, sf_dir).write.format(
+                "noop").mode("overwrite").save()
+            assert cache_tag in {k[0] for k in C._KEYED}, sorted(C._KEYED)
+            n = len(C._PERSISTED)
+            REGISTRY[key].fn(spark, sf_dir).write.format(
+                "noop").mode("overwrite").save()
+            assert len(C._PERSISTED) == n, (key, n, len(C._PERSISTED))
     finally:
         release_persisted()
 

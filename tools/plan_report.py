@@ -14,6 +14,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The default scratch root is PID-keyed (engine.session.scratch_base,
+# r16 de-race); pin it here so scratch paths inside published plans
+# don't churn on every regen. This tool is manual and single-instance,
+# so a fixed path is safe.
+os.environ.setdefault("SPARK_GRAFT_SCRATCH", "/tmp/las_scratch_plans")
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "PLANS.md")
 
