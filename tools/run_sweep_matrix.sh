@@ -13,6 +13,12 @@ cd "$(dirname "$0")/.."
 # tier and was kept so round-over-round records diff cleanly).
 SF01=/root/testdata/sf0.01
 
+# One script-level trap cleans the current capture file on ANY exit
+# (normal, set -eu failure, or signal) — without it an interrupted
+# sweep leaks a mktemp file per run (ADVICE r15).
+tmp=""
+trap 'rm -f "$tmp"' EXIT INT TERM
+
 run() { # tool, record, extra args...
   tool="$1"; rec="$2"; shift 2
   echo "=== $tool -> $rec"
@@ -32,6 +38,9 @@ run() { # tool, record, extra args...
 }
 
 # sf0.001 tier (the default SRC_SF_DIR for every tool)
+# plan lint first: builds EVERY registry key's executed plan and
+# applies the mechanized multi-scan audit rule (VERDICT r15 ask #1)
+run plan_lint.py         bench/PLANLINT_${R}.json   --build --json bench/PLANLINT_${R}.json
 run degenerate_check.py  bench/DEGENERATE_${R}.json --json bench/DEGENERATE_${R}.json
 run null_check.py        bench/NULLSWEEP_${R}.json  --json bench/NULLSWEEP_${R}.json
 run partition_check.py   bench/PARTITIONSWEEP_${R}.json --json-out bench/PARTITIONSWEEP_${R}.json
