@@ -48,64 +48,30 @@ from . import graph           # noqa: E402,F401
 # the first 50 registry keys in registration order, so official
 # coverage accumulates round over round only if the rotation is driven
 # by the official CORRECTNESS_r*.json files (tools/sweep_plan.py
-# derives it — never hand-count). Round-15 priority, in order
-# (VERDICT r14 ask #2: the r10 cohort + changed-key spares; registry
+# derives it — never hand-count). Round-16 priority, in order
+# (VERDICT r15 ask #3: the r11 cohort + changed-key spares; registry
 # frozen):
 #
-#   1. The complete 48-key r10-gated cohort (every key whose newest
-#      official gate entry is round 10), exactly as round 14's
-#      _NEXT_SWEEP_QUEUE pinned it. The cohort includes
-#      join_bloom_filtered, whose baseline entry was re-merged this
-#      round (BASELINE.md §15) — the official re-gate rides along.
+#   1. The complete 48-key r11-gated cohort (every key whose newest
+#      official gate entry is round 11), exactly as round 15's
+#      _NEXT_SWEEP_QUEUE pinned it.
 #   2. The 2 spare slots go to changed-key re-confirmation
-#      (changed-keys-first rule). Three keys changed this round for
-#      two slots: vec_neardup_lsh and vec_knn_join share ONE changed
-#      stage (_lsh_signatures: the corpus count is now memoized under
-#      the signature plan key; ADVICE r14), so officially re-gating
-#      vec_neardup_lsh covers the shared path and the second slot
-#      goes to tfidf_keywords, whose plan changed outright (single
-#      corpus scan + persisted tf mid-table instead of two
-#      scan+explode passes). vec_knn_join keeps its two-tier local
-#      green trail (ORACLE_local_r15 + the sf1 replica + LSHTIER_r15)
-#      and its official entry is r14-fresh.
+#      (changed-keys-first rule). Two keys changed this round:
+#      text_bm25_rank (doc-set selection pivoted from the score's
+#      sign to the explicit term-match disjunction, ADVICE r15; plus
+#      the keyed per_doc persist) and tfidf_keywords (tf persist now
+#      keyed on the corpus plan). The scratch de-race (sinks/_scratch
+#      and the warehouse moved under the PID-keyed scratch_base) is
+#      path plumbing, not semantics — its keys keep their local-green
+#      trail (ORACLE_local_r16) and the r12 sink/scan cohort is next
+#      round's queue anyway.
 #
-# No live-stream key sits in this fold (all four were swept r14), so
-# the wedge-isolation block constraint is satisfied vacuously.
-# After this round's sweep the oldest official entry is >= r11 for
-# every key. Growth freeze: round 15 adds ZERO new keys.
+# No live-stream key sits in this fold, so the wedge-isolation block
+# constraint is satisfied vacuously. After this round's sweep the
+# oldest official entry is >= r12 for every key. Growth freeze:
+# round 16 adds ZERO new keys.
 _SWEEP_ORDER = [
-    # --- 1: the complete r10 cohort (48 keys) ---
-    "agg_approx_topk", "agg_distinct", "agg_hash_basic", "agg_having",
-    "agg_hist_bins", "agg_rollup", "agg_sketch_rollup",
-    "agg_stddev_corr", "call_proc", "case_when", "event_funnel",
-    "filter_pred", "fn_try_arith", "join_anti", "join_asof_forward",
-    "join_asof_tolerance", "join_bloom_filtered", "join_inner_equi",
-    "join_null_safe", "join_outer", "join_self", "join_semi",
-    "mixture_sample", "mv_incremental_refresh", "pack_sequences",
-    "profile_table", "project_rename_cast", "retention_cohort",
-    "scan_parquet", "sessionize_events", "set_except_all",
-    "set_intersect_all", "sink_dynamic_overwrite",
-    "stream_static_join", "text_chunk_split", "text_decontaminate",
-    "text_unigram_logprob", "tf_clone", "tf_history", "tf_restore",
-    "tf_verify", "udf_grouped_agg", "udf_grouped_map",
-    "vec_ivf_index_persisted", "vec_matryoshka_topk", "win_frame_rows",
-    "win_pattern_detect", "win_rank",
-    # --- 2: the 2 changed-key spares ---
-    "vec_neardup_lsh", "tfidf_keywords",
-    # ---- fold: the driver sweep stops reading here (50 keys) ----
-    # The round-16 queue continues in _NEXT_SWEEP_QUEUE below.
-]
-
-# The round-16 fold front, machine-readable: once the r15 fold lands,
-# the stalest official cohort is the 48 r11-gated keys — queued here
-# completely. tests/test_smoke.py recomputes the cohort from the
-# CORRECTNESS_r*.json files and enforces that this list is exactly
-# the stalest-not-in-fold set, so the rotation cannot silently drop a
-# stale key. Any NEW key must be inserted into the fold itself
-# (growth-freeze rule above), not here. The cohort is 48 keys for 50
-# slots, so round 16 has 2 spare slots for changed-key
-# re-confirmation.
-_NEXT_SWEEP_QUEUE = [
+    # --- 1: the complete r11 cohort (48 keys) ---
     "agg_bitmap_distinct", "agg_collect", "agg_count_min_sketch",
     "agg_cube", "agg_grouping_sets", "agg_mode", "agg_percentile",
     "agg_pivot", "agg_sketch_setops", "dedup", "distinct_proj",
@@ -121,6 +87,37 @@ _NEXT_SWEEP_QUEUE = [
     "tf_merge_cow", "tf_stats_prune", "tf_zorder", "topk", "ts_ewma",
     "ts_interpolate_linear", "ts_resample_ffill", "ts_rolling_anomaly",
     "vec_binary_topk", "vec_int8_topk", "win_analytic",
+    # --- 2: the 2 changed-key spares ---
+    "text_bm25_rank", "tfidf_keywords",
+    # ---- fold: the driver sweep stops reading here (50 keys) ----
+    # The round-17 queue continues in _NEXT_SWEEP_QUEUE below.
+]
+
+# The round-17 fold front, machine-readable: once the r16 fold lands,
+# the stalest official cohort is the 48 r12-gated keys — queued here
+# completely. tests/test_smoke.py recomputes the cohort from the
+# CORRECTNESS_r*.json files and enforces that this list is exactly
+# the stalest-not-in-fold set, so the rotation cannot silently drop a
+# stale key. Any NEW key must be inserted into the fold itself
+# (growth-freeze rule above), not here. The cohort is 48 keys for 50
+# slots, so round 17 has 2 spare slots for changed-key
+# re-confirmation.
+_NEXT_SWEEP_QUEUE = [
+    "analyze_stats", "bulk_load", "catalog_list", "ddl_exec",
+    "event_markov_transitions", "exec_timing", "graph_components",
+    "incremental_load", "jdbc_source", "ledger_insert", "ledger_topk",
+    "mm_decode_features", "multi_stmt_exec", "retry_exec",
+    "sample_weighted", "scan_csv_schema", "scan_json",
+    "sink_csv_header", "sink_parquet", "sink_upsert", "sql_to_pandas",
+    "storage_mount", "stream_dedup_state", "stream_file_ingest",
+    "stream_foreach_batch", "stream_session", "stream_sliding_agg",
+    "stream_tumbling_agg", "stream_watermark_late", "table_compact",
+    "text_dedup_clusters", "text_fingerprint", "text_lang_id",
+    "text_minhash_dedup", "text_ngram_jaccard", "text_pii_redact",
+    "text_quality_score", "text_repetition", "text_simhash",
+    "text_tokenize_stats", "ts_autocorr", "ts_monthly_growth",
+    "udf_pandas_scalar", "udtf_lateral", "vec_cosine_topk",
+    "vec_ivf_topk", "vec_neardup_cosine", "win_frame_range",
 ]
 
 
