@@ -56,15 +56,22 @@ from . import graph           # noqa: E402,F401
 #      official gate entry is round 11), exactly as round 15's
 #      _NEXT_SWEEP_QUEUE pinned it.
 #   2. The 2 spare slots go to changed-key re-confirmation
-#      (changed-keys-first rule). Two keys changed this round:
-#      text_bm25_rank (doc-set selection pivoted from the score's
-#      sign to the explicit term-match disjunction, ADVICE r15; plus
-#      the keyed per_doc persist) and tfidf_keywords (tf persist now
-#      keyed on the corpus plan). The scratch de-race (sinks/_scratch
-#      and the warehouse moved under the PID-keyed scratch_base) is
-#      path plumbing, not semantics — its keys keep their local-green
-#      trail (ORACLE_local_r16) and the r12 sink/scan cohort is next
-#      round's queue anyway.
+#      (changed-keys-first rule). Four keys changed this round for
+#      two slots: text_substring_dedup (single-pass re-plan) sits in
+#      the r11 cohort, so its re-gate rides its cohort slot; the two
+#      spares go to the other real plan changes — text_bm25_rank
+#      (doc-set selection pivoted from the score's sign to the
+#      explicit term-match disjunction, ADVICE r15; plus the keyed
+#      per_doc persist) and ts_changepoint (totals folded into the
+#      cusum window's partitioning after the new plan-lint gate
+#      caught its double series derivation). tfidf_keywords' change
+#      is persist KEYING only (plan byte-identical, pinned by
+#      tests/test_scale_plans.py) and its official entry is
+#      r15-fresh, so it keeps the local-green trail
+#      (ORACLE_local_r16). The scratch de-race (sinks/_scratch and
+#      the warehouse moved under the PID-keyed scratch_base) is path
+#      plumbing, not semantics — its keys likewise, and the r12
+#      sink/scan cohort is next round's queue anyway.
 #
 # No live-stream key sits in this fold, so the wedge-isolation block
 # constraint is satisfied vacuously. After this round's sweep the
@@ -88,7 +95,7 @@ _SWEEP_ORDER = [
     "ts_interpolate_linear", "ts_resample_ffill", "ts_rolling_anomaly",
     "vec_binary_topk", "vec_int8_topk", "win_analytic",
     # --- 2: the 2 changed-key spares ---
-    "text_bm25_rank", "tfidf_keywords",
+    "text_bm25_rank", "ts_changepoint",
     # ---- fold: the driver sweep stops reading here (50 keys) ----
     # The round-17 queue continues in _NEXT_SWEEP_QUEUE below.
 ]

@@ -484,7 +484,18 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     100-TB shape: the daily count agg partial-combines to
     |types| x days rows; the cumulative window partitions by
     event_type over the bounded span; argmax is a row_number over the
-    same partitioning — nothing global, nothing driver-side."""
+    same partitioning — nothing global, nothing driver-side.
+
+    Plan shape (r16): the zero-filled series is derived ONCE. The
+    original plan computed the per-type totals as a groupBy+join back
+    onto the series, which re-executed the whole grid-explode +
+    daily-count subtree (a second full events scan) — caught by the
+    tools/plan_lint.py full-registry build gate on its first run.
+    The totals are now whole-partition window aggregates over the
+    SAME event_type partitioning the cusum window uses, so the plan
+    is one scan, one exchange, three window specs sharing it.
+    Per-type partitions are bounded (span is capped at {_AC_CAP}
+    days), so the whole-partition window is skew-safe."""
     ev = (t(spark, sf_dir, "events")
           .select("event_type",
                   F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) div {_DAY_US}")
@@ -499,11 +510,14 @@ def ts_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     series = (grid.join(cnt, ["event_type", "day"], "left")
               .select("event_type", "day",
                       F.coalesce(F.col("c"), F.lit(0)).alias("x")))
-    tot = series.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("d"), F.sum("x").alias("t"))
+    wall = W.partitionBy("event_type")
+    tot = series.select(
+        "event_type", "day", "x",
+        F.count(F.lit(1)).over(wall).alias("d"),
+        F.sum("x").over(wall).alias("t"))
     wcs = (W.partitionBy("event_type").orderBy("day")
            .rowsBetween(W.unboundedPreceding, W.currentRow))
-    cs = (series.join(tot, "event_type")
+    cs = (tot
           .select("event_type", "day", F.col("d").alias("n_days"),
                   F.sum(F.col("d") * F.col("x") - F.col("t")).over(wcs)
                   .alias("cusum")))

@@ -65,9 +65,10 @@ def test_published_plans_lint_clean():
 
 
 def test_replanned_text_keys_lint_clean_live(spark, sf_dir):
-    """The three re-planned keys (tfidf r15, bm25 r15, substring-dedup
-    r16 — the one THIS gate caught on the published sf0.1 plan) must
-    lint clean on live executed plans, not just the published ones."""
+    """The re-planned keys (tfidf r15, bm25 r15; substring-dedup and
+    ts_changepoint r16 — the two THIS gate caught, on the published
+    sf0.1 plan and the full-registry build respectively) must lint
+    clean on live executed plans, not just the published ones."""
     from lakehouse_automation_spark.operators.cache import (
         release_persisted)
     from lakehouse_automation_spark.queries import REGISTRY
@@ -75,7 +76,7 @@ def test_replanned_text_keys_lint_clean_live(spark, sf_dir):
     release_persisted()
     try:
         for key in ("tfidf_keywords", "text_bm25_rank",
-                    "text_substring_dedup"):
+                    "text_substring_dedup", "ts_changepoint"):
             df = REGISTRY[key].fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             plan = df._jdf.queryExecution().explainString(
