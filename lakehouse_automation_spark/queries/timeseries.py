@@ -445,16 +445,23 @@ def ts_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grid g LEFT JOIN cnt c
         ON g.event_type = c.event_type AND g.day = c.day
     ), tot AS (
-      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS d,
-             CAST(SUM(x) AS BIGINT) AS t
-      FROM series GROUP BY 1
+      -- whole-partition windows, not GROUP BY + JOIN: mirrors the
+      -- r16 one-pass Spark plan AND keeps a NULL event_type as its
+      -- own series (the old inner join dropped the NULL group —
+      -- engine-divergent under the null-injection sweep)
+      SELECT event_type, day, x,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS d,
+             CAST(SUM(x) OVER (PARTITION BY event_type) AS BIGINT)
+               AS t
+      FROM series
     ), cs AS (
-      SELECT s.event_type, s.day, tt.d AS n_days,
-             CAST(SUM(tt.d * s.x - tt.t) OVER (
-               PARTITION BY s.event_type ORDER BY s.day
+      SELECT event_type, day, d AS n_days,
+             CAST(SUM(d * x - t) OVER (
+               PARTITION BY event_type ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS BIGINT) AS cusum
-      FROM series s JOIN tot tt ON s.event_type = tt.event_type
+      FROM tot
     ), rk AS (
       SELECT *, row_number() OVER (
                PARTITION BY event_type
