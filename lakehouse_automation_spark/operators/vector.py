@@ -207,34 +207,238 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
     )
 
 
+def _norm_py(cv: list, dim: int) -> float | None:
+    """Driver-side replica of ``norm(cv, dim)``: left-fold sum of
+    squares then sqrt — the identical IEEE operation sequence, so the
+    value is bit-equal to the in-plan expression. None (NULL) where the
+    in-plan form is NULL: a short array (out-of-range GetArrayItem) or
+    a NULL element."""
+    import math
+
+    if len(cv) < dim or any(x is None for x in cv[:dim]):
+        return None
+    acc = cv[0] * cv[0]
+    for i in range(1, dim):
+        acc += cv[i] * cv[i]
+    return math.sqrt(acc)
+
+
+def _round9_halfup_exact(x: float) -> float:
+    """Driver/worker replica of Spark's ``round(x, 9)``: BigDecimal of
+    the SHORTEST round-tripping decimal form, setScale(9, HALF_UP),
+    back to double. Python's repr is the same shortest form and
+    Decimal.quantize(HALF_UP) + float() performs the same
+    decimal-exact rounding, so the value is bit-identical."""
+    import decimal
+    import math
+
+    if x is None:
+        return x
+    x = float(x)  # np.float64's repr is not a bare numeric literal
+    if math.isnan(x) or math.isinf(x):
+        return x  # Spark's round() passes NULL/NaN/±Inf through
+    d = decimal.Decimal(repr(x)).quantize(
+        decimal.Decimal("1E-9"), rounding=decimal.ROUND_HALF_UP)
+    return float(d)
+
+
+def _assign_cells(n: DataFrame, cents: list[tuple[int, list[float], float]],
+                  dim: int = LSH_DIM) -> DataFrame:
+    """Nearest-centroid cell assignment as ONE Arrow-batched
+    ``mapInPandas`` projection: (vec_id, v, nrm, cell_id), cell_id
+    typed like vec_id.
+
+    The crossJoin(centroids) + row_number window form this replaces
+    materialized n_centroids copies of every corpus row (each carrying
+    the 64-double vector) and shuffled them on vec_id just to take a
+    per-row argmax — at 100 TB a corpus-sized shuffle (post
+    WindowGroupLimit) for a decision computable where the row already
+    sits (guide §2.3/§2.4: shuffle fewer bytes / remove the shuffle).
+    The centroid list is bounded driver metadata (n_centroids x dim
+    doubles — the same class as the PQ codebooks and k-means rounds),
+    closed over like the LSH plane matrix.
+
+    Bit-exactness contract (the r13 LSH-matmul recipe, tightened):
+
+    - the dot accumulates dimension-by-dimension, LEFT TO RIGHT
+      (``acc += v[:, i] * c[i]``) — IEEE-double bit-identical to the
+      engine's unrolled left-deep sum and DuckDB's sequential fold;
+    - csim = round(dot / (nrm * cn), 9) with the same operation order;
+    - ranking uses np.round only where it cannot matter: any row whose
+      top-2 rounded sims sit within 2e-9 is re-ranked with the EXACT
+      BigDecimal-HALF_UP rounding (:func:`_round9_halfup_exact`), so
+      the winner matches the old window's (csim DESC, cent_id ASC)
+      ordering exactly — including decimal-tie cases where np.round's
+      half-even would disagree;
+    - NaN ranks above everything (np.argmax propagates NaN first —
+      Spark's ordering puts NaN largest) and a NULL/short/ragged
+      vector poisons EVERY centroid's csim identically, so the
+      tie-break (min cent_id) is reproduced in all three engines.
+    """
+    from pyspark.sql import types as T
+
+    id_type = n.schema["vec_id"].dataType
+    if not cents:
+        # empty centroid set: the crossJoin form produced zero rows
+        return (n.select("vec_id", "v", "nrm",
+                         F.lit(None).cast(id_type).alias("cell_id"))
+                .filter(F.lit(False)))
+    cids = np.array([c[0] for c in cents], dtype=np.int64)
+    # a centroid with a NULL/short vector or NULL norm has NULL csim
+    # against EVERY row in the in-plan form — NULL is smallest, so it
+    # can only win an all-NULL tie. Marked and ranked as -inf below.
+    poisoned = np.array(
+        [len(cv) < dim or any(x is None for x in cv[:dim]) or cn_ is None
+         for _, cv, cn_ in cents])
+    cmat_t = np.array(
+        [[(cv[i] if i < len(cv) and cv[i] is not None else np.nan)
+          for _, cv, _ in cents] for i in range(dim)], dtype=np.float64)
+    cn = np.array([np.nan if c[2] is None else c[2] for c in cents],
+                  dtype=np.float64)
+    k = len(cents)
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = len(pdf)
+            vals = list(pdf["v"])
+            try:
+                v = np.array([np.asarray(x, dtype=np.float64) for x in vals])
+                if v.ndim != 2 or v.shape[1] < dim:
+                    raise ValueError
+                v = v[:, :dim]
+            except (ValueError, TypeError):
+                # ragged/short rows: pad with NaN; the _rnull flag
+                # (computed in-plan, where NULL is still observable)
+                # is what decides the NULL-row outcome, not the pad
+                v = np.full((rows, dim), np.nan)
+                for r, x in enumerate(vals):
+                    if x is None:
+                        continue
+                    xs = [np.nan if e is None else float(e)
+                          for e in list(x)[:dim]]
+                    if len(xs) == dim:
+                        v[r, :] = xs
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64, na_value=np.nan)
+            rnull = pdf["_rnull"].to_numpy(dtype=bool)
+            # SEQUENTIAL fold over dimensions — bit-identical to the
+            # engine's left-deep sum (see docstring)
+            acc = np.zeros((rows, k), dtype=np.float64)
+            for i in range(dim):
+                acc += v[:, i:i + 1] * cmat_t[i]
+            with np.errstate(all="ignore"):
+                raw = acc / (nrm[:, None] * cn[None, :])
+                rounded = np.round(raw, SIM_DECIMALS)
+            rounded[:, poisoned] = -np.inf
+            win = np.argmax(rounded, axis=1)  # first max = min cent_id;
+            #                                   NaN propagates first (largest)
+            if k > 1:
+                # exact re-rank where np.round's half-even could matter
+                finite = np.nan_to_num(rounded, nan=np.inf,
+                                       posinf=np.inf, neginf=-np.inf)
+                part = np.partition(finite, k - 2, axis=1)
+                close = (part[:, k - 1] - part[:, k - 2]) <= 2e-9
+                close |= ~np.isfinite(part[:, k - 1] - part[:, k - 2])
+                for r in np.nonzero(close)[0]:
+                    exact = [
+                        -np.inf if poisoned[j]
+                        else _round9_halfup_exact(raw[r, j])
+                        for j in range(k)]
+                    win[r] = max(
+                        range(k),
+                        key=lambda j: (bool(np.isnan(exact[j])),
+                                       exact[j] if not np.isnan(exact[j])
+                                       else 0.0,
+                                       -int(cids[j])))
+            # a NULL-poisoned ROW (in-plan: every csim NULL) ties over
+            # ALL centroids — winner is the minimum cent_id outright
+            win = np.where(rnull, 0, win)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "v": pdf["v"],
+                "nrm": pdf["nrm"],
+                "cell_id": cids[win],
+            })
+
+    base = n.select("vec_id", "v", "nrm",
+                    F.isnull("nrm").alias("_rnull"))
+    out_schema = T.StructType(
+        list(base.schema.fields[:3])
+        + [T.StructField("cell_id", T.LongType(), True)])
+    out = base.mapInPandas(assign, out_schema)
+    if not isinstance(id_type, T.LongType):
+        out = out.select("vec_id", "v", "nrm",
+                         F.col("cell_id").cast(id_type).alias("cell_id"))
+    return out
+
+
+def _probe_cells(n: DataFrame, cents: list[tuple[int, list[float], float]],
+                 nprobe: int, n_queries: int) -> DataFrame:
+    """(q_id, qv, qn, cell_id): per-query top-``nprobe`` probe cells —
+    the original crossJoin + argmax-window shape, but over ONLY the
+    query rows (``vec_id < n_queries`` is a scan-pushed predicate) and
+    with the centroid side rebuilt from the collected rows (exact
+    double round-trip through createDataFrame), so the probe subtree
+    never re-plans the corpus. The window runs on n_queries x
+    n_centroids rows — metadata scale."""
+    from pyspark.sql import types as T
+
+    id_type = n.schema["vec_id"].dataType
+    q = n.filter(F.col("vec_id") < n_queries)
+    if not cents:
+        return (q.select(F.col("vec_id").alias("q_id"),
+                         F.col("v").alias("qv"), F.col("nrm").alias("qn"),
+                         F.lit(None).cast(id_type).alias("cell_id"))
+                .filter(F.lit(False)))
+    spark = n.sparkSession
+    csch = T.StructType([
+        T.StructField("cent_id", id_type, False),
+        T.StructField("cv", T.ArrayType(T.DoubleType()), True),
+        T.StructField("cn", T.DoubleType(), True)])
+    cdf = F.broadcast(spark.createDataFrame(
+        [(cid, list(cv), cn) for cid, cv, cn in cents], csch))
+    sim = cosine_sim("v", "cv", "nrm", "cn")
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("csim"), F.asc("cent_id"))
+    return (q.crossJoin(cdf)
+            .select("vec_id", "v", "nrm", "cent_id", sim.alias("csim"))
+            .withColumn("crk", F.row_number().over(w_assign))
+            .filter(F.col("crk") <= nprobe)
+            .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                    F.col("nrm").alias("qn"),
+                    F.col("cent_id").alias("cell_id")))
+
+
+def _seed_centroid_rows(n: DataFrame,
+                        n_centroids: int) -> list[tuple[int, list[float], float]]:
+    """Collect the deterministic seed centroids (vec_id < n_centroids)
+    with their in-plan-computed norms — bounded metadata (n_centroids x
+    dim doubles). Memoized under the memo_scalar lifecycle (released
+    with the keyed persists between harness keys) so repeated
+    same-corpus invocations don't re-run the tiny collect job."""
+    key = ("ivf_seed_cents", n_centroids, _plan_key(n))
+    return memo_scalar(key, lambda: sorted(
+        ((int(r.vec_id), list(r.v),
+          float(r.nrm) if r.nrm is not None else None)
+         for r in n.filter(F.col("vec_id") < n_centroids)
+         .select("vec_id", "v", "nrm").collect()),
+        key=lambda c: c[0]))
+
+
 def _ivf_assign_and_probes(emb: DataFrame, n_centroids: int, nprobe: int,
                            n_queries: int):
     """(assigned, probes) under the deterministic seed-centroid IVF
     contract — shared by the inline ivf_topk and the persisted-index
-    path so the two can never drift."""
+    path so the two can never drift. Since r16 the corpus-side
+    assignment is the Arrow argmax projection (:func:`_assign_cells` —
+    no centroid crossJoin, no corpus-wide argmax window, no shuffle)
+    and the probe side windows over query rows only
+    (:func:`_probe_cells`)."""
     n = with_vnorm(emb)
-    cents = F.broadcast(
-        n.filter(F.col("vec_id") < n_centroids)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
-                F.col("nrm").alias("cn"))
-    )
-    sim = cosine_sim("v", "cv", "nrm", "cn")
-    scored = n.crossJoin(cents).select(
-        "vec_id", "v", "nrm", "cent_id", sim.alias("csim"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell_id"))
-    )
-    probes = (
-        scored.filter(F.col("vec_id") < n_queries)
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") <= nprobe)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-                F.col("nrm").alias("qn"), F.col("cent_id").alias("cell_id"))
-    )
+    cents = _seed_centroid_rows(n, n_centroids)
+    assigned = _assign_cells(n, cents)
+    probes = _probe_cells(n, cents, nprobe, n_queries)
     return assigned, probes
 
 
@@ -253,12 +457,22 @@ def ivf_index_write(emb: DataFrame, path: str, n_centroids: int = 8) -> None:
     is what makes :func:`ivf_index_refresh` possible: a later batch
     assigns against the FROZEN build-time centroids without needing
     the build corpus."""
+    from pyspark.sql import types as T
+
     assigned, _ = _ivf_assign_and_probes(emb, n_centroids, 1, 0)
     assigned.write.partitionBy("cell_id").parquet(path)
+    # the quantizer rows were already collected for the assignment
+    # (memoized bounded metadata) — write them back from the driver
+    # instead of re-scanning the corpus for vec_id < n_centroids
+    # (exact double round-trip; one trivial write job, zero data scan)
     n = with_vnorm(emb)
-    (n.filter(F.col("vec_id") < n_centroids)
-     .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
-             F.col("nrm").alias("cn"))
+    cents = _seed_centroid_rows(n, n_centroids)
+    csch = T.StructType([
+        T.StructField("cent_id", n.schema["vec_id"].dataType, False),
+        T.StructField("cv", T.ArrayType(T.DoubleType()), True),
+        T.StructField("cn", T.DoubleType(), True)])
+    (emb.sparkSession.createDataFrame(
+        [(cid, list(cv), cn) for cid, cv, cn in cents], csch)
      .coalesce(1).write.parquet(f"{path}/_meta/centroids"))
 
 
@@ -315,18 +529,17 @@ def ivf_index_refresh(spark, batch: DataFrame, path: str,
             f"{path} has no _meta/centroids — the index predates "
             "refresh support (or is not an IVF index). Rebuild it with "
             "ivf_index_write, which persists the frozen centroids.")
-    cents = F.broadcast(spark.read.parquet(meta))
-    n = with_vnorm(batch)
-    sim = cosine_sim("v", "cv", "nrm", "cn")
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cent_id"))
-    assigned = (
-        n.crossJoin(cents)
-        .select("vec_id", "v", "nrm", "cent_id", sim.alias("csim"))
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell_id"))
-    )
+    # the frozen quantizer is n_centroids x dim doubles — read it to the
+    # driver (bounded metadata, same class as the PQ codebooks) and
+    # assign the batch in ONE narrow projection instead of the old
+    # centroid crossJoin + corpus-argmax window (an n_centroids-fold
+    # expansion of the batch shuffled on vec_id; guide §2.3/§2.4)
+    cents = sorted(
+        ((int(r.cent_id), list(r.cv),
+          float(r.cn) if r.cn is not None else None)
+         for r in spark.read.parquet(meta).collect()),
+        key=lambda c: c[0])
+    assigned = _assign_cells(with_vnorm(batch), cents)
     if compact_files_per_cell is not None:
         # cache (NOT localCheckpoint) the batch-sized assignment so the
         # append write and the touched-cell listing compute it once
@@ -466,16 +679,17 @@ def ivf_index_search(spark, emb: DataFrame, path: str,
 def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 2,
                      dim: int = LSH_DIM) -> list[tuple[int, list[float]]]:
     """Spherical k-means centroids via Lloyd iterations, pure DataFrame
-    ops per round: assign = broadcast-centroid crossJoin + argmax
-    cosine (row_number window), recompute = posexplode + per-(cell,
-    pos) mean + re-assemble. Deterministic: seeds are vec_id < k,
-    ties break on cent_id, no RNG anywhere.
+    ops per round: assign = one narrow literal-centroid argmax
+    projection (:func:`_assign_cells` — the centroids already live on
+    the driver between rounds, so there is no crossJoin, no argmax
+    window, no shuffle; the r16 re-plan), recompute = posexplode +
+    per-(cell, pos) mean + re-assemble. Deterministic: seeds are
+    vec_id < k, ties break on cent_id, no RNG anywhere.
 
     Centroids are collected to the DRIVER between rounds (k x dim
-    doubles — every k-means implementation does this, incl. MLlib;
-    it keeps each round's plan one crossJoin deep instead of stacking
-    iters of them). The corpus is never collected. Scale shape per
-    round: one broadcast join + one narrow explode + one (cell, pos)
+    doubles — every k-means implementation does this, incl. MLlib).
+    The corpus is never collected. Scale shape per round: one narrow
+    assignment projection + one narrow explode + one (cell, pos)
     shuffle bounded by k*dim groups."""
     n = with_vnorm(emb)
     seed_rows = sorted(
@@ -483,21 +697,10 @@ def kmeans_centroids(emb: DataFrame, k: int = 8, iters: int = 2,
         key=lambda r: r.vec_id,
     )
     cents: list[list[float]] = [list(r.v) for r in seed_rows]
-    spark = emb.sparkSession
     for _ in range(iters):
-        cdf = F.broadcast(spark.createDataFrame(
-            list(enumerate(cents)),
-            "cent_id int, cv array<double>",
-        ).select("cent_id", "cv",
-                 norm("cv", dim).alias("cn")))
-        sim = cosine_sim("v", "cv", "nrm", "cn", dim)
-        w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.asc("cent_id"))
-        assigned = (
-            n.crossJoin(cdf)
-            .select("vec_id", "v", "nrm", "cent_id", sim.alias("csim"))
-            .withColumn("crk", F.row_number().over(w))
-            .filter(F.col("crk") == 1)
-        )
+        assigned = _assign_cells(
+            n, [(cid, cv, _norm_py(cv, dim)) for cid, cv in enumerate(cents)],
+            dim=dim).withColumnRenamed("cell_id", "cent_id")
         means = (
             assigned.select("cent_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("cent_id", "pos").agg(F.avg("val").alias("m"))
@@ -516,31 +719,14 @@ def ivf_kmeans_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
     """IVF-flat with k-means-refined cells: same probe/rerank plan as
     :func:`ivf_topk`, but the coarse quantizer is Lloyd-trained — cells
     follow the data distribution, so recall at fixed nprobe improves
-    over seed centroids (asserted in tests)."""
+    over seed centroids (asserted in tests). Assignment and probe
+    selection are the same narrow literal-centroid projections as the
+    seed tier (r16 re-plan — no crossJoin, no corpus argmax window)."""
     cents_local = kmeans_centroids(emb, k=n_centroids, iters=iters)
-    spark = emb.sparkSession
     n = with_vnorm(emb)
-    cents = F.broadcast(spark.createDataFrame(
-        [(cid, cv) for cid, cv in cents_local],
-        "cent_id int, cv array<double>",
-    ).select("cent_id", "cv", norm("cv", LSH_DIM).alias("cn")))
-    sim = cosine_sim("v", "cv", "nrm", "cn")
-    scored = n.crossJoin(cents).select(
-        "vec_id", "v", "nrm", "cent_id", sim.alias("csim"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cent_id"))
-    assigned = (
-        scored.withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") == 1)
-        .select("vec_id", "v", "nrm", F.col("cent_id").alias("cell_id"))
-    )
-    probes = (
-        scored.filter(F.col("vec_id") < n_queries)
-        .withColumn("crk", F.row_number().over(w_assign))
-        .filter(F.col("crk") <= nprobe)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-                F.col("nrm").alias("qn"), F.col("cent_id").alias("cell_id"))
-    )
+    cents = [(cid, cv, _norm_py(cv, LSH_DIM)) for cid, cv in cents_local]
+    assigned = _assign_cells(n, cents)
+    probes = _probe_cells(n, cents, nprobe, n_queries)
     cand = probes.join(assigned, "cell_id").filter(F.col("q_id") != F.col("vec_id"))
     qsim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
@@ -1076,23 +1262,9 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
     keep the codebooks query-independent here — same plan shape.)
     Approximate by design: rows-only gate + pytest recall check."""
     n = with_vnorm(emb)
-    cents = F.broadcast(
-        n.filter(F.col("vec_id") < n_centroids)
-        .select(F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"),
-                F.col("nrm").alias("cn"))
-    )
-    csim = cosine_sim("v", "cv", "nrm", "cn")
-    scored = n.crossJoin(cents).select(
-        "vec_id", "cent_id", csim.alias("csim"))
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.desc("csim"), F.asc("cent_id"))
-    ranked = scored.withColumn("crk", F.row_number().over(w_assign))
-    assigned = (ranked.filter(F.col("crk") == 1)
-                .select("vec_id", F.col("cent_id").alias("cell_id")))
-    probes = (ranked.filter((F.col("vec_id") < n_queries)
-                            & (F.col("crk") <= nprobe))
-              .select(F.col("vec_id").alias("q_id"),
-                      F.col("cent_id").alias("cell_id")))
+    cents = _seed_centroid_rows(n, n_centroids)
+    assigned = _assign_cells(n, cents).select("vec_id", "cell_id")
+    probes = _probe_cells(n, cents, nprobe, n_queries).select("q_id", "cell_id")
 
     coded, luts, _ = _pq_parts(emb, n, n_queries, m=m, kc=kc, dim=dim)
     # candidates = probed cells only; codes + LUT attach to ids
