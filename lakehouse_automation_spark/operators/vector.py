@@ -223,6 +223,19 @@ def _norm_py(cv: list, dim: int) -> float | None:
     return math.sqrt(acc)
 
 
+def _dlit(x: float | None) -> str:
+    """Exact SQL double literal: repr() is the shortest round-tripping
+    decimal form and the 'D' suffix parses it as DOUBLE directly (no
+    cast node); non-finite specials go through the string cast, which
+    Spark parses case-insensitively. None maps to NULL."""
+    if x is None:
+        return "CAST(NULL AS DOUBLE)"
+    r = repr(float(x))
+    if r in ("nan", "inf", "-inf"):
+        return f"CAST('{r}' AS DOUBLE)"
+    return r + "D"
+
+
 def _round9_halfup_exact(x: float) -> float:
     """Driver/worker replica of Spark's ``round(x, 9)``: BigDecimal of
     the SHORTEST round-tripping decimal form, setScale(9, HALF_UP),
@@ -1230,8 +1243,14 @@ def _adc_topn(pairs: DataFrame, m: int, n_cand: int) -> DataFrame:
 def _exact_rerank(n: DataFrame, cand: DataFrame, n_queries: int,
                   k: int) -> DataFrame:
     """Exact-cosine rerank of an ids-only candidate set; output matches
-    ``cosine_topk`` (q_id, vec_id, sim_r, rk). Corpus side re-attaches
-    via shuffle equi-join; only the small query side broadcasts."""
+    ``cosine_topk`` (q_id, vec_id, sim_r, rk). The candidate set is
+    bounded by n_queries x shortlist ids at ANY corpus size, so it
+    broadcasts and the corpus side is never shuffled (the old shape
+    shuffle-equi-joined the corpus against those few hundred ids —
+    a full corpus exchange to attach vectors to a metadata-sized list;
+    guide §3.1: broadcast the side that fits, which is always cand).
+    Only the tiny query side and the candidate ids broadcast — never
+    anything corpus-sized."""
     q = F.broadcast(
         n.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
@@ -1240,7 +1259,7 @@ def _exact_rerank(n: DataFrame, cand: DataFrame, n_queries: int,
     sim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
-        cand.join(c, "vec_id").join(q, "q_id")
+        c.join(F.broadcast(cand), "vec_id").join(q, "q_id")
         .select("q_id", "vec_id", sim.alias("sim_r"))
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
@@ -1294,20 +1313,31 @@ def int8_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
 
     The memory-bound scale story: the candidate scan reads 64 B/row
     instead of 256 — the reason FAISS ships SQ8 — and calibration is
-    one partial+final ``max(abs(u))`` agg to a SINGLE broadcast scalar,
-    never a bottleneck. Integer scores + (score, vec_id) ranking make
+    one partial+final ``max(abs(u))`` agg to a SINGLE scalar, never a
+    bottleneck. Integer scores + (score, vec_id) ranking make
     the shortlist bit-reproducible across engines, partitionings, and
     the DuckDB oracle; FLOOR-before-CAST keeps Spark's truncating and
-    DuckDB's rounding double->int casts agreeing."""
+    DuckDB's rounding double->int casts agreeing.
+
+    The scale scalar is collected once (memoized with the keyed-persist
+    lifecycle) and embedded as an exact double literal instead of the
+    old broadcast-1-row crossJoin: the query side of the candidate join
+    used to RE-EXECUTE the whole scan+agg subtree to rebuild that
+    broadcast (AQE broadcast sides are not covered by ReuseExchange),
+    so the calibration agg ran twice per invocation — now it runs once,
+    and both quantize projections are scan-narrow (guide §2.4)."""
     n = with_vnorm(emb, dim=dim)
-    stats = n.agg(F.max(F.expr(
-        "array_max(transform(v, x -> abs(x / nrm)))")).alias("s"))
+    s_val = memo_scalar(
+        ("int8_scale", dim, _plan_key(n)),
+        lambda: n.agg(F.max(F.expr(
+            "array_max(transform(v, x -> abs(x / nrm)))")).alias("s")
+        ).collect()[0][0])
+    s_lit = _dlit(s_val)
     codes = [F.expr(
         f"CAST(GREATEST(-128.0D, LEAST(127.0D, "
-        f"FLOOR((v[{i}] / nrm / s) * 128.0D))) AS INT)")
+        f"FLOOR((v[{i}] / nrm / {s_lit}) * 128.0D))) AS INT)")
         for i in range(dim)]
-    q8 = (n.crossJoin(F.broadcast(stats))
-          .select("vec_id", F.array(*codes).alias("qv")))
+    q8 = n.select("vec_id", F.array(*codes).alias("qv"))
     q = F.broadcast(
         q8.filter(F.col("vec_id") < n_queries)
         .select(F.col("vec_id").alias("q_id"), F.col("qv").alias("qq")))
