@@ -197,7 +197,11 @@ def ivf_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
     """
     assigned, probes = _ivf_assign_and_probes(
         emb, n_centroids, nprobe, n_queries)
-    cand = probes.join(assigned, "cell_id").filter(F.col("q_id") != F.col("vec_id"))
+    # the probe side is bounded by n_queries x nprobe rows at ANY
+    # corpus size — a planner-time broadcast keeps the corpus side
+    # exchange-free instead of materializing both sides for AQE
+    cand = (F.broadcast(probes).join(assigned, "cell_id")
+            .filter(F.col("q_id") != F.col("vec_id")))
     qsim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
@@ -236,154 +240,61 @@ def _dlit(x: float | None) -> str:
     return r + "D"
 
 
-def _round9_halfup_exact(x: float) -> float:
-    """Driver/worker replica of Spark's ``round(x, 9)``: BigDecimal of
-    the SHORTEST round-tripping decimal form, setScale(9, HALF_UP),
-    back to double. Python's repr is the same shortest form and
-    Decimal.quantize(HALF_UP) + float() performs the same
-    decimal-exact rounding, so the value is bit-identical."""
-    import decimal
-    import math
-
-    if x is None:
-        return x
-    x = float(x)  # np.float64's repr is not a bare numeric literal
-    if math.isnan(x) or math.isinf(x):
-        return x  # Spark's round() passes NULL/NaN/±Inf through
-    d = decimal.Decimal(repr(x)).quantize(
-        decimal.Decimal("1E-9"), rounding=decimal.ROUND_HALF_UP)
-    return float(d)
-
-
 def _assign_cells(n: DataFrame, cents: list[tuple[int, list[float], float]],
                   dim: int = LSH_DIM) -> DataFrame:
-    """Nearest-centroid cell assignment as ONE Arrow-batched
-    ``mapInPandas`` projection: (vec_id, v, nrm, cell_id), cell_id
-    typed like vec_id.
+    """Nearest-centroid cell assignment as ONE narrow JVM projection:
+    (vec_id, v, nrm, cell_id), cell_id typed like vec_id.
 
-    The crossJoin(centroids) + row_number window form this replaces
-    materialized n_centroids copies of every corpus row (each carrying
-    the 64-double vector) and shuffled them on vec_id just to take a
-    per-row argmax — at 100 TB a corpus-sized shuffle (post
-    WindowGroupLimit) for a decision computable where the row already
-    sits (guide §2.3/§2.4: shuffle fewer bytes / remove the shuffle).
-    The centroid list is bounded driver metadata (n_centroids x dim
-    doubles — the same class as the PQ codebooks and k-means rounds),
-    closed over like the LSH plane matrix.
+    Per centroid, ``csim = round(dot(v, c) / (nrm * cn), 9)`` is built
+    from EXACT double literals (:func:`_dlit` — repr() round-trips, the
+    same literal-centroid in-plan form :func:`_probe_cells` uses), and
+    the winner is ``array_max`` over ``(csim, -cent_id)`` structs —
+    pure whole-stage-codegen expressions, no crossJoin, no corpus
+    argmax window, no shuffle, and (unlike the r16 Arrow form this
+    replaces) NO Python/Arrow boundary on the full-corpus hot path:
+    guide §4.1 — a built-in exists, use it. The r16 ``mapInPandas``
+    form Arrow-serialized (vec_id, 64-double v, nrm) out to Python
+    workers and back for an argmax over 8 literals; the driver bench
+    measured the one key on that path (vec_ivf_index_refresh) 2x
+    slower drift-adjusted, so this keeps its shuffle removal and drops
+    its Python boundary.
 
-    Bit-exactness contract (the r13 LSH-matmul recipe, tightened):
+    Spark's struct ordering reproduces the original crossJoin +
+    row_number window's (csim DESC, cent_id ASC) contract exactly:
 
-    - the dot accumulates dimension-by-dimension, LEFT TO RIGHT
-      (``acc += v[:, i] * c[i]``) — IEEE-double bit-identical to the
-      engine's unrolled left-deep sum and DuckDB's sequential fold;
-    - csim = round(dot / (nrm * cn), 9) with the same operation order;
-    - ranking uses np.round only where it cannot matter: any row whose
-      top-2 rounded sims sit within 2e-9 is re-ranked with the EXACT
-      BigDecimal-HALF_UP rounding (:func:`_round9_halfup_exact`), so
-      the winner matches the old window's (csim DESC, cent_id ASC)
-      ordering exactly — including decimal-tie cases where np.round's
-      half-even would disagree;
-    - NaN ranks above everything (np.argmax propagates NaN first —
-      Spark's ordering puts NaN largest) and a NULL/short/ragged
-      vector poisons EVERY centroid's csim identically, so the
-      tie-break (min cent_id) is reproduced in all three engines.
+    - doubles compare NaN-largest (identical to the window's desc-sort
+      putting NaN first);
+    - a NULL csim — poisoned centroid (short centroid vector, NULL
+      element, or NULL norm folds the whole expression to NULL), or a
+      NULL-norm row, which poisons EVERY centroid — compares SMALLEST
+      (the window's desc NULLS LAST), and an all-NULL row falls to the
+      second struct field, where max(-cent_id) = min cent_id;
+    - unlike the r16 Arrow argmax's -inf sentinel, a poisoned
+      centroid's NULL ranks strictly BELOW a real csim that evaluates
+      to -inf (ADVICE r16: the sentinel could tie with a real -inf and
+      steal the win from the real centroid).
     """
-    from pyspark.sql import types as T
-
     id_type = n.schema["vec_id"].dataType
     if not cents:
         # empty centroid set: the crossJoin form produced zero rows
         return (n.select("vec_id", "v", "nrm",
                          F.lit(None).cast(id_type).alias("cell_id"))
                 .filter(F.lit(False)))
-    cids = np.array([c[0] for c in cents], dtype=np.int64)
-    # a centroid with a NULL/short vector or NULL norm has NULL csim
-    # against EVERY row in the in-plan form — NULL is smallest, so it
-    # can only win an all-NULL tie. Marked and ranked as -inf below.
-    poisoned = np.array(
-        [len(cv) < dim or any(x is None for x in cv[:dim]) or cn_ is None
-         for _, cv, cn_ in cents])
-    cmat_t = np.array(
-        [[(cv[i] if i < len(cv) and cv[i] is not None else np.nan)
-          for _, cv, _ in cents] for i in range(dim)], dtype=np.float64)
-    cn = np.array([np.nan if c[2] is None else c[2] for c in cents],
-                  dtype=np.float64)
-    k = len(cents)
 
-    def assign(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            rows = len(pdf)
-            vals = list(pdf["v"])
-            try:
-                v = np.array([np.asarray(x, dtype=np.float64) for x in vals])
-                if v.ndim != 2 or v.shape[1] < dim:
-                    raise ValueError
-                v = v[:, :dim]
-            except (ValueError, TypeError):
-                # ragged/short rows: pad with NaN; the _rnull flag
-                # (computed in-plan, where NULL is still observable)
-                # is what decides the NULL-row outcome, not the pad
-                v = np.full((rows, dim), np.nan)
-                for r, x in enumerate(vals):
-                    if x is None:
-                        continue
-                    xs = [np.nan if e is None else float(e)
-                          for e in list(x)[:dim]]
-                    if len(xs) == dim:
-                        v[r, :] = xs
-            nrm = pdf["nrm"].to_numpy(dtype=np.float64, na_value=np.nan)
-            rnull = pdf["_rnull"].to_numpy(dtype=bool)
-            # SEQUENTIAL fold over dimensions — bit-identical to the
-            # engine's left-deep sum (see docstring)
-            acc = np.zeros((rows, k), dtype=np.float64)
-            for i in range(dim):
-                acc += v[:, i:i + 1] * cmat_t[i]
-            with np.errstate(all="ignore"):
-                raw = acc / (nrm[:, None] * cn[None, :])
-                rounded = np.round(raw, SIM_DECIMALS)
-            rounded[:, poisoned] = -np.inf
-            win = np.argmax(rounded, axis=1)  # first max = min cent_id;
-            #                                   NaN propagates first (largest)
-            if k > 1:
-                # exact re-rank where np.round's half-even could matter
-                finite = np.nan_to_num(rounded, nan=np.inf,
-                                       posinf=np.inf, neginf=-np.inf)
-                part = np.partition(finite, k - 2, axis=1)
-                close = (part[:, k - 1] - part[:, k - 2]) <= 2e-9
-                close |= ~np.isfinite(part[:, k - 1] - part[:, k - 2])
-                for r in np.nonzero(close)[0]:
-                    exact = [
-                        -np.inf if poisoned[j]
-                        else _round9_halfup_exact(raw[r, j])
-                        for j in range(k)]
-                    win[r] = max(
-                        range(k),
-                        key=lambda j: (bool(np.isnan(exact[j])),
-                                       exact[j] if not np.isnan(exact[j])
-                                       else 0.0,
-                                       -int(cids[j])))
-            # a NULL-poisoned ROW (in-plan: every csim NULL) ties over
-            # ALL centroids — winner is the minimum cent_id outright
-            win = np.where(rnull, 0, win)
-            yield pd.DataFrame({
-                "vec_id": pdf["vec_id"],
-                "v": pdf["v"],
-                "nrm": pdf["nrm"],
-                "cell_id": cids[win],
-            })
+    def csim(cv: list, cn_: float | None) -> str:
+        # identical shape to cosine_sim over a centroid row: a short
+        # centroid (out-of-range GetArrayItem) or NULL element becomes
+        # a NULL term, which NullPropagation folds to NULL csim
+        dot_ = "+".join(
+            f"v[{i}]*{_dlit(cv[i] if i < len(cv) else None)}"
+            for i in range(dim))
+        return f"round(({dot_})/(nrm*{_dlit(cn_)}),{SIM_DECIMALS})"
 
-    base = n.select("vec_id", "v", "nrm",
-                    F.isnull("nrm").alias("_rnull"))
-    out_schema = T.StructType(
-        list(base.schema.fields[:3])
-        + [T.StructField("cell_id", T.LongType(), True)])
-    out = base.mapInPandas(assign, out_schema)
-    if not isinstance(id_type, T.LongType):
-        out = out.select("vec_id", "v", "nrm",
-                         F.col("cell_id").cast(id_type).alias("cell_id"))
-    return out
+    structs = ",".join(
+        f"named_struct('s',{csim(cv, cn_)},'p',{-int(cid)}L)"
+        for cid, cv, cn_ in cents)
+    cell = F.expr(f"-(array_max(array({structs})).p)").cast(id_type)
+    return n.select("vec_id", "v", "nrm", cell.alias("cell_id"))
 
 
 def _probe_cells(n: DataFrame, cents: list[tuple[int, list[float], float]],
@@ -391,12 +302,17 @@ def _probe_cells(n: DataFrame, cents: list[tuple[int, list[float], float]],
     """(q_id, qv, qn, cell_id): per-query top-``nprobe`` probe cells —
     the original crossJoin + argmax-window shape, but over ONLY the
     query rows (``vec_id < n_queries`` is a scan-pushed predicate) and
-    with the centroid side rebuilt from the collected rows (exact
-    double round-trip through createDataFrame), so the probe subtree
-    never re-plans the corpus. The window runs on n_queries x
-    n_centroids rows — metadata scale."""
-    from pyspark.sql import types as T
+    with the centroid side rebuilt from the collected rows as an
+    INLINE LITERAL relation (exact double round-trip through
+    :func:`_dlit`), so the probe subtree never re-plans the corpus.
+    The window runs on n_queries x n_centroids rows — metadata scale.
 
+    Literal inline() rather than createDataFrame: a python-
+    parallelized local collection lands in default.parallelism slices
+    whose reads are paid again on every broadcast build — a measured
+    ~0.2-0.3 s constant per probe invocation for 8 rows; the literal
+    relation is part of the plan (same class as the int8 scale
+    literal) and costs nothing to realize."""
     id_type = n.schema["vec_id"].dataType
     q = n.filter(F.col("vec_id") < n_queries)
     if not cents:
@@ -405,12 +321,20 @@ def _probe_cells(n: DataFrame, cents: list[tuple[int, list[float], float]],
                          F.lit(None).cast(id_type).alias("cell_id"))
                 .filter(F.lit(False)))
     spark = n.sparkSession
-    csch = T.StructType([
-        T.StructField("cent_id", id_type, False),
-        T.StructField("cv", T.ArrayType(T.DoubleType()), True),
-        T.StructField("cn", T.DoubleType(), True)])
-    cdf = F.broadcast(spark.createDataFrame(
-        [(cid, list(cv), cn) for cid, cv, cn in cents], csch))
+
+    def arr(cv: list) -> str:
+        if not cv:  # bare array() types as array<void>
+            return "CAST(array() AS ARRAY<DOUBLE>)"
+        return f"array({','.join(_dlit(x) for x in cv)})"
+
+    rows = ",".join(
+        f"named_struct('cent_id',{int(cid)}L,'cv',{arr(list(cv))},"
+        f"'cn',{_dlit(cn)})"
+        for cid, cv, cn in cents)
+    cdf = F.broadcast(
+        spark.range(1).select(F.expr(f"inline(array({rows}))"))
+        .select(F.col("cent_id").cast(id_type).alias("cent_id"),
+                "cv", "cn"))
     sim = cosine_sim("v", "cv", "nrm", "cn")
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("csim"), F.asc("cent_id"))
@@ -484,9 +408,15 @@ def ivf_index_write(emb: DataFrame, path: str, n_centroids: int = 8) -> None:
         T.StructField("cent_id", n.schema["vec_id"].dataType, False),
         T.StructField("cv", T.ArrayType(T.DoubleType()), True),
         T.StructField("cn", T.DoubleType(), True)])
+    # repartition(1), NOT coalesce(1): a python-parallelized local
+    # collection lands in default.parallelism slices, and coalesce(1)
+    # reads them all SERIALLY in one task (~150 ms per slice — a
+    # measured 4-5 s for this 8-row write); repartition's map side
+    # reads the slices in parallel and the 1-partition exchange moves
+    # 8 rows (measured 0.4 s).
     (emb.sparkSession.createDataFrame(
         [(cid, list(cv), cn) for cid, cv, cn in cents], csch)
-     .coalesce(1).write.parquet(f"{path}/_meta/centroids"))
+     .repartition(1).write.parquet(f"{path}/_meta/centroids"))
 
 
 def ivf_index_refresh(spark, batch: DataFrame, path: str,
@@ -664,7 +594,12 @@ def ivf_index_search(spark, emb: DataFrame, path: str,
     inline ivf_topk."""
     from pyspark.sql import types as T
 
-    _, probes = _ivf_assign_and_probes(emb, n_centroids, nprobe, n_queries)
+    # probes only — building (and discarding) the corpus-assignment
+    # plan here paid the 8x64-term argmax expression's construction
+    # and analysis per search invocation for nothing
+    n_ = with_vnorm(emb)
+    probes = _probe_cells(n_, _seed_centroid_rows(n_, n_centroids),
+                          nprobe, n_queries)
     cells = [r["cell_id"]
              for r in probes.select("cell_id").distinct().collect()]
     # read with the EXPLICIT index schema (derived from the corpus the
@@ -740,7 +675,8 @@ def ivf_kmeans_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
     cents = [(cid, cv, _norm_py(cv, LSH_DIM)) for cid, cv in cents_local]
     assigned = _assign_cells(n, cents)
     probes = _probe_cells(n, cents, nprobe, n_queries)
-    cand = probes.join(assigned, "cell_id").filter(F.col("q_id") != F.col("vec_id"))
+    cand = (F.broadcast(probes).join(assigned, "cell_id")
+            .filter(F.col("q_id") != F.col("vec_id")))
     qsim = cosine_sim("qv", "v", "qn", "nrm")
     w = Window.partitionBy("q_id").orderBy(F.desc("sim_r"), F.asc("vec_id"))
     return (
@@ -1159,9 +1095,14 @@ def pq_topk(emb: DataFrame, n_queries: int = 5, k: int = 10,
 
 
 def _pq_parts(emb: DataFrame, n: DataFrame, n_queries: int,
-              m: int, kc: int, dim: int):
+              m: int, kc: int, dim: int, keep: tuple[str, ...] = ()):
     """Shared PQ machinery: (coded corpus, broadcast per-query LUTs,
-    codebooks array). See :func:`pq_topk` for the design notes."""
+    codebooks array). See :func:`pq_topk` for the design notes.
+
+    ``keep`` names extra columns of ``n`` carried through the encode
+    projection — ivf_pq_topk passes the cell assignment through so
+    codes and cells come out of ONE corpus pass instead of being
+    re-attached by a corpus-sized vec_id equi-join (guide §2.4)."""
     from pyspark.sql.functions import pandas_udf
 
     sub = dim // m
@@ -1188,8 +1129,9 @@ def _pq_parts(emb: DataFrame, n: DataFrame, n_queries: int,
                 cn[None, :] - 2.0 * dots, 9).argmin(axis=1)
         return pd.Series(list(codes))
 
-    unit = n.select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("u"))
-    coded = unit.select("vec_id", encode("u").alias("codes"))
+    unit = n.select("vec_id", *keep,
+                    F.expr("transform(v, x -> x / nrm)").alias("u"))
+    coded = unit.select("vec_id", *keep, encode("u").alias("codes"))
 
     # per-query ADC lookup tables, driver-built from n_queries rows
     qrows = sorted(
@@ -1205,8 +1147,23 @@ def _pq_parts(emb: DataFrame, n: DataFrame, n_queries: int,
             for s in range(m)
         ]
         lut_rows.append((r.vec_id, lut))
-    luts = F.broadcast(emb.sparkSession.createDataFrame(
-        lut_rows, "q_id bigint, lut array<array<double>>"))
+    # inline literal relation, not createDataFrame: the python-
+    # parallelized local collection pays its slice reads on every
+    # broadcast build (see _probe_cells); the LUT is bounded metadata
+    # (n_queries x m x kc doubles) and embeds exactly via _dlit
+    structs = ",".join(
+        "named_struct('q_id',{}L,'lut',array({}))".format(
+            int(qid),
+            ",".join(f"array({','.join(_dlit(x) for x in row)})"
+                     for row in lut))
+        for qid, lut in lut_rows)
+    if lut_rows:
+        luts = F.broadcast(
+            emb.sparkSession.range(1)
+            .select(F.expr(f"inline(array({structs}))")))
+    else:  # no query rows: keep the empty-relation shape/schema
+        luts = F.broadcast(emb.sparkSession.createDataFrame(
+            [], "q_id bigint, lut array<array<double>>"))
     return coded, luts, books_np
 
 
@@ -1282,15 +1239,19 @@ def ivf_pq_topk(emb: DataFrame, n_centroids: int = 8, nprobe: int = 3,
     Approximate by design: rows-only gate + pytest recall check."""
     n = with_vnorm(emb)
     cents = _seed_centroid_rows(n, n_centroids)
-    assigned = _assign_cells(n, cents).select("vec_id", "cell_id")
     probes = _probe_cells(n, cents, nprobe, n_queries).select("q_id", "cell_id")
 
-    coded, luts, _ = _pq_parts(emb, n, n_queries, m=m, kc=kc, dim=dim)
-    # candidates = probed cells only; codes + LUT attach to ids
+    # cell assignment RIDES the encode projection (keep="cell_id"):
+    # codes and cells come out of one corpus pass, so candidate
+    # selection is a broadcast probe join — the old shape re-attached
+    # codes by a corpus-sized vec_id equi-join (two exchanges of the
+    # whole coded corpus for ids that were already on the row)
+    coded, luts, _ = _pq_parts(emb, _assign_cells(n, cents), n_queries,
+                               m=m, kc=kc, dim=dim, keep=("cell_id",))
     cand_pool = (
-        F.broadcast(probes).join(assigned, "cell_id")
-        .select("q_id", "vec_id")
-        .join(coded, "vec_id").join(luts, "q_id")
+        F.broadcast(probes).join(coded, "cell_id")
+        .select("q_id", "vec_id", "codes")
+        .join(luts, "q_id")
     )
     cand = _adc_topn(cand_pool, m, k * rerank_factor)
     return _exact_rerank(n, cand, n_queries, k)
