@@ -14,6 +14,16 @@ at least WARM_RUNS, extended up to MAX_RUNS while the minimum is
 still improving by >5%, so a background-load burst overlapping the
 first window cannot pin the recorded number (round 3's apparent
 shingle-family regression was exactly that — see BASELINE.md §4).
+
+Since r17, keyed persists and memo scalars are RELEASED between warm
+runs (r16 judge ask #2): every timed run pays the declared query's
+full build, so ``queries`` minima are cold-equivalent — a query over
+a keyed-persisted mid-table (LSH signatures, shingle windows, the
+int8 scale) can no longer record a scan-free steady-state number as
+its headline. The steady-state minima are still measured and emitted
+separately as ``queries_steady`` (an ADDED field; nothing removed or
+renamed). Affected keys' r16-and-earlier records are steady-state —
+see BASELINE.md §13 before comparing across the boundary.
 """
 
 from __future__ import annotations
@@ -127,11 +137,13 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
 
     results: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for key in HEADLINE:
         if key not in REGISTRY:
             continue
         fn = REGISTRY[key].fn
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # cold: plan+JIT
+        release_persisted()
         times: list[float] = []
         best, stale = float("inf"), 0
         while len(times) < MAX_RUNS and (len(times) < WARM_RUNS or stale < 3):
@@ -143,11 +155,26 @@ def main() -> None:
                 best, stale = dt, 0
             else:
                 stale += 1
+            # r17 (judge ask #2): release keyed persists / memo scalars
+            # BETWEEN WARM RUNS, so every timed run pays the declared
+            # query's full build (mid-table persists, calibration
+            # collects) — the recorded min is COLD-EQUIVALENT, not a
+            # query over a prebuilt in-memory index. Cleanup runs
+            # outside the timed window (blocking unpersist).
+            release_persisted()
         results[key] = round(min(times), 4)
-        # between keys only: warm runs may reuse the persisted mid-plan
-        # tables (an LSH/shingle table is a build-once-query-many index;
-        # steady-state latency is the number that matters), but nothing
-        # stays cached across keys.
+        # steady-state companion number (the build-once-query-many
+        # latency an LSH/shingle index amortizes to): one untimed
+        # rebuild of the persisted mid-tables, then timed runs that
+        # reuse them. Reported separately in queries_steady — it never
+        # feeds `value` or `queries`.
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        sruns: list[float] = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            sruns.append(time.perf_counter() - t0)
+        steady[key] = round(min(sruns), 4)
         release_persisted()
 
     record = {
@@ -155,6 +182,7 @@ def main() -> None:
         "value": round(sum(results.values()), 4),
         "unit": "sec",
         "queries": results,
+        "queries_steady": steady,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
 

@@ -78,6 +78,14 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # coalescePartitions.parallelismFirst stays at its DEFAULT (true).
+    # The guide's size-based posture (false + advisory 64m-256m, §2.2)
+    # was A/B-measured in r17: neutral on every shuffle-light key, but
+    # it coalesced the LSH candidate-verify stage — small in BYTES,
+    # dense in CPU (64-dim dot per candidate pair) — to ONE partition
+    # and vec_knn_join/vec_neardup_lsh ran 2.5x slower single-threaded.
+    # On a real cluster, size-based coalescing belongs on SHUFFLE-bound
+    # jobs; set it per-job via $SPARK_GRAFT_EXTRA_CONFS, not globally.
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # survey/testdata schemas are explicit; never pay an inference scan

@@ -178,7 +178,14 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1,
 
     jaccard = |A∩B| / (|A| + |B| - |A∩B|), one double division.
     """
-    sh = (
+    # The raw exploded shingle table is persisted FIRST: the df-cap
+    # aggregate AND the capped-table build both read it, so the
+    # scan+tokenize+shingle+explode derivation runs ONCE per corpus
+    # (the old shape derived `rare` from the unpersisted explode and
+    # then re-ran the whole explode to build the capped persist — two
+    # full row-expanding passes over the corpus, guide §2/§6: scan
+    # once). At corpus scale both persists are checkpoints to storage.
+    sh = tracked_persist(
         docs.select(F.col(id_col), tokens_col(F.col(text)).alias("_toks"))
         .select(
             F.col(id_col),
@@ -191,11 +198,10 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1,
         .select("sh")
     )
     # The capped shingle table feeds three consumers (sizes + both join
-    # sides); tracked_persist computes the shingling pipeline ONCE
-    # (AQE's broadcast-join conversion defeats ReuseExchange here —
-    # measured 8 full recomputes without the persist) while the
-    # release hook keeps long sweeps from accumulating cache. At
-    # corpus scale this is a checkpoint to storage.
+    # sides); tracked_persist computes the cap join ONCE (AQE's
+    # broadcast-join conversion defeats ReuseExchange here — measured
+    # 8 full recomputes without the persist) while the release hook
+    # keeps long sweeps from accumulating cache.
     sh = tracked_persist(sh.join(rare, "sh"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
 
@@ -332,10 +338,16 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20,
 
     ``pairs`` needs columns (id_a, id_b) with id_a < id_b.
     """
+    # pairs are persisted BEFORE the symmetrizing union: both union
+    # branches reference the pair subtree, so building the edge table
+    # from unpersisted pairs executed the whole upstream pair pipeline
+    # (shingle explode + candidate join, or the co-supplier self-join)
+    # TWICE — the two branches project differently, so ReuseExchange
+    # never matches them (guide §2: remove the duplicate pass).
+    pairs = tracked_persist(pairs.select("id_a", "id_b"))
     # edges are read every round AND by every round's convergence
-    # count; persisting them stops the whole upstream pair pipeline
-    # (shingle explode + candidate join) re-executing per iteration
-    # (measured ~20s -> ~3s on the sf0.1 clustering key).
+    # count; persisting them stops the union+distinct re-executing per
+    # iteration (measured ~20s -> ~3s on the sf0.1 clustering key).
     edges = tracked_persist(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"),

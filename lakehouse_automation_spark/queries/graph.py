@@ -188,7 +188,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing driver-side."""
     from ..operators.cache import tracked_persist
 
-    pairs = _co_supplier_pairs(spark, sf_dir)
+    # persist pairs BEFORE the symmetrizing union: both branches
+    # reference the pair subtree, so an unpersisted build ran the
+    # co-supplier self-join twice (guide §2: remove the duplicate pass)
+    pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
     edges = tracked_persist(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"),
@@ -388,7 +391,10 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a pushed-down filter, never a driver-side list."""
     from ..operators.cache import tracked_persist
 
-    pairs = _co_supplier_pairs(spark, sf_dir)
+    # persist pairs BEFORE the symmetrizing union: both branches
+    # reference the pair subtree, so an unpersisted build ran the
+    # co-supplier self-join twice (guide §2: remove the duplicate pass)
+    pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
     edges = tracked_persist(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"),
@@ -455,7 +461,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side."""
     from ..operators.cache import tracked_persist
 
-    pairs = _co_supplier_pairs(spark, sf_dir)
+    # persist pairs BEFORE the symmetrizing union: both branches
+    # reference the pair subtree, so an unpersisted build ran the
+    # co-supplier self-join twice (guide §2: remove the duplicate pass)
+    pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
     edges = tracked_persist(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"),

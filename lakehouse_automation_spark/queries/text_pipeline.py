@@ -606,30 +606,30 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import neardup_clusters, ngram_jaccard_pairs
 
     d = t(spark, sf_dir, "documents")
-    exact = d.select(
-        "doc_id",
-        F.min("doc_id").over(
-            Window.partitionBy(F.md5(content_norm_col("text"))))
-        .alias("exact_keeper"),
-    )
+    # ONE documents scan feeds the quality bucket, the exact-dedup
+    # hash, and the base row set (they were three separate scans + two
+    # doc_id equi-joins): quality is a narrow projection, the exact
+    # keeper is a min-over-window on the content hash computed in the
+    # same pass, and the join keys ride along. Only the fuzzy cluster
+    # table still joins (it comes from the pair/CC pipeline).
     toks = tokens_col(F.col("text"))
     n_tok = F.size(toks)
     stop_ratio = (F.size(F.filter(toks, lambda x: x.isin("the", "a")))
                   .cast("double") / n_tok)
-    quality = d.select(
+    eq = d.select(
         "doc_id",
+        F.md5(content_norm_col("text")).alias("_content_md5"),
         F.when((n_tok >= 20) & (stop_ratio >= 0.02) & (stop_ratio <= 0.5), "good")
         .when(n_tok >= 10, "fair").otherwise("low").alias("quality"),
+    ).select(
+        "doc_id", "quality",
+        F.min("doc_id").over(Window.partitionBy("_content_md5"))
+        .alias("exact_keeper"),
     )
     clusters = neardup_clusters(
         ngram_jaccard_pairs(d, k=3, threshold=0.2, max_shingle_df=100)
     ).select("doc_id", "cluster_id")
-    out = (
-        d.select("doc_id")
-        .join(exact, "doc_id")
-        .join(quality, "doc_id")
-        .join(clusters, "doc_id", "left")
-    )
+    out = eq.join(clusters, "doc_id", "left")
     return out.select(
         "doc_id", "quality",
         (F.col("exact_keeper") == F.col("doc_id")).cast("int")

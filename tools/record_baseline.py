@@ -65,11 +65,15 @@ def main() -> int:
         fn = REGISTRY[key].fn
         try:
             rows = fn(spark, SF_DIR).count()  # cold: plan + JIT + caches
+            release_persisted()
             times = []
             for _ in range(WARM_RUNS):
                 t0 = time.perf_counter()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                 times.append(time.perf_counter() - t0)
+                # cold-equivalent minima, matching bench.py since r17
+                # (judge ask #2): every timed run pays the full build
+                release_persisted()
             results[key] = {
                 "sec": round(min(times), 4),
                 "rows": rows,
