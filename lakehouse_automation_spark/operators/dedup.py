@@ -336,7 +336,10 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20,
     jump from round 4 — which is why the jump is deferred, not
     always-on).
 
-    ``pairs`` needs columns (id_a, id_b) with id_a < id_b.
+    ``pairs`` needs columns (id_a, id_b) with id_a < id_b, DISTINCT
+    (every pair generator in this repo is, by groupBy/.distinct()
+    construction; duplicates would only inflate per-round join sizes,
+    never change the labels).
     """
     # pairs are persisted BEFORE the symmetrizing union: both union
     # branches reference the pair subtree, so building the edge table
@@ -346,13 +349,18 @@ def neardup_clusters(pairs: DataFrame, max_iters: int = 20,
     # never matches them (guide §2: remove the duplicate pass).
     pairs = tracked_persist(pairs.select("id_a", "id_b"))
     # edges are read every round AND by every round's convergence
-    # count; persisting them stops the union+distinct re-executing per
+    # count; persisting them stops the union re-executing per
     # iteration (measured ~20s -> ~3s on the sf0.1 clustering key).
+    # No distinct on the union: every pair generator in this repo
+    # emits DISTINCT pairs (groupBy / .distinct() by construction) and
+    # the two branches (u<v vs u>v) cannot collide, so the old
+    # post-union dedup was a pure extra shuffle of the edge table.
+    # A caller passing duplicate pairs cannot change the min-label
+    # RESULT (min over a multiset) — only the per-round join size.
     edges = tracked_persist(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"),
                                   F.col("id_a").alias("v")))
-        .distinct()
     )
     labels = (
         edges.select("u").distinct()

@@ -192,11 +192,14 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference the pair subtree, so an unpersisted build ran the
     # co-supplier self-join twice (guide §2: remove the duplicate pass)
     pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
+    # no distinct after the union: _co_supplier_pairs is distinct by
+    # construction and the u<v / u>v branches cannot collide, so the
+    # old post-union dedup was a pure extra shuffle of the edge table
+    # (graph_jaccard_neighbors' edge build already relies on this)
     edges = tracked_persist(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"),
-                                  F.col("id_a").alias("v")))
-        .distinct())
+                                  F.col("id_a").alias("v"))))
     deg = tracked_persist(
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("u").alias("node"), "deg"))
@@ -395,11 +398,14 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference the pair subtree, so an unpersisted build ran the
     # co-supplier self-join twice (guide §2: remove the duplicate pass)
     pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
+    # no distinct after the union: _co_supplier_pairs is distinct by
+    # construction and the u<v / u>v branches cannot collide, so the
+    # old post-union dedup was a pure extra shuffle of the edge table
+    # (graph_jaccard_neighbors' edge build already relies on this)
     edges = tracked_persist(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"),
-                                  F.col("id_a").alias("v")))
-        .distinct())
+                                  F.col("id_a").alias("v"))))
     nodes = tracked_persist(
         edges.select(F.col("u").alias("node")).distinct())
     reached = (nodes.filter(F.col("node") % 10 == 0)
@@ -465,11 +471,14 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reference the pair subtree, so an unpersisted build ran the
     # co-supplier self-join twice (guide §2: remove the duplicate pass)
     pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
+    # no distinct after the union: _co_supplier_pairs is distinct by
+    # construction and the u<v / u>v branches cannot collide, so the
+    # old post-union dedup was a pure extra shuffle of the edge table
+    # (graph_jaccard_neighbors' edge build already relies on this)
     edges = tracked_persist(
         pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .unionByName(pairs.select(F.col("id_b").alias("u"),
-                                  F.col("id_a").alias("v")))
-        .distinct())
+                                  F.col("id_a").alias("v"))))
     deg = tracked_persist(
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
     nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
