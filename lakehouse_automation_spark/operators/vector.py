@@ -997,12 +997,22 @@ def knn_join_lsh(emb: DataFrame, k: int = 5,
     n_vec, sig = _lsh_signatures(emb)
     shape = _lsh_verify_shape(n_vec, verify_shape)
     if shape == "broadcast":
+        # ONE q_id exchange serves both the candidate dedup and the
+        # final top-k window (the r14 blocklocal trick, applied to
+        # the broadcast shape): q_id ⊆ the (q_id, vec_id) group key
+        # co-locates every dedup group, the broadcast attach joins
+        # preserve the partitioning, and the window's
+        # ClusteredDistribution(q_id) is already satisfied — the old
+        # shape paid a (q_id, vec_id) agg exchange AND a q_id window
+        # exchange. The repartition moves ids-only rows (duplicate
+        # factor bounded by n_bands) before anything wide attaches.
         cand = (
             sig.select(F.col("vec_id").alias("q_id"), "band_id", "bucket")
             .join(sig, ["band_id", "bucket"])
             .filter(F.col("q_id") != F.col("vec_id"))
-            .dropDuplicates(["q_id", "vec_id"])
             .select("q_id", "vec_id")
+            .repartition("q_id")
+            .dropDuplicates(["q_id", "vec_id"])
         )
         n = with_vnorm(emb)
         q = n.select(F.col("vec_id").alias("q_id"),

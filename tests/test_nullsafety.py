@@ -16,10 +16,19 @@ the FIX CLASSES fast so a regression fails the suite:
   5. tier 2: NULL embeddings are filtered at the with_vnorm funnel
      and mirrored in the shared _VNORM oracle CTE
      -> vec_knn_join
+  6. r17 re-plan representatives (the STANDING RULE from the r16
+     verdict #9: every re-plan must pass tools/null_check.py on its
+     touched keys BEFORE merging — the ts_changepoint seam, where a
+     re-plan changed NULL-group semantics and the oracle was edited
+     to absorb it, must be caught pre-merge, never settled by an
+     oracle edit — and leaves one representative pinned here)
+     -> vec_ivf_topk (JVM-expression argmax: NULL norm / poisoned
+        centroid ordering), curate_pipeline (fused quality + exact
+        window scan)
 
 Each key runs on a null replica AND its result is compared against
 the DuckDB oracle reading the SAME replica — the full gate's logic,
-scoped to six keys (~1 min).
+scoped to these keys (~1-2 min).
 """
 
 from __future__ import annotations
@@ -34,6 +43,8 @@ KEYS = [
     "agg_exact_deciles",
     "stream_custom_state",
     "vec_knn_join",
+    "vec_ivf_topk",
+    "curate_pipeline",
 ]
 
 
