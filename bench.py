@@ -23,7 +23,7 @@ int8 scale) can no longer record a scan-free steady-state number as
 its headline. The steady-state minima are still measured and emitted
 separately as ``queries_steady`` (an ADDED field; nothing removed or
 renamed). Affected keys' r16-and-earlier records are steady-state —
-see BASELINE.md §13 before comparing across the boundary.
+see BASELINE.md §18 before comparing across the boundary.
 """
 
 from __future__ import annotations
@@ -143,7 +143,7 @@ def main() -> None:
             continue
         fn = REGISTRY[key].fn
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()  # cold: plan+JIT
-        release_persisted()
+        had_state = release_persisted() > 0
         times: list[float] = []
         best, stale = float("inf"), 0
         while len(times) < MAX_RUNS and (len(times) < WARM_RUNS or stale < 3):
@@ -161,21 +161,26 @@ def main() -> None:
             # collects) — the recorded min is COLD-EQUIVALENT, not a
             # query over a prebuilt in-memory index. Cleanup runs
             # outside the timed window (blocking unpersist).
-            release_persisted()
+            had_state = (release_persisted() > 0) or had_state
         results[key] = round(min(times), 4)
         # steady-state companion number (the build-once-query-many
         # latency an LSH/shingle index amortizes to): one untimed
         # rebuild of the persisted mid-tables, then timed runs that
         # reuse them. Reported separately in queries_steady — it never
-        # feeds `value` or `queries`.
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        sruns: list[float] = []
-        for _ in range(2):
-            t0 = time.perf_counter()
+        # feeds `value` or `queries`. Keys that registered no persisted
+        # state have no distinct steady state: their warm minimum IS
+        # it, so the 3 extra runs are skipped.
+        if had_state:
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            sruns.append(time.perf_counter() - t0)
-        steady[key] = round(min(sruns), 4)
-        release_persisted()
+            sruns: list[float] = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                sruns.append(time.perf_counter() - t0)
+            steady[key] = round(min(sruns), 4)
+            release_persisted()
+        else:
+            steady[key] = results[key]
 
     record = {
         "metric": "headline_query_set_wallclock",

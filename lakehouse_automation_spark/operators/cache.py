@@ -94,12 +94,15 @@ def tracked_persist_keyed(key: tuple, make: Callable[[], DataFrame]) -> DataFram
 
 
 def release_persisted(blocking: bool = True) -> int:
-    """Unpersist every tracked DataFrame. Returns the number released.
-    Blocking by default so the cleanup cost lands HERE, not smeared
-    into whatever the caller times next (async unpersist measurably
-    polluted neighboring bench keys). Safe to call at any time; plans
-    that re-execute later simply recompute."""
-    n = 0
+    """Unpersist every tracked DataFrame and drop the memo scalars.
+    Returns the number of state entries released (persisted tables +
+    memoized scalars — callers like bench.py use a nonzero return as
+    "this key carries build-once state", so memo-only keys must count
+    too). Blocking by default so the cleanup cost lands HERE, not
+    smeared into whatever the caller times next (async unpersist
+    measurably polluted neighboring bench keys). Safe to call at any
+    time; plans that re-execute later simply recompute."""
+    n = len(_SCALARS)
     for df in _PERSISTED:
         try:
             df.unpersist(blocking)

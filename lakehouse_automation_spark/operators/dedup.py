@@ -185,6 +185,10 @@ def ngram_jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.1,
     # then re-ran the whole explode to build the capped persist — two
     # full row-expanding passes over the corpus, guide §2/§6: scan
     # once). At corpus scale both persists are checkpoints to storage.
+    # Footprint trade, accepted: the raw table stays cached until the
+    # caller's release_persisted even though its two consumers finish
+    # early; DataFrame persist is MEMORY_AND_DISK, so pressure spills
+    # or LRU-evicts it (recompute on a miss) rather than OOM.
     sh = tracked_persist(
         docs.select(F.col(id_col), tokens_col(F.col(text)).alias("_toks"))
         .select(

@@ -240,6 +240,25 @@ def _dlit(x: float | None) -> str:
     return r + "D"
 
 
+
+def _darr(xs: list) -> str:
+    """Exact SQL array<double> literal via :func:`_dlit`. An empty
+    list needs the cast — bare ``array()`` types as array<void>."""
+    if not xs:
+        return "CAST(array() AS ARRAY<DOUBLE>)"
+    return f"array({','.join(_dlit(x) for x in xs)})"
+
+
+def _inline_relation(spark, structs: str) -> DataFrame:
+    """Literal relation (one row per named_struct in ``structs``) via
+    ``inline(array(...))`` — the python-parallelize-free local
+    relation. A createDataFrame collection lands in
+    default.parallelism slices whose reads are re-paid on every
+    broadcast build (~0.2-0.3 s measured for 8 rows); a literal
+    relation is part of the plan and costs nothing to realize."""
+    return spark.range(1).select(F.expr(f"inline(array({structs}))"))
+
+
 def _assign_cells(n: DataFrame, cents: list[tuple[int, list[float], float]],
                   dim: int = LSH_DIM) -> DataFrame:
     """Nearest-centroid cell assignment as ONE narrow JVM projection:
@@ -321,18 +340,12 @@ def _probe_cells(n: DataFrame, cents: list[tuple[int, list[float], float]],
                          F.lit(None).cast(id_type).alias("cell_id"))
                 .filter(F.lit(False)))
     spark = n.sparkSession
-
-    def arr(cv: list) -> str:
-        if not cv:  # bare array() types as array<void>
-            return "CAST(array() AS ARRAY<DOUBLE>)"
-        return f"array({','.join(_dlit(x) for x in cv)})"
-
     rows = ",".join(
-        f"named_struct('cent_id',{int(cid)}L,'cv',{arr(list(cv))},"
+        f"named_struct('cent_id',{int(cid)}L,'cv',{_darr(list(cv))},"
         f"'cn',{_dlit(cn)})"
         for cid, cv, cn in cents)
     cdf = F.broadcast(
-        spark.range(1).select(F.expr(f"inline(array({rows}))"))
+        _inline_relation(spark, rows)
         .select(F.col("cent_id").cast(id_type).alias("cent_id"),
                 "cv", "cn"))
     sim = cosine_sim("v", "cv", "nrm", "cn")
@@ -1163,14 +1176,10 @@ def _pq_parts(emb: DataFrame, n: DataFrame, n_queries: int,
     # (n_queries x m x kc doubles) and embeds exactly via _dlit
     structs = ",".join(
         "named_struct('q_id',{}L,'lut',array({}))".format(
-            int(qid),
-            ",".join(f"array({','.join(_dlit(x) for x in row)})"
-                     for row in lut))
+            int(qid), ",".join(_darr(row) for row in lut))
         for qid, lut in lut_rows)
     if lut_rows:
-        luts = F.broadcast(
-            emb.sparkSession.range(1)
-            .select(F.expr(f"inline(array({structs}))")))
+        luts = F.broadcast(_inline_relation(emb.sparkSession, structs))
     else:  # no query rows: keep the empty-relation shape/schema
         luts = F.broadcast(emb.sparkSession.createDataFrame(
             [], "q_id bigint, lut array<array<double>>"))

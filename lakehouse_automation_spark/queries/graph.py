@@ -74,6 +74,27 @@ def _co_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id_a", "id_b").distinct())
 
 
+
+def _co_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted symmetric edge table over :func:`_co_supplier_pairs`.
+
+    Pairs persist BEFORE the symmetrizing union: both branches
+    reference the pair subtree, so an unpersisted build ran the
+    co-supplier self-join twice (guide §2: remove the duplicate
+    pass). No distinct after the union: _co_supplier_pairs is
+    distinct by construction and the u<v / u>v branches cannot
+    collide, so a post-union dedup would re-shuffle the edge table
+    to remove nothing (graph_jaccard_neighbors' edge build has
+    relied on this since r7)."""
+    from ..operators.cache import tracked_persist
+
+    pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
+    return tracked_persist(
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("u"),
+                                  F.col("id_a").alias("v"))))
+
+
 @register(
     "graph_components",
     oracle="WITH RECURSIVE " + _EDGE_CTES + """,
@@ -188,18 +209,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     nothing driver-side."""
     from ..operators.cache import tracked_persist
 
-    # persist pairs BEFORE the symmetrizing union: both branches
-    # reference the pair subtree, so an unpersisted build ran the
-    # co-supplier self-join twice (guide §2: remove the duplicate pass)
-    pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
-    # no distinct after the union: _co_supplier_pairs is distinct by
-    # construction and the u<v / u>v branches cannot collide, so the
-    # old post-union dedup was a pure extra shuffle of the edge table
-    # (graph_jaccard_neighbors' edge build already relies on this)
-    edges = tracked_persist(
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionByName(pairs.select(F.col("id_b").alias("u"),
-                                  F.col("id_a").alias("v"))))
+    edges = _co_supplier_edges(spark, sf_dir)
     deg = tracked_persist(
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
         .select(F.col("u").alias("node"), "deg"))
@@ -394,18 +404,7 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a pushed-down filter, never a driver-side list."""
     from ..operators.cache import tracked_persist
 
-    # persist pairs BEFORE the symmetrizing union: both branches
-    # reference the pair subtree, so an unpersisted build ran the
-    # co-supplier self-join twice (guide §2: remove the duplicate pass)
-    pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
-    # no distinct after the union: _co_supplier_pairs is distinct by
-    # construction and the u<v / u>v branches cannot collide, so the
-    # old post-union dedup was a pure extra shuffle of the edge table
-    # (graph_jaccard_neighbors' edge build already relies on this)
-    edges = tracked_persist(
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionByName(pairs.select(F.col("id_b").alias("u"),
-                                  F.col("id_a").alias("v"))))
+    edges = _co_supplier_edges(spark, sf_dir)
     nodes = tracked_persist(
         edges.select(F.col("u").alias("node")).distinct())
     reached = (nodes.filter(F.col("node") % 10 == 0)
@@ -467,18 +466,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-side."""
     from ..operators.cache import tracked_persist
 
-    # persist pairs BEFORE the symmetrizing union: both branches
-    # reference the pair subtree, so an unpersisted build ran the
-    # co-supplier self-join twice (guide §2: remove the duplicate pass)
-    pairs = tracked_persist(_co_supplier_pairs(spark, sf_dir))
-    # no distinct after the union: _co_supplier_pairs is distinct by
-    # construction and the u<v / u>v branches cannot collide, so the
-    # old post-union dedup was a pure extra shuffle of the edge table
-    # (graph_jaccard_neighbors' edge build already relies on this)
-    edges = tracked_persist(
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .unionByName(pairs.select(F.col("id_b").alias("u"),
-                                  F.col("id_a").alias("v"))))
+    edges = _co_supplier_edges(spark, sf_dir)
     deg = tracked_persist(
         edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg")))
     nn = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))

@@ -625,7 +625,14 @@ def curate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "quality",
         F.min("doc_id").over(Window.partitionBy("_content_md5"))
         .alias("exact_keeper"),
-    )
+    ).filter(F.col("doc_id").isNotNull())
+    # ^ NULL-doc_id parity with the oracle's inner `JOIN ... USING
+    # (doc_id)` (and the pre-fusion plan's equi-joins), which drop a
+    # NULL key. min() already ignores NULLs, so filtering after the
+    # window leaves every surviving row's exact_keeper unchanged.
+    # (doc_id is the documents table's unique key by the testdata
+    # contract; a DUPLICATED doc_id would have produced k^3 join
+    # fan-out in the old shape — out of contract either way.)
     clusters = neardup_clusters(
         ngram_jaccard_pairs(d, k=3, threshold=0.2, max_shingle_df=100)
     ).select("doc_id", "cluster_id")
