@@ -61,7 +61,15 @@ def memo_scalar(key: tuple, compute: Callable[[], object]) -> object:
     :func:`release_persisted`, so a scalar can never outlive the cached
     table it describes. Exists because an action like ``count()`` is a
     full corpus scan that ``tracked_persist_keyed`` alone cannot dedupe
-    — the r14 forced-blocklocal path paid it on every invocation."""
+    — the r14 forced-blocklocal path paid it on every invocation.
+
+    Staleness contract (ADVICE r16): a memoized scalar reflects the
+    corpus AS OF the first computation in the current lifecycle. A
+    library caller that REWRITES the files behind the same input path
+    mid-lifecycle must call :func:`release_persisted` first (exactly
+    as it must for the keyed persists, whose plan keys have the same
+    same-plan-same-path blind spot); the harnesses here release
+    between keys and — since r17 — between timed bench runs."""
     if key in _SCALARS:
         return _SCALARS[key]
     val = compute()
